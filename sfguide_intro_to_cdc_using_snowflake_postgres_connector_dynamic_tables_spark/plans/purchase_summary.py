@@ -1,0 +1,121 @@
+"""The flagship query: the Dynamic Table's defining 4-way join.
+
+Reference: ``notebooks/0_start_here.ipynb:215-245`` (cell
+``create_dynamic_table``) -- transactions joined to customers,
+products, merchants on their keys, PLUS the cross-dimension conjunct
+``m.merchant_category = p.product_category``, projecting 15 columns
+with ``total_price`` *recomputed* as ``quantity * p.price``.
+
+Physical shape at scale: 1 big fact x 3 small dims.  The dims are
+broadcast (Catalyst auto-broadcasts under the raised threshold; we add
+an explicit ``F.broadcast`` so the plan survives stale/missing stats on
+a real cluster) -- the fact table is never shuffled, the whole join
+pipeline is one WholeStageCodegen stage over the fact scan.  The
+composite J2 conjunct stays an equi-join (two equality conjuncts), so
+it is hash-joinable, not a nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def customer_purchase_summary(
+    transactions: DataFrame,
+    customers: DataFrame,
+    products: DataFrame,
+    merchants: DataFrame,
+) -> DataFrame:
+    """Build the ``customer_purchase_summary`` view (reference-domain).
+
+    Inner joins drop orphan transactions (955/1000 of the reference
+    seed -- SURVEY.md section 1.3); that row loss is load-bearing
+    behavior, not a bug.
+    """
+    t, c, p, m = (
+        transactions.alias("t"),
+        customers.alias("c"),
+        products.alias("p"),
+        merchants.alias("m"),
+    )
+    joined = (
+        t.join(F.broadcast(c), F.col("t.customer_id") == F.col("c.customer_id"), "inner")
+        .join(F.broadcast(p), F.col("t.product_id") == F.col("p.product_id"), "inner")
+        .join(
+            F.broadcast(m),
+            (F.col("t.merchant_id") == F.col("m.merchant_id"))
+            & (F.col("m.merchant_category") == F.col("p.product_category")),
+            "inner",
+        )
+    )
+    return joined.select(
+        F.col("t.transaction_id").alias("transaction_id"),
+        F.col("t.customer_id").alias("customer_id"),
+        F.col("c.age").alias("customer_age"),
+        F.col("t.product_id").alias("product_id"),
+        F.col("p.product_name").alias("product_name"),
+        F.col("p.product_category").alias("product_category"),
+        F.col("t.merchant_id").alias("merchant_id"),
+        F.col("m.merchant_name").alias("merchant_name"),
+        F.col("m.merchant_category").alias("merchant_category"),
+        F.col("t.transaction_date").alias("transaction_date"),
+        F.col("t.transaction_time").alias("transaction_time"),
+        F.col("t.quantity").alias("quantity"),
+        # Recomputed, ignoring the stored t.total_price (notebook :233).
+        (F.col("t.quantity") * F.col("p.price")).alias("total_price"),
+        F.col("t.transaction_card").alias("transaction_card"),
+        F.col("t.transaction_category").alias("transaction_category"),
+    )
+
+
+def purchase_summary_star(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """The same operator shape on the driver's testdata star schema.
+
+    lineitem (fact) joined to orders, customer, part, supplier --
+    including a composite cross-dimension conjunct analogous to J2
+    (``s.s_nationkey = c.c_nationkey``: only line items whose supplier
+    sits in the customer's nation survive).  ``gross_price`` recomputes
+    price from the part dim exactly like the Dynamic Table recomputes
+    ``total_price``.
+    """
+    l, o, c, p, s = (
+        lineitem.alias("l"),
+        orders.alias("o"),
+        customer.alias("c"),
+        part.alias("p"),
+        supplier.alias("s"),
+    )
+    joined = (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner")
+        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"), "inner")
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"), "inner")
+        .join(
+            F.broadcast(s),
+            (F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+            & (F.col("s.s_nationkey") == F.col("c.c_nationkey")),
+            "inner",
+        )
+    )
+    return joined.select(
+        F.col("l.l_orderkey").alias("orderkey"),
+        F.col("l.l_linenumber").alias("linenumber"),
+        F.col("o.o_custkey").alias("custkey"),
+        F.col("c.c_name").alias("customer_name"),
+        F.col("c.c_mktsegment").alias("mktsegment"),
+        F.col("l.l_partkey").alias("partkey"),
+        F.col("p.p_name").alias("part_name"),
+        F.col("p.p_brand").alias("brand"),
+        F.col("l.l_suppkey").alias("suppkey"),
+        F.col("s.s_name").alias("supplier_name"),
+        F.col("o.o_orderdate").alias("orderdate"),
+        F.col("o.o_orderpriority").alias("orderpriority"),
+        F.col("l.l_quantity").alias("quantity"),
+        F.round(F.col("l.l_quantity") * F.col("p.p_retailprice"), 2).alias("gross_price"),
+        F.col("l.l_returnflag").alias("returnflag"),
+    )

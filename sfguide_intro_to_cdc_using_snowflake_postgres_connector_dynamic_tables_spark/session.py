@@ -1,0 +1,63 @@
+"""SparkSession factory with a scale-first default configuration.
+
+Local tests run ``local[$SPARK_GRAFT_CPUS]``; the same builder is meant
+to be correct on a 1000-executor cluster -- every knob below is chosen
+for the 100 TB design point and merely *also* works locally:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion).
+- ``autoBroadcastJoinThreshold`` raised to 64 MB: the workload is one
+  big fact table joined to small dimensions (SURVEY.md section 2.3) --
+  broadcast-hash-join is the right physical strategy and we want
+  Catalyst to pick it without hints in the common case.
+- Arrow on for every pandas boundary (toPandas, pandas UDFs).
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session this engine creates.  At cluster
+#: scale, shuffle.partitions should be overridden to ~2-3x total cores
+#: (AQE coalesces the excess), and maxPartitionBytes left at 128m so a
+#: 100 TB scan fans out to ~800k input splits.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    # Parquet filter pushdown is on by default; pin it so a config drift
+    # can't silently turn scans into full reads.
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "sfguide-cdc-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 if unset)
+    for this environment; on a real cluster the caller passes the
+    cluster master / relies on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,46 @@
+"""Every catalog query hash-matches the DuckDB oracle on sf0.001.
+
+This mirrors the driver's t2 gate (which runs at sf0.01); sf0.001 keeps
+the suite fast for iteration.  Set SPARK_GRAFT_TEST_SF_DIR to run a
+bigger scale locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog import (
+    CATALOG,
+)
+
+from .oracle import compare, duckdb_conn
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG.keys()))
+def test_oracle_match(spark, con, name):
+    fn, sql = CATALOG[name]
+    df = fn(spark, SF_DIR)
+    if sql is None:
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    ok, msg = compare(df, con, sql)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
