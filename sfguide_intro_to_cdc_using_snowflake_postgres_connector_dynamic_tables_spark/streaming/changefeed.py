@@ -1,0 +1,163 @@
+"""CDC change feed: envelope encoding, file-backed source, pipeline.
+
+The reference's transport is Postgres WAL -> connector agent ->
+Snowflake (SURVEY.md section 3.1); the Spark-first collapse is a
+Structured Streaming source emitting envelope rows
+
+    (op, lsn, commit_ts, table_name, after_json)
+
+``after`` travels as a JSON string so one feed carries all tables'
+changes in commit (lsn) order -- exactly what a consistent multi-table
+snapshot needs (one offset frontier across tables, SURVEY.md section
+4.2).  Per micro-batch, the pipeline parses each table's rows with its
+declared schema (``from_json``) and runs the keyed apply.  In
+production the same envelope would arrive from Kafka/Debezium; the
+file feed keeps tests hermetic and replayable.
+
+Bootstrap (C2) is snapshot-then-tail: seed tables are committed to the
+store first, then the stream starts from offset 0 of the feed
+directory -- the classic backfill-then-tail handoff, made exactly-once
+by the store's versioned commits + the stream's checkpoint.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.cdc_schemas import PRIMARY_KEYS, TABLE_SCHEMAS
+from .cdc_apply import apply_changes
+from .store import ParquetTableStore
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), True),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("after_json", T.StringType(), True),
+    ]
+)
+
+
+def write_feed_batch(feed_dir: str, batch: dict[str, list[tuple]]) -> str:
+    """Append one change batch to the feed as a JSON-lines file.
+
+    ``batch`` is ``{table_name: [(op, lsn, row_dict), ...]}`` (the
+    fixture change-log shape).  One file per call = one atomic unit
+    for the file source's discovery, like one committed transaction.
+    """
+    os.makedirs(feed_dir, exist_ok=True)
+    records = []
+    for table, rows in batch.items():
+        for op, lsn, row in rows:
+            records.append(
+                {
+                    "op": op,
+                    "lsn": lsn,
+                    "commit_ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+                    "table_name": table,
+                    "after_json": json.dumps(row, default=str),
+                }
+            )
+    records.sort(key=lambda r: r["lsn"])
+    tmp = os.path.join(feed_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    final = os.path.join(feed_dir, f"batch-{records[0]['lsn'] if records else 0}-{uuid.uuid4().hex[:8]}.json")
+    os.replace(tmp, final)  # file appears atomically
+    return final
+
+
+def parse_table_changes(envelope: DataFrame, table: str) -> DataFrame:
+    """Extract one table's typed change rows from an envelope batch."""
+    schema = TABLE_SCHEMAS[table]
+    return (
+        envelope.filter(F.col("table_name") == table)
+        .select("op", "lsn", F.from_json("after_json", schema).alias("after"))
+        .select("op", "lsn", "after.*")
+    )
+
+
+class CDCPipeline:
+    """Snapshot-then-tail replication of the 4 CDC tables into a store."""
+
+    def __init__(self, spark: SparkSession, store: ParquetTableStore) -> None:
+        self.spark = spark
+        self.store = store
+        self._on_batch_applied: list = []  # hooks: fn(batch_id, deltas dict)
+
+    # -- bootstrap (C2) ------------------------------------------------------
+
+    def bootstrap(self, seed: dict[str, DataFrame]) -> None:
+        """Initial snapshot load (SCHEMA_INTROSPECTION + SNAPSHOT phase)."""
+        for table, df in seed.items():
+            self.store.overwrite(table, df)
+
+    # -- batch apply (C3), shared by streaming + tests ----------------------
+
+    def apply_envelope_batch(self, envelope: DataFrame, batch_id: int = -1) -> dict[str, DataFrame]:
+        """Apply one envelope micro-batch to every affected table.
+
+        Dimensions apply before the fact table so a batch that inserts
+        a dim row + a fact row referencing it lands consistently
+        (SURVEY.md section 4.2).  Returns per-table typed deltas for
+        downstream incremental view maintenance.
+        """
+        envelope = envelope.cache()
+        deltas: dict[str, DataFrame] = {}
+        try:
+            tables = [r[0] for r in envelope.select("table_name").distinct().collect()]
+            ordered = [t for t in ("customers", "merchants", "products", "transactions") if t in tables]
+            for table in ordered:
+                changes = parse_table_changes(envelope, table).cache()
+                key = PRIMARY_KEYS[table]
+                current = self.store.read(self.spark, table) if self.store.exists(table) else None
+                new_snapshot = apply_changes(current, changes, key)
+                self.store.overwrite(table, new_snapshot)
+                deltas[table] = changes
+            for hook in self._on_batch_applied:
+                hook(batch_id, deltas)
+        finally:
+            envelope.unpersist()
+        return deltas
+
+    def on_batch_applied(self, hook) -> None:
+        """Register ``fn(batch_id, deltas)`` to run after each apply --
+        the seam where dynamic-table incremental refresh plugs in."""
+        self._on_batch_applied.append(hook)
+
+    # -- streaming tail (C1) -------------------------------------------------
+
+    def start_stream(
+        self,
+        feed_dir: str,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+    ):
+        """Tail the feed directory; one micro-batch per trigger tick.
+
+        ``trigger`` defaults to ``availableNow`` (drain-and-stop, used
+        by tests); pass ``{"processingTime": "60 seconds"}`` for the
+        reference's 1-minute freshness SLO (C5).
+        """
+        stream = (
+            self.spark.readStream.schema(FEED_SCHEMA)
+            .json(feed_dir)
+        )
+        writer = (
+            stream.writeStream.option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda batch, bid: self.apply_envelope_batch(batch, bid))
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,168 @@
+"""Dynamic Tables: incrementally-maintained materialized views.
+
+Reference semantics (``notebooks/0_start_here.ipynb:215-245``): a
+stored defining query (the 4-way join), a freshness SLO
+(``TARGET_LAG='1 minute'``), and ``REFRESH_MODE=INCREMENTAL`` -- each
+refresh folds only the delta of the defining query into the
+materialization.
+
+Refresh strategies (SURVEY.md section 4.3):
+
+- ``full_refresh``: recompute the defining query over current base
+  snapshots and overwrite.  Trivially correct; the oracle the
+  incremental path is property-tested against.
+- ``incremental_refresh``: DBToaster-style delta propagation
+  specialized to star joins (one fact + keyed dims):
+
+  1. affected fact keys = keys touched in the fact delta, plus fact
+     rows referencing any changed dim key (a semi-join of the fact
+     snapshot against the broadcast dim-delta keys);
+  2. recompute the defining query restricted to those fact rows
+     (dims join at current snapshots, so dim U/D retroactivity is
+     handled by construction -- including through the composite
+     J2 conjunct);
+  3. MERGE: drop affected keys from the materialization, union the
+     recomputed rows.  Deletes fall out because deleted/orphaned
+     rows simply don't reappear in the recomputation.
+
+  Cost per tick is O(|delta| join work), not O(|fact|): exactly the
+  incremental-refresh promise.  At 100 TB the semi-joins broadcast
+  the (small) delta key sets and never shuffle the fact table; the
+  merge anti-join co-locates with a view store bucketed on the view
+  key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc_apply import latest_per_key
+from .store import ParquetTableStore
+
+
+@dataclass
+class DynamicTable:
+    """Registry entry: the view definition is first-class metadata
+    (SURVEY.md section 3.2)."""
+
+    name: str
+    #: defining query: {base_table_name: DataFrame} -> DataFrame
+    defining_fn: Callable[[dict[str, DataFrame]], DataFrame]
+    #: base table holding the fact rows, and its PK
+    fact_table: str
+    fact_key: str
+    #: view column that carries the fact PK (the view's merge key)
+    view_key: str
+    #: dim_table -> (fact FK column, dim PK column)
+    dims: dict[str, tuple[str, str]] = field(default_factory=dict)
+    target_lag_seconds: int = 60
+    refresh_mode: str = "incremental"  # 'incremental' | 'full'
+
+
+class DynamicTableManager:
+    def __init__(self, spark: SparkSession, store: ParquetTableStore) -> None:
+        self.spark = spark
+        self.store = store
+        self.registry: dict[str, DynamicTable] = {}
+
+    def create(self, table: DynamicTable, initialize: bool = True) -> None:
+        self.registry[table.name] = table
+        if initialize:
+            self.full_refresh(table.name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.store.read(self.spark, name)
+
+    # -- refresh strategies --------------------------------------------------
+
+    def _base_tables(self, dt: DynamicTable) -> dict[str, DataFrame]:
+        names = [dt.fact_table, *dt.dims.keys()]
+        return {n: self.store.read(self.spark, n) for n in names}
+
+    def full_refresh(self, name: str) -> None:
+        dt = self.registry[name]
+        self.store.overwrite(name, dt.defining_fn(self._base_tables(dt)))
+
+    def incremental_refresh(self, name: str, deltas: dict[str, DataFrame]) -> None:
+        """Fold base-table deltas (post-apply) into the materialization.
+
+        ``deltas``: per-table change batches in envelope-flattened form
+        (op, lsn, row columns), as produced by the CDC pipeline.
+        """
+        dt = self.registry[name]
+        if not self.store.exists(name):
+            self.full_refresh(name)
+            return
+        relevant = {t: d for t, d in deltas.items() if t == dt.fact_table or t in dt.dims}
+        if not relevant:
+            return
+
+        tables = self._base_tables(dt)
+        fact = tables[dt.fact_table]
+
+        # 1. affected fact keys
+        affected: DataFrame | None = None
+        fact_delta = relevant.get(dt.fact_table)
+        if fact_delta is not None:
+            affected = fact_delta.select(F.col(dt.fact_key))
+        for dim_table, (fact_fk, dim_pk) in dt.dims.items():
+            dim_delta = relevant.get(dim_table)
+            if dim_delta is None:
+                continue
+            changed_keys = dim_delta.select(F.col(dim_pk)).distinct()
+            hit = (
+                fact.join(
+                    F.broadcast(changed_keys),
+                    fact[fact_fk] == changed_keys[dim_pk],
+                    "left_semi",
+                )
+                .select(F.col(dt.fact_key))
+            )
+            affected = hit if affected is None else affected.unionByName(hit)
+        if affected is None:
+            return
+        affected = affected.distinct().cache()
+        try:
+            # 2. recompute the defining query over affected fact rows only
+            restricted = dict(tables)
+            restricted[dt.fact_table] = fact.join(
+                F.broadcast(affected), on=dt.fact_key, how="left_semi"
+            )
+            recomputed = dt.defining_fn(restricted)
+
+            # 3. MERGE into the materialization by view key
+            view = self.store.read(self.spark, name)
+            kept = view.join(
+                F.broadcast(affected.withColumnRenamed(dt.fact_key, dt.view_key)),
+                on=dt.view_key,
+                how="left_anti",
+            )
+            self.store.overwrite(name, kept.unionByName(recomputed))
+        finally:
+            affected.unpersist()
+
+    # -- CDC pipeline integration -------------------------------------------
+
+    def attach(self, pipeline) -> None:
+        """Refresh every registered view after each applied CDC batch
+        (the target-lag scheduler degenerates to 'refresh per
+        micro-batch'; the stream trigger supplies the cadence, C5)."""
+
+        def hook(batch_id: int, deltas: dict[str, DataFrame]) -> None:
+            for name, dt in self.registry.items():
+                if dt.refresh_mode == "incremental":
+                    self.incremental_refresh(name, deltas)
+                else:
+                    self.full_refresh(name)
+
+        pipeline.on_batch_applied(hook)
+
+
+def dedup_delta(delta: DataFrame, key: str) -> DataFrame:
+    """Latest state per key of a raw change batch (helper for callers
+    that need clean per-key deltas)."""
+    return latest_per_key(delta, key)

@@ -1,0 +1,78 @@
+"""Replication monitoring views (SURVEY.md S10, C5 lag metric).
+
+The reference polls ``REPLICATION_STATE`` / ``CONNECTOR_STATS``
+(``notebooks/0_start_here.ipynb:93-130``).  Spark's equivalents are
+``StreamingQuery.status``/``lastProgress`` plus our store's version
+bookkeeping; both are surfaced here as queryable DataFrames so the
+monitoring workflow stays SQL-shaped.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .store import ParquetTableStore
+
+
+def replication_state(
+    spark: SparkSession, store: ParquetTableStore, tables: list[str]
+) -> DataFrame:
+    """Per-table snapshot/replication status, mirroring the reference's
+    SCHEMA_INTROSPECTION/SNAPSHOT_REPLICATION 'DONE' semantics."""
+    rows = []
+    for t in tables:
+        v = store.current_version(t)
+        rows.append(
+            (
+                t,
+                "DONE" if v is not None else "PENDING",
+                "DONE" if v is not None else "PENDING",
+                v if v is not None else -1,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, schema_introspection_status string, "
+        "snapshot_replication_status string, committed_version int",
+    )
+
+
+def connector_stats(spark: SparkSession, query: StreamingQuery | None) -> DataFrame:
+    """Stream health as a one-row DataFrame from ``lastProgress``."""
+    if query is None or query.lastProgress is None:
+        return spark.createDataFrame(
+            [("n/a", 0.0, 0.0, 0, None)],
+            "batch_id string, input_rows_per_second double, "
+            "processed_rows_per_second double, num_input_rows long, ts timestamp",
+        )
+    p = query.lastProgress
+    return spark.createDataFrame(
+        [
+            (
+                str(p.get("batchId")),
+                float(p.get("inputRowsPerSecond") or 0.0),
+                float(p.get("processedRowsPerSecond") or 0.0),
+                int(p.get("numInputRows") or 0),
+                dt.datetime.fromisoformat(p["timestamp"].replace("Z", "+00:00"))
+                if p.get("timestamp")
+                else None,
+            )
+        ],
+        "batch_id string, input_rows_per_second double, "
+        "processed_rows_per_second double, num_input_rows long, ts timestamp",
+    )
+
+
+def freshness_lag_seconds(query: StreamingQuery | None) -> float | None:
+    """Achieved end-to-end lag proxy: time since last batch completed.
+    Compare against DynamicTable.target_lag_seconds for the SLO check."""
+    if query is None or query.lastProgress is None:
+        return None
+    ts = query.lastProgress.get("timestamp")
+    if not ts:
+        return None
+    last = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    return (dt.datetime.now(dt.timezone.utc) - last).total_seconds()
