@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``topk_cosine``: brute-force exact top-k against a query vector --
+  the baseline and oracle.  One scan, per-row dot product in codegen'd
+  higher-order functions, TakeOrdered top-k; distributes trivially.
+- ``topk_cosine_ivf``: IVF-style scale path -- k-means-ish coarse
+  centroids (seeded sample), probe the closest ``nprobe`` cells, exact
+  re-rank inside.  At 100 TB the full-scan baseline reads everything;
+  IVF reads ~nprobe/ncells of it, with recall measured against the
+  brute-force oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_to_query(emb: DataFrame, query_vec: list[float], vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Cosine similarity of every row to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col(vec_col))
+    return emb.select(
+        F.col(id_col),
+        (_dot(v, q) / (_norm(v) * _norm(q))).alias("cosine"),
+    )
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id.  orderBy +
+    limit compiles to TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows, no global sort)."""
+    return (
+        cosine_to_query(emb, query_vec, vec_col, id_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _kmeans_centroids(
+    emb: DataFrame, vec_col: str, n_cells: int, seed: int, iters: int = 8,
+    sample_cap: int = 4096,
+) -> list[list[float]]:
+    """Seeded Lloyd's k-means on a bounded sample (the IVF coarse
+    quantizer).  kmeans++-style spread init from the sample."""
+    import numpy as np
+
+    rows = emb.select(vec_col).limit(sample_cap).collect()
+    X = np.array([[float(x) for x in r[0]] for r in rows])
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(X))
+    # k-means++ init
+    centers = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d2 = np.min([((X - c) ** 2).sum(axis=1) for c in centers], axis=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(X[rng.choice(len(X), p=probs)])
+    C = np.array(centers)
+    for _ in range(iters):
+        assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        for j in range(k):
+            if (assign == j).any():
+                C[j] = X[assign == j].mean(axis=0)
+    return [list(map(float, c)) for c in C]
+
+
+def topk_cosine_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: assign rows to their nearest of ``n_cells``
+    sampled centroids (one-time, cacheable), search only the
+    ``n_probe`` cells nearest the query.
+
+    The cell assignment is the expensive part and in a real deployment
+    is precomputed and stored partitioned-by-cell, so a query touches
+    n_probe partitions only -- classic IVF-Flat layout mapped onto
+    parquet partitioning.  The coarse quantizer is a seeded mini
+    k-means over a bounded driver-side sample (<=4096 rows) -- at 100 TB
+    that sample is still constant-size, and assignment stays fully
+    distributed.
+    """
+    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    v = _as_double(F.col(vec_col))
+
+    def cell_of(vec_expr):
+        # argmin over centroid distances, unrolled as a when-chain
+        dists = []
+        for ci, c in enumerate(centroids):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(vec_expr, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append((ci, d))
+        best = F.least(*[d for _, d in dists])
+        expr = F.lit(-1)
+        for ci, d in reversed(dists):
+            expr = F.when(d == best, F.lit(ci)).otherwise(expr)
+        return expr
+
+    import math
+
+    qv = [float(x) for x in query_vec]
+    probe_cells = sorted(
+        range(len(centroids)),
+        key=lambda ci: math.dist([float(x) for x in centroids[ci]], qv),
+    )[:n_probe]
+
+    assigned = emb.withColumn("__cell", cell_of(v))
+    pruned = assigned.filter(F.col("__cell").isin(probe_cells))
+    return topk_cosine(pruned.drop("__cell"), qv, k, vec_col, id_col)

@@ -1,0 +1,107 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All hot-path expressions are JVM-side built-ins (split/size/filter/
+transform/md5) -- no Python UDFs -- so they stay inside WholeStageCodegen
+and scale linearly with a 100 TB corpus.  Tokenization is simple
+whitespace split; every operator works per-row with no shuffle except
+the final aggregation a caller might add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+#: marker words per language for the n-gram/stopword heuristic language
+#: id.  Deterministic and SQL-expressible so the DuckDB oracle can run
+#: the identical decision procedure.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de5", "le5", "shi4", "zai4"),  # pinyin-ish placeholders
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (double spaces etc.)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document size/shape statistics: char count, token count,
+    distinct-token count, type-token ratio, stopword ratio."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)) / n_tokens).alias("type_token_ratio"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language
+    over the token set; highest count wins (ties broken by fixed
+    language order).  A real deployment swaps the marker table for
+    per-language character n-gram frequencies; the *dataflow* --
+    per-row scoring, argmax over a small fixed set -- is identical.
+    """
+    toks = tokens(F.col(text_col))
+
+    def marker_pred(markers):
+        # NB: must close over markers -- a defaulted lambda param would
+        # be bound to a Column by PySpark's higher-order-function shim
+        return lambda t: t.isin(*markers)
+
+    scores = [
+        F.size(F.filter(toks, marker_pred(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select(F.col(id_col), *scores)
+    langs = list(LANG_MARKERS.keys())
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    # first language (in declaration order) achieving the max wins
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        F.col(id_col),
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation x lexical
+    diversity x stopword-presence signal -- the standard cheap pre-filter
+    shape for LLM training corpora."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    length_component = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_component = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    score = length_component * 0.4 + uniq_ratio * 0.4 + stop_component * 0.2
+    return docs.select(F.col(id_col), score.alias("quality"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprints:
+
+    - ``content_fp``: md5 of the sorted distinct token set (bag-of-words
+      identity -- robust to word order);
+    - ``prefix_fp``: md5 of the first 64 chars (cheap clustering key).
+    """
+    toks = tokens(F.col(text_col))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.encode(bag, "UTF-8")).alias("content_fp"),
+        F.md5(F.encode(F.substring(F.col(text_col), 1, 64), "UTF-8")).alias("prefix_fp"),
+    )

@@ -431,6 +431,34 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# S6: SQL-text entry point -- the same engine surface the Snowpark
+# dashboard uses (session.sql over catalog views).
+# ---------------------------------------------------------------------------
+
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS mktsegment,
+               count(*) AS n_orders,
+               sum(o.o_totalprice) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+SQL_SQL_ENTRY = """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+       sum(o.o_totalprice) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # The catalog.
 # ---------------------------------------------------------------------------
 
@@ -454,4 +482,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "band_zero_fill": (q_band_zero_fill, SQL_BAND_ZERO_FILL),
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
+    "sql_entry": (q_sql_entry, SQL_SQL_ENTRY),
 }
+
+
+def _register_extensions() -> None:
+    from .catalog_ext import EXT_CATALOG
+
+    CATALOG.update(EXT_CATALOG)
+
+
+_register_extensions()

@@ -1,0 +1,327 @@
+"""Extension-operator catalog: the LLM-training-data-pipeline surface
+(dedup / similarity / text analysis / multimodal) as (Spark builder,
+DuckDB oracle) pairs over the driver's ``documents`` / ``embeddings``
+tables.
+
+Oracle-strength notes:
+- minhash/ngram dedup ARE under the strong hash-match gate -- the
+  salted-md5 lexicographic-min design (operators/dedup.py) is
+  reproducible in ANSI-ish SQL.
+- simhash (bit mixing in a pandas UDF), IVF/LSH approximate search
+  (sampled centroids / random hyperplanes), and multimodal feature
+  extraction (binary payloads) are genuinely non-SQL-expressible;
+  they ship as rows-only entries and their correctness is pinned by
+  pytest against exact baselines instead (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, similarity, text
+from ..operators.simhash import simhash_dup_groups
+from ..sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocked on `source`: the corpus has a ~31-word vocabulary, so the
+    # unblocked word-set similarity graph is dense (millions of j>=0.5
+    # pairs at sf0.1) -- blocking is how a real pipeline bounds LSH
+    # bucket sizes on such data.
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9, block_col="source"
+    )
+
+
+SQL_MINHASH_NEAR_DUP = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> ''
+),
+sig AS (
+  SELECT t.doc_id, d.source,
+         min(md5('1|' || token)) AS h1, min(md5('2|' || token)) AS h2,
+         min(md5('3|' || token)) AS h3, min(md5('4|' || token)) AS h4,
+         min(md5('5|' || token)) AS h5, min(md5('6|' || token)) AS h6
+  FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY t.doc_id, d.source
+),
+bands AS (
+  SELECT doc_id, md5(source || '|' || h1 || h2) AS b FROM sig
+  UNION ALL SELECT doc_id, md5(source || '|' || h3 || h4) FROM sig
+  UNION ALL SELECT doc_id, md5(source || '|' || h5 || h6) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.9
+"""
+
+
+def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=2, threshold=0.6)
+
+
+# identical skeleton to minhash, but tokens are word bigram shingles
+SQL_NGRAM_JACCARD_DUP = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, s AS token
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> array_to_string(list_slice(toks, i, i + 1), '_'))) AS s
+        FROM base) u
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('1|' || token)) AS h1, min(md5('2|' || token)) AS h2,
+         min(md5('3|' || token)) AS h3, min(md5('4|' || token)) AS h4,
+         min(md5('5|' || token)) AS h5, min(md5('6|' || token)) AS h6
+  FROM tok GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5(h1 || h2) AS b FROM sig
+  UNION ALL SELECT doc_id, md5(h3 || h4) FROM sig
+  UNION ALL SELECT doc_id, md5(h5 || h6) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.6
+"""
+
+
+def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: 64-bit mixing isn't SQL-expressible; exactness pinned
+    # against dedup_exact in tests (identical texts share a simhash).
+    return simhash_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+         / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+        / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_SIMILARITY_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x * x))) AS qn FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * q.qn) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate (IVF probe subset); recall vs exact top-k
+    # is asserted in tests/test_extensions.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_ivf(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_STATS = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio,
+       len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is')))
+         * 1.0 / len(toks) AS stopword_ratio
+FROM t
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANGUAGE_ID = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS score_en,
+         len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS score_de,
+         len(list_filter(toks, x -> x IN ('el','la','los','y'))) AS score_es,
+         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS score_fr,
+         len(list_filter(toks, x -> x IN ('de5','le5','shi4','zai4'))) AS score_zh
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM s
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       least(n_chars / 500.0, 1.0) * 0.4
+       + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.4
+       + least(len(list_filter(toks,
+             x -> x IN ('the','a','an','and','of','to','in','is'))) / 5.0, 1.0) * 0.2
+         AS quality
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS content_fp,
+       md5(substr(text, 1, 64)) AS prefix_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary column plumbing; deterministic stub decode)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: binary payload feature extraction (stub kernel) has no
+    # SQL equivalent; byte-exact behavior is pinned in tests.
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), F.lit(None).cast("int"),
+            F.lit("codec"), F.lit("raw"),
+        ).alias("meta"),
+    )
+    return extract_features(media)
+
+
+EXT_CATALOG: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
+    "ngram_jaccard_dup": (q_ngram_jaccard_dup, SQL_NGRAM_JACCARD_DUP),
+    "simhash_dup": (q_simhash_dup, None),
+    "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "similarity_topk_ivf": (q_similarity_topk_ivf, None),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "language_id": (q_language_id, SQL_LANGUAGE_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, None),
+}

@@ -1,0 +1,124 @@
+"""Correctness pins for the non-SQL-expressible extension operators:
+planted-duplicate fixtures give known ground truth that the rows-only
+driver check can't provide."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+    dedup,
+    similarity,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    resize_stub,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.simhash import (
+    _simhash_one,
+    simhash_dup_groups,
+    simhash_fingerprints,
+)
+
+WORDS = "spark table row scan filter join agg window stream batch merge sort key value".split()
+
+
+def _docs_with_near_dups(spark, n=40, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, " ".join(rng.choice(WORDS) for _ in range(60))))
+    # plant: 100 an exact dup of 0; 101 a near dup of 1 (one word changed)
+    rows.append((100, rows[0][1]))
+    toks = rows[1][1].split()
+    toks[5] = "changed"
+    rows.append((101, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_dups(spark):
+    docs = _docs_with_near_dups(spark)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 100) in pairs  # exact dup -> jaccard 1.0
+    assert (1, 101) in pairs  # near dup -> high token-set jaccard
+
+
+def test_simhash_properties(spark):
+    docs = _docs_with_near_dups(spark)
+    groups = simhash_dup_groups(docs).collect()
+    dup_groups = {r["keep_doc_id"]: r["dup_count"] for r in groups}
+    assert dup_groups.get(0) == 2  # doc 0 and its exact dup share a fingerprint
+    # near-dup (1,101) must be CLOSE in hamming distance, not equal
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ham = bin((fps[1] ^ fps[101]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+    # udf agrees with the reference python implementation
+    row = docs.filter(F.col("doc_id") == 5).first()
+    assert fps[5] == _simhash_one(row["text"])
+
+
+def _clustered_embeddings(spark, n_clusters=5, per_cluster=20, dim=16, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in center], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    emb = _clustered_embeddings(spark)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.topk_cosine(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.topk_cosine_ivf(emb, q, k=10, n_cells=8, n_probe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"IVF recall {recall} on tightly clustered data"
+
+
+def test_embedding_lsh_vs_bruteforce(spark):
+    emb = _clustered_embeddings(spark)
+    brute = {(r["id_a"], r["id_b"]) for r in dedup.embedding_cosine_pairs_bruteforce(emb, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_cosine_pairs_lsh(emb, threshold=0.99, num_planes=8).collect()}
+    assert lsh <= brute  # no false positives (exact verify inside buckets)
+    assert len(brute) > 0
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.5, f"LSH recall {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04", {"width": 2, "height": 2, "duration_ms": None, "codec": "raw"}),
+        (2, "video", b"\x09" * 10, {"width": 4, "height": 4, "duration_ms": 3500, "codec": "raw"}),
+        (3, "audio", None, {"width": None, "height": None, "duration_ms": 800, "codec": "pcm"}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1]["n_bytes"] == 4 and len(feats[1]["feature"]) == 4
+    assert feats[3]["n_bytes"] == 0 and feats[3]["feature"] == [0.0] * 4
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert len(frames) == 3  # 3500ms video -> frames at 0,1000,2000
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000}
+
+    resized = resize_stub(media, 8, 8).collect()
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 8 for r in resized)
+    assert {r["media_id"] for r in resized} == {1, 2, 3}
+
+
+def test_exact_dedup_counts(spark):
+    docs = _docs_with_near_dups(spark)
+    res = {r["keep_doc_id"]: r["dup_count"] for r in dedup.dedup_exact(docs).collect()}
+    assert res[0] == 2  # doc 0 + planted exact dup
+    assert res[1] == 1  # near-dup is NOT an exact dup
