@@ -27,6 +27,90 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 )
 
 
+def _bench_cdc(spark, batches: int = 5, rows_per_batch: int = 400) -> float:
+    """End-to-end CDC throughput: bootstrap the reference-shaped tables,
+    then apply `batches` change batches with incremental view refresh
+    after each.  Returns elapsed seconds; the implied sustained rate is
+    batches*rows_per_batch/elapsed (reference SLO: 200 rows/min at
+    <=60 s lag -- BASELINE.md)."""
+    import json as _json
+    import tempfile
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
+        customer_purchase_summary,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+        fixtures,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+        CUSTOMERS_SCHEMA,
+        MERCHANTS_SCHEMA,
+        PRODUCTS_SCHEMA,
+        TRANSACTIONS_SCHEMA,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+        CDCPipeline,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        DynamicTable,
+        DynamicTableManager,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    customers = fixtures.make_customers(300, seed=42)
+    merchants = fixtures.make_merchants(seed=42)
+    products = fixtures.make_products(seed=42)
+    transactions = fixtures.make_transactions(customers, products, merchants, n=2000, seed=42)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = ParquetTableStore(f"{tmp}/store")
+        p = CDCPipeline(spark, store)
+        p.bootstrap(
+            {
+                "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+                "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+                "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+                "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
+            }
+        )
+        mgr = DynamicTableManager(spark, store)
+        mgr.create(
+            DynamicTable(
+                "customer_purchase_summary",
+                lambda t: customer_purchase_summary(
+                    t["transactions"], t["customers"], t["products"], t["merchants"]
+                ),
+                "transactions",
+                "transaction_id",
+                "transaction_id",
+                {
+                    "customers": ("customer_id", "customer_id"),
+                    "products": ("product_id", "product_id"),
+                    "merchants": ("merchant_id", "merchant_id"),
+                },
+            )
+        )
+        mgr.attach(p)
+        log = fixtures.change_log(
+            customers, products, merchants, batches=batches, rows_per_batch=rows_per_batch
+        )
+        envelopes = []
+        for batch in log:
+            rows = []
+            for table, changes in batch.items():
+                for op, lsn, row in changes:
+                    rows.append((op, lsn, None, table, _json.dumps(row, default=str)))
+            envelopes.append(spark.createDataFrame(rows, FEED_SCHEMA))
+
+        t0 = time.perf_counter()
+        for i, env in enumerate(envelopes):
+            p.apply_envelope_batch(env, batch_id=i)
+        return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -40,6 +124,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["cdc_pipeline"] = round(_bench_cdc(spark), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -12,6 +12,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -61,8 +64,6 @@ def _kmeans_centroids(
 ) -> list[list[float]]:
     """Seeded Lloyd's k-means on a bounded sample (the IVF coarse
     quantizer).  kmeans++-style spread init from the sample."""
-    import numpy as np
-
     rows = emb.select(vec_col).limit(sample_cap).collect()
     X = np.array([[float(x) for x in r[0]] for r in rows])
     rng = np.random.default_rng(seed)
@@ -104,27 +105,23 @@ def topk_cosine_ivf(
     that sample is still constant-size, and assignment stays fully
     distributed.
     """
-    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
-    v = _as_double(F.col(vec_col))
-
-    def cell_of(vec_expr):
-        # argmin over centroid distances, unrolled as a when-chain
-        dists = []
-        for ci, c in enumerate(centroids):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(vec_expr, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append((ci, d))
-        best = F.least(*[d for _, d in dists])
-        expr = F.lit(-1)
-        for ci, d in reversed(dists):
-            expr = F.when(d == best, F.lit(ci)).otherwise(expr)
-        return expr
-
     import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    C = np.array(centroids, dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        # vectorized argmin over the broadcast centroid matrix
+        cm = bc.value
+        X = np.array([[float(x) for x in v] for v in vecs], dtype=np.float64)
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = ((X[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     qv = [float(x) for x in query_vec]
     probe_cells = sorted(
@@ -132,6 +129,6 @@ def topk_cosine_ivf(
         key=lambda ci: math.dist([float(x) for x in centroids[ci]], qv),
     )[:n_probe]
 
-    assigned = emb.withColumn("__cell", cell_of(v))
+    assigned = emb.withColumn("__cell", cell_of(F.col(vec_col)))
     pruned = assigned.filter(F.col("__cell").isin(probe_cells))
     return topk_cosine(pruned.drop("__cell"), qv, k, vec_col, id_col)

@@ -342,8 +342,12 @@ def q_band_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ultra"))
     )
     counts = c.select(band.alias("band")).groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
-    bands = spark.createDataFrame(
-        [("negative",), ("normal",), ("high",), ("ultra",)], ["band"]
+    # literal dim built JVM-side (explode of an array literal): avoids a
+    # Python->JVM createDataFrame round trip in the hot path
+    bands = spark.range(1).select(
+        F.explode(F.array(*[F.lit(b) for b in ("negative", "normal", "high", "ultra")])).alias(
+            "band"
+        )
     )
     return bands.join(counts, "band", "left").select(
         "band", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_customers")

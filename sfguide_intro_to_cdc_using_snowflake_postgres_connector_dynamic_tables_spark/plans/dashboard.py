@@ -45,8 +45,10 @@ def spend_band_counts(spending: DataFrame) -> DataFrame:
     is a broadcast.
     """
     spark = spending.sparkSession
-    bands = spark.createDataFrame(
-        [("Low Spender",), ("Medium Spender",), ("High Spender",)], ["spend_status"]
+    bands = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("Low Spender"), F.lit("Medium Spender"), F.lit("High Spender"))
+        ).alias("spend_status")
     )
     counts = spending.groupBy("spend_status").count()
     return (

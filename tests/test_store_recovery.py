@@ -1,0 +1,64 @@
+"""Exactly-once materialization properties of the versioned store
+(SURVEY.md section 4.2) and engine-level identifier semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+
+def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path):
+    """A refresh that wrote its snapshot dir but died before the version
+    pointer swap must be invisible to readers, and a re-run must land
+    cleanly over the orphan directory."""
+    store = ParquetTableStore(str(tmp_path / "s"))
+    df1 = spark.range(10).withColumn("v", F.lit("one"))
+    store.overwrite("t", df1)
+    assert store.current_version("t") == 1
+
+    # simulate crash: v2 data fully written, commit never happened
+    orphan = str(tmp_path / "s" / "t" / "v2")
+    spark.range(99).withColumn("v", F.lit("garbage")).write.parquet(orphan)
+    assert store.current_version("t") == 1  # reader still sees v1
+    assert store.read(spark, "t").count() == 10
+
+    # retry of the refresh overwrites the orphan and commits atomically
+    df2 = spark.range(20).withColumn("v", F.lit("two"))
+    store.overwrite("t", df2)
+    assert store.current_version("t") == 2
+    assert store.read(spark, "t").count() == 20
+
+
+def test_old_versions_garbage_collected(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"), keep_versions=2)
+    for i in range(4):
+        store.overwrite("t", spark.range(i + 1))
+    tdir = tmp_path / "s" / "t"
+    versions = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
+    assert versions == ["v3", "v4"]  # older snapshots GC'd
+    assert store.read(spark, "t").count() == 4
+
+
+def test_case_insensitive_resolution(spark):
+    """SURVEY.md section 1.2: the Snowpark layer reads UPPERCASE names
+    against lowercase source columns; Spark's default case-insensitive
+    resolution must hold through our plans."""
+    df = spark.createDataFrame([(1, "x")], ["customer_id", "name"])
+    assert df.select(F.col("CUSTOMER_ID")).columns == ["CUSTOMER_ID"]
+    assert df.filter(F.col("Customer_Id") == 1).count() == 1
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.dashboard import (
+        calculate_customer_spending,
+    )
+
+    summary = spark.createDataFrame(
+        [("t1", 1, "Purchase", 100.0), ("t2", 1, "Refund", 50.0)],
+        ["TRANSACTION_ID", "CUSTOMER_ID", "TRANSACTION_CATEGORY", "TOTAL_PRICE"],
+    )
+    res = calculate_customer_spending(summary).collect()
+    assert len(res) == 1 and res[0]["total_price"] == 100.0
