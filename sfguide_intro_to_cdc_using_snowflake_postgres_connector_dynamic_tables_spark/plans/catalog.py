@@ -435,6 +435,32 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured access: JSON property extraction from the events
+# payload (the connector config surface is JSON; at pipeline scale the
+# props column is the classic semi-structured tail).
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.when(F.get_json_object("props", "$.k").cast("int") >= 50, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("k_band"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(props ->> '$.k' AS INTEGER) AS k_value,
+       CASE WHEN CAST(props ->> '$.k' AS INTEGER) >= 50 THEN 'high'
+            ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # S6: SQL-text entry point -- the same engine surface the Snowpark
 # dashboard uses (session.sql over catalog views).
 # ---------------------------------------------------------------------------
@@ -487,6 +513,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "sql_entry": (q_sql_entry, SQL_SQL_ENTRY),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
 }
 
 

@@ -148,6 +148,7 @@ class CDCPipeline:
         by tests); pass ``{"processingTime": "60 seconds"}`` for the
         reference's 1-minute freshness SLO (C5).
         """
+        os.makedirs(feed_dir, exist_ok=True)  # tailing an empty feed is valid
         stream = (
             self.spark.readStream.schema(FEED_SCHEMA)
             .json(feed_dir)
