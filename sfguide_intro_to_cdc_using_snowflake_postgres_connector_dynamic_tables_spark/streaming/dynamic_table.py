@@ -166,3 +166,55 @@ def dedup_delta(delta: DataFrame, key: str) -> DataFrame:
     """Latest state per key of a raw change batch (helper for callers
     that need clean per-key deltas)."""
     return latest_per_key(delta, key)
+
+
+def dynamic_table_from_sql(
+    spark: SparkSession,
+    store: ParquetTableStore,
+    name: str,
+    sql: str,
+    fact_table: str,
+    fact_key: str,
+    view_key: str,
+    dims: dict[str, tuple[str, str]],
+    target_lag: str = "1 minute",
+    refresh_mode: str = "incremental",
+) -> DynamicTable:
+    """SQL-text Dynamic Table definition -- the reference's
+    ``CREATE DYNAMIC TABLE ... TARGET_LAG=... REFRESH_MODE=... AS
+    SELECT ...`` surface (``notebooks/0_start_here.ipynb:215-245``)
+    mapped onto the registry.
+
+    The defining query is arbitrary SQL over the store's base tables,
+    registered as temp views at refresh time; incremental maintenance
+    machinery (affected-keys + restricted recompute) applies unchanged
+    because restriction happens on the *input* fact view, ahead of
+    whatever plan the SQL builds.
+    """
+    lag_seconds = _parse_lag(target_lag)
+
+    def defining_fn(tables: dict[str, DataFrame]) -> DataFrame:
+        for t, df in tables.items():
+            df.createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return DynamicTable(
+        name=name,
+        defining_fn=defining_fn,
+        fact_table=fact_table,
+        fact_key=fact_key,
+        view_key=view_key,
+        dims=dims,
+        target_lag_seconds=lag_seconds,
+        refresh_mode=refresh_mode,
+    )
+
+
+def _parse_lag(text: str) -> int:
+    """'1 minute' / '30 seconds' / '2 hours' -> seconds."""
+    qty, unit = text.strip().split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}
+    try:
+        return int(qty) * mult[unit.lower()]
+    except KeyError as exc:
+        raise ValueError(f"unsupported TARGET_LAG unit in {text!r}") from exc

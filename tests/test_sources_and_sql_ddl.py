@@ -1,0 +1,154 @@
+"""S1 CSV load, O2 seeded sampling, and the SQL-text Dynamic Table
+definition surface."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+    fixtures,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+    CUSTOMERS_SCHEMA,
+    MERCHANTS_SCHEMA,
+    PRODUCTS_SCHEMA,
+    TRANSACTIONS_SCHEMA,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.csv_source import (
+    load_reference_table,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+    DynamicTableManager,
+    _parse_lag,
+    dynamic_table_from_sql,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+
+def test_csv_load_with_uppercase_headers(spark, tmp_path):
+    """The reference CSVs have UPPERCASE headers against lowercase DDL
+    names; the schema'd read must resolve them (SURVEY.md section 1.2)."""
+    rows = fixtures.make_customers(10, seed=5)
+    path = str(tmp_path / "customers.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CUSTOMER_ID", "FIRSTNAME", "LASTNAME", "AGE", "EMAIL", "PHONE_NUMBER"])
+        w.writerows(rows)
+    df = load_reference_table(spark, path, "customers")
+    # CSV reads force nullable=True; names + types must match the DDL
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in CUSTOMERS_SCHEMA.fields
+    ]
+    assert df.count() == 12  # 10 + 2 out-of-band fixtures
+    assert df.filter(F.col("age") == 17).count() == 1
+
+
+def test_seeded_random_sample(spark):
+    """O2: ORDER BY RANDOM() LIMIT 1 equivalent -- seeded, so
+    deterministic per seed."""
+    df = spark.range(100)
+    pick1 = df.orderBy(F.rand(seed=7)).limit(1).first()[0]
+    pick2 = df.orderBy(F.rand(seed=7)).limit(1).first()[0]
+    assert pick1 == pick2
+
+
+def test_parse_lag():
+    assert _parse_lag("1 minute") == 60
+    assert _parse_lag("30 seconds") == 30
+    assert _parse_lag("2 hours") == 7200
+    with pytest.raises(ValueError):
+        _parse_lag("3 fortnights")
+
+
+def test_sql_defined_dynamic_table_incremental(spark, tmp_path):
+    """CREATE DYNAMIC TABLE ... AS SELECT parity: a SQL-text defining
+    query, registered + incrementally maintained, equals full recompute
+    after a change batch."""
+    customers = fixtures.make_customers(30, seed=9)
+    merchants = fixtures.make_merchants(seed=9)
+    products = fixtures.make_products(seed=9)
+    tx = fixtures.make_transactions(customers, products, merchants, n=150, orphan_frac=0.3, seed=9)
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        CDCPipeline,
+    )
+
+    p = CDCPipeline(spark, store)
+    p.bootstrap(
+        {
+            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+            "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+            "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+            "transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA),
+        }
+    )
+
+    # the notebook's CREATE DYNAMIC TABLE statement, almost verbatim
+    sql = """
+        SELECT t.transaction_id, t.customer_id, c.age AS customer_age,
+               t.product_id, p.product_name, p.product_category,
+               t.merchant_id, m.merchant_name, m.merchant_category,
+               t.transaction_date, t.transaction_time, t.quantity,
+               t.quantity * p.price AS total_price,
+               t.transaction_card, t.transaction_category
+        FROM transactions t
+        JOIN customers c ON t.customer_id = c.customer_id
+        JOIN products p ON t.product_id = p.product_id
+        JOIN merchants m ON t.merchant_id = m.merchant_id
+                        AND m.merchant_category = p.product_category
+    """
+    dt = dynamic_table_from_sql(
+        spark,
+        store,
+        "customer_purchase_summary_sql",
+        sql,
+        fact_table="transactions",
+        fact_key="transaction_id",
+        view_key="transaction_id",
+        dims={
+            "customers": ("customer_id", "customer_id"),
+            "products": ("product_id", "product_id"),
+            "merchants": ("merchant_id", "merchant_id"),
+        },
+        target_lag="1 minute",
+    )
+    assert dt.target_lag_seconds == 60
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(dt)
+    mgr.attach(p)
+
+    import json
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+    )
+
+    batch = fixtures.change_log(customers, products, merchants, batches=3, rows_per_batch=25)
+    for i, b in enumerate(batch):
+        rows = [
+            (op, lsn, None, table, json.dumps(r, default=str))
+            for table, changes in b.items()
+            for op, lsn, r in changes
+        ]
+        p.apply_envelope_batch(spark.createDataFrame(rows, FEED_SCHEMA), batch_id=i)
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(round(v, 2)) if isinstance(v, float) else str(v) for v in r)
+            for r in df.select(*cols).collect()
+        )
+
+    incremental = canon(mgr.read("customer_purchase_summary_sql"))
+    tables = {n: store.read(spark, n) for n in ("transactions", "customers", "products", "merchants")}
+    for n, df in tables.items():
+        df.createOrReplaceTempView(n)
+    assert incremental == canon(spark.sql(sql))
