@@ -113,7 +113,7 @@ def _bench_cdc(spark, batches: int = 5, rows_per_batch: int = 400) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM + parquet footers so q1 doesn't pay session startup

@@ -1,0 +1,92 @@
+"""Top-level facade: the one object a reference user interacts with.
+
+Maps the quickstart's workflow 1:1 (reference
+``notebooks/0_start_here.ipynb``):
+
+    engine = Engine(spark, "/data/cdc_prod")
+    engine.bootstrap(seed_dfs)                      # snapshot replication
+    engine.create_dynamic_table_sql(                # CREATE DYNAMIC TABLE
+        "customer_purchase_summary", SQL,
+        fact_table="transactions", fact_key="transaction_id",
+        view_key="transaction_id", dims={...}, target_lag="1 minute")
+    q = engine.start(feed_dir, checkpoint_dir)      # connector tail
+    engine.table("customer_purchase_summary")       # SELECT * FROM view
+    engine.replication_state()                      # monitoring
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .streaming.changefeed import CDCPipeline
+from .streaming.dynamic_table import (
+    DynamicTable,
+    DynamicTableManager,
+    dynamic_table_from_sql,
+)
+from .streaming.monitoring import connector_stats, freshness_lag_seconds, replication_state
+from .streaming.store import ParquetTableStore
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, store_root: str) -> None:
+        self.spark = spark
+        self.store = ParquetTableStore(store_root)
+        self.pipeline = CDCPipeline(spark, self.store)
+        self.manager = DynamicTableManager(spark, self.store)
+        self.manager.attach(self.pipeline)
+        self._query = None
+
+    # -- ingestion -----------------------------------------------------------
+
+    def bootstrap(self, seed: dict[str, DataFrame]) -> None:
+        self.pipeline.bootstrap(seed)
+
+    def start(self, feed_dir: str, checkpoint_dir: str, trigger: dict | None = None):
+        self._query = self.pipeline.start_stream(feed_dir, checkpoint_dir, trigger)
+        return self._query
+
+    def apply_batch(self, envelope: DataFrame) -> None:
+        """Synchronous batch apply (tests / backfills)."""
+        self.pipeline.apply_envelope_batch(envelope)
+
+    # -- dynamic tables ------------------------------------------------------
+
+    def create_dynamic_table(self, table: DynamicTable) -> None:
+        self.manager.create(table)
+
+    def create_dynamic_table_sql(self, name: str, sql: str, **kwargs) -> None:
+        self.manager.create(
+            dynamic_table_from_sql(self.spark, self.store, name, sql, **kwargs)
+        )
+
+    def refresh(self, name: str) -> None:
+        self.manager.full_refresh(name)
+
+    # -- reads ---------------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self.store.read(self.spark, name)
+
+    def sql(self, query: str, tables: list[str] | None = None) -> DataFrame:
+        """SQL over the store's committed tables (S6)."""
+        for t in tables or []:
+            self.table(t).createOrReplaceTempView(t)
+        return self.spark.sql(query)
+
+    # -- monitoring (S10) ----------------------------------------------------
+
+    def replication_state(self) -> DataFrame:
+        import os
+
+        tables = sorted(
+            d for d in os.listdir(self.store.root)
+            if self.store.current_version(d) is not None
+        )
+        return replication_state(self.spark, self.store, tables)
+
+    def connector_stats(self) -> DataFrame:
+        return connector_stats(self.spark, self._query)
+
+    def freshness_lag(self) -> float | None:
+        return freshness_lag_seconds(self._query)
