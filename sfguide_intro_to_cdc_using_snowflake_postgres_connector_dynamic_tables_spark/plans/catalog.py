@@ -414,6 +414,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("TX"), F.col("event_id").cast("string")).alias("txn_id"),
         F.date_format("ts", "HH:mm:ss").alias("hhmmss"),
         F.to_date("ts").alias("event_date"),
+        F.unix_timestamp("ts").alias("epoch_s"),
         F.floor(F.col("value") * 7 + 1).cast("long").alias("qty"),
         F.element_at(cards, ((F.col("event_id") % 4) + 1).cast("int")).alias("card"),
         F.when(F.col("value") < 10, F.lit("Purchase")).otherwise(F.lit("Refund")).alias("category"),
@@ -426,6 +427,7 @@ SELECT event_id,
        'TX' || CAST(event_id AS VARCHAR) AS txn_id,
        strftime(ts, '%H:%M:%S') AS hhmmss,
        CAST(ts AS DATE) AS event_date,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
        CAST(floor(value * 7 + 1) AS BIGINT) AS qty,
        (['American Express', 'Visa', 'Mastercard', 'Discover'])[(event_id % 4) + 1] AS card,
        CASE WHEN value < 10 THEN 'Purchase' ELSE 'Refund' END AS category,

@@ -152,6 +152,40 @@ def test_orphans_dropped_from_view(spark, pipeline):
     assert view.count() <= n_live  # J2 conjunct can only drop more
 
 
+def test_dim_only_batch_propagates(spark, pipeline):
+    """A batch touching ONLY a dimension (product re-price) must update
+    every joined view row through the incremental path -- the dim-update
+    retroactivity case the stream-static-join design can't express."""
+    p, store, (customers, merchants, products) = pipeline
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(SUMMARY_VIEW)
+    mgr.attach(p)
+
+    pid, name, cat, price = products[0]
+    new_price = round(price * 2, 2)
+    batch = {
+        "products": [
+            ("U", 7001, {"product_id": pid, "product_name": name, "product_category": cat, "price": new_price})
+        ]
+    }
+    p.apply_envelope_batch(_envelope_df(spark, batch))
+
+    view = mgr.read("customer_purchase_summary")
+    rows = view.filter(F.col("product_id") == pid).collect()
+    assert rows, "fixture should join at least one transaction for product 0"
+    for r in rows:
+        assert abs(r["total_price"] - r["quantity"] * new_price) < 1e-9
+    full = _sorted_rows(
+        customer_purchase_summary(
+            store.read(spark, "transactions"),
+            store.read(spark, "customers"),
+            store.read(spark, "products"),
+            store.read(spark, "merchants"),
+        )
+    )
+    assert _sorted_rows(view) == full
+
+
 def test_streaming_feed_applies(spark, pipeline, tmp_path):
     """File-backed streaming tail: write feed files, drain with
     availableNow, verify the store caught up and the view refreshed."""

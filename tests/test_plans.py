@@ -1,0 +1,64 @@
+"""Physical-plan regression tests (SCALE.md evidence).
+
+A correct result from a bad plan is a latent 100 TB outage; these pin
+the plan shapes we designed for: broadcast joins on the flagship,
+parquet pushdown + pruning, partial aggregation, top-k without global
+sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog import (
+    CATALOG,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_flagship_is_all_broadcast_joins(spark):
+    plan = plan_of(CATALOG["purchase_summary"][0](spark, SF), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # fact side must not be exchanged (only the 4 dim broadcasts)
+    assert plan.count("BroadcastExchange") == 4
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(CATALOG["filter_eq"][0](spark, SF))
+    assert "EqualTo(l_returnflag,R)" in plan  # predicate reached parquet
+    # projection pruned to exactly the 5 needed columns in the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"):
+        assert col in read_schema
+    assert "l_shipdate" not in read_schema and "l_tax" not in read_schema
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = plan_of(CATALOG["pricing_summary"][0](spark, SF), mode="simple")
+    # map-side partial + final hash aggregate around a single shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_top1_uses_takeordered(spark):
+    plan = plan_of(CATALOG["top1_supplier"][0](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global Sort
+
+
+def test_semi_join_is_a_join_not_inlist(spark):
+    plan = plan_of(CATALOG["semi_join"][0](spark, SF), mode="simple")
+    assert "LeftSemi" in plan  # never a driver-materialized IN list
+
+
+def test_latest_per_key_single_shuffle(spark):
+    plan = plan_of(CATALOG["latest_per_key"][0](spark, SF), mode="simple")
+    # one hash-partitioning exchange on the window key, nothing else
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
