@@ -19,6 +19,32 @@ from ..functions.bands import age_group, spend_status
 from ..operators.semi_join import isin_dataframe
 
 
+def dashboard_main(summary: DataFrame) -> dict[str, DataFrame]:
+    """The reference ``main()``'s full data path in one call
+    (``customer_spending_dashboard.py:185-212``), minus UI.
+
+    The reference re-executes ``calculate_customer_spending`` per
+    render and leans on the warehouse result cache; here the loaded
+    summary is cached once and every downstream frame shares the scan
+    (SURVEY.md section 3.3).  Returns the same frames the dashboard
+    renders; callers trigger actions.
+    """
+    summary = summary.cache()
+    spending = calculate_customer_spending(summary)
+    aged = categorize_by_age(summary)
+    return {
+        "summary": summary,
+        "customer_spending": spending,
+        "spend_band_counts": spend_band_counts(spending),
+        "categorized": decorate_with_spend_status(aged, spending),
+        "daily_category_quantity": daily_category_quantity(summary),
+        "card_usage": card_usage_counts(summary),
+        "category_counts": category_counts(summary),
+        "merchant_stats": merchant_stats(summary),
+        "top_merchant": top_merchant(summary),
+    }
+
+
 def calculate_customer_spending(summary: DataFrame) -> DataFrame:
     """Per-customer Purchase spend + band
     (``customer_spending_dashboard.py:16-25``)."""
