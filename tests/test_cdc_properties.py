@@ -8,7 +8,6 @@ implementation must match the model after every batch.
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

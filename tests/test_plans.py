@@ -7,8 +7,6 @@ sort."""
 
 from __future__ import annotations
 
-import pytest
-
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog import (
     CATALOG,
 )
