@@ -81,13 +81,30 @@ def minhash_lsh_pairs(
     (every skewed bucket is split by block), and it turns the band
     self-join into a per-block shuffle.
     """
-    tok = _token_set(docs, text_col, id_col).cache()
+    tok = _token_set(docs, text_col, id_col)
+    blocks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("__block"))
+        if block_col is not None
+        else None
+    )
+    return lsh_pairs_from_tokens(tok, num_hashes, band_size, threshold, blocks)
+
+
+def lsh_pairs_from_tokens(
+    tok: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over a prepared (doc_id, token) set
+    table -- the shared engine behind word-set and shingle-set dedup.
+    ``blocks``: optional (doc_id, __block) blocking-key table."""
+    tok = tok.cache()
     sig = minhash_signatures(tok, num_hashes)
-    if block_col is not None:
-        sig = sig.join(
-            docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("__block")),
-            "doc_id",
-        )
+    if blocks is not None:
+        sig = sig.join(blocks, "doc_id")
+    block_col = None if blocks is None else "__block"
 
     n_bands = num_hashes // band_size
     band_frames = []
@@ -162,9 +179,9 @@ def ngram_jaccard_pairs(
         )
     )
     gram_docs = docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("token")).distinct()
-    # reuse the minhash machinery over the shingle "tokens"
-    fake_docs = gram_docs.groupBy("doc_id").agg(F.concat_ws(" ", F.collect_list("token")).alias("text"))
-    return minhash_lsh_pairs(fake_docs, threshold=threshold)
+    # shingle sets feed the shared LSH engine directly -- no re-serialize/
+    # re-tokenize round trip
+    return lsh_pairs_from_tokens(gram_docs, threshold=threshold)
 
 
 def embedding_cosine_pairs_bruteforce(

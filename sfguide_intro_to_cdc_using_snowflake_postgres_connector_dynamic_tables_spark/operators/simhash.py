@@ -23,12 +23,25 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+_token_bits_cache: dict[str, "np.ndarray"] = {}
+
+
+def _token_bits(token: str) -> "np.ndarray":
+    """+1/-1 bit vector of a token's md5, memoized -- corpora repeat
+    tokens heavily, so this turns the per-doc cost into a dict lookup."""
+    bits = _token_bits_cache.get(token)
+    if bits is None:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+        bits = np.array([2 * ((h >> i) & 1) - 1 for i in range(64)], dtype=np.int64)
+        if len(_token_bits_cache) < 1_000_000:  # bound executor memory
+            _token_bits_cache[token] = bits
+    return bits
+
+
 def _simhash_one(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
     for token in set(text.split()):
-        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += 2 * bits - 1
+        acc += _token_bits(token)
     fp = 0
     for i in range(64):
         if acc[i] > 0:

@@ -127,6 +127,10 @@ class CDCPipeline:
                 hook(batch_id, deltas)
         finally:
             envelope.unpersist()
+            # release per-table delta caches once hooks have consumed
+            # them -- long-running streams must not accumulate blocks
+            for d in deltas.values():
+                d.unpersist()
         return deltas
 
     def on_batch_applied(self, hook) -> None:

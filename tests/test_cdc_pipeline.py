@@ -138,6 +138,21 @@ def test_latest_wins_and_delete(spark, pipeline):
     assert merch.count() == len(merchants) - 1
 
 
+def test_reapply_same_batch_idempotent(spark, pipeline):
+    """Crash between table write and checkpoint commit means the stream
+    re-delivers the batch; latest-wins apply by lsn must make the
+    second application a no-op (exactly-once effect without
+    transactional sinks)."""
+    p, store, (customers, merchants, products) = pipeline
+    batch = fixtures.change_log(customers, products, merchants, batches=1, rows_per_batch=30)[0]
+    env = _envelope_df(spark, batch)
+    p.apply_envelope_batch(env)
+    first = _sorted_rows(store.read(spark, "transactions"))
+    p.apply_envelope_batch(env)  # redelivery
+    second = _sorted_rows(store.read(spark, "transactions"))
+    assert first == second
+
+
 def test_orphans_dropped_from_view(spark, pipeline):
     """The 955/1000 seed property: orphan transactions never reach the
     view (inner join drops them)."""
