@@ -91,6 +91,39 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return docs.select(F.col(id_col), score.alias("quality"))
 
 
+#: GPT-2-style pre-tokenizer shape, restricted to constructs whose
+#: semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+#: letter runs | digit runs | single non-alphanumeric non-space.
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: polynomial rolling-hash parameters (Rabin-Karp): h = h*31 + code (mod p)
+_ROLL_MOD = 1_000_000_007
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex) plus a
+    character-level polynomial rolling hash (Rabin-Karp) -- the
+    order-sensitive cousin of the bag-of-words fingerprint: one char
+    changed, inserted, or swapped changes the hash.
+
+    All three are built-in expressions (regexp_extract_all /
+    higher-order fold) -- codegen'd, no Python.
+    """
+    ws = F.size(tokens(F.col(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0)))
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    rolling = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _ROLL_MOD
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_token_count"),
+        bpe.cast("long").alias("bpe_token_count"),
+        rolling.alias("rolling_hash"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic content fingerprints:
 

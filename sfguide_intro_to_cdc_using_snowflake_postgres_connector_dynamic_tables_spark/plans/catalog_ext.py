@@ -254,6 +254,23 @@ FROM s
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_token_count,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_token_count,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(ord(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -320,6 +337,7 @@ EXT_CATALOG: dict[str, tuple] = {
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, None),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
