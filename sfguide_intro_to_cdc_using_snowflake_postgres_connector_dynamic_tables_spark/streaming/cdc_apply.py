@@ -47,6 +47,9 @@ def apply_changes(
     upserts = winners.filter(F.col("op") != "D").select(*payload_cols)
     if current is None:
         return upserts
-    touched = winners.select(key)
+    # touched keys come from the RAW batch, not the windowed winners:
+    # same key set, but the anti-join doesn't re-run the window (which
+    # is otherwise computed twice -- plans aren't shared without cache)
+    touched = changes.select(key)
     kept = current.join(touched, on=key, how="left_anti")
     return kept.unionByName(upserts)

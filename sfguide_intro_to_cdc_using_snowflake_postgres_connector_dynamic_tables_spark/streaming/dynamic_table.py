@@ -125,7 +125,10 @@ class DynamicTableManager:
             affected = hit if affected is None else affected.unionByName(hit)
         if affected is None:
             return
-        affected = affected.distinct().cache()
+        # no .distinct(): duplicates in the key set don't change semi/
+        # anti-join semantics, and dropping it removes a shuffle; the
+        # broadcast carries a few duplicate keys instead
+        affected = affected.cache()
         try:
             # 2. recompute the defining query over affected fact rows only
             restricted = dict(tables)
