@@ -41,6 +41,25 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_partition_pruning(spark, tmp_path):
+    """Hive-partitioned layout + a partition-key filter => the scan
+    plans with PartitionFilters and reads only matching directories --
+    the layout the 100 TB fact table uses (date-partitioned)."""
+    path = str(tmp_path / "orders_part")
+    df = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 5).alias("order_year")
+    )
+    df.write.partitionBy("order_year").parquet(path)
+
+    filtered = spark.read.parquet(path).filter(F.col("order_year") == 3)
+    plan = plan_of(filtered)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "order_year" in pf and "3" in pf
+    assert filtered.count() == 200
+    # control: no filter reads all partitions
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_unbucketed_baseline_does_shuffle(spark, bucketed_pair):
     """Control: the same join over non-bucketed data exchanges both
     sides (what bucketing saves)."""
