@@ -99,9 +99,19 @@ def lsh_pairs_from_tokens(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over a prepared (doc_id, token) set
     table -- the shared engine behind word-set and shingle-set dedup.
-    ``blocks``: optional (doc_id, __block) blocking-key table."""
-    tok = tok.cache()
-    sig = minhash_signatures(tok, num_hashes)
+    ``blocks``: optional (doc_id, __block) blocking-key table.
+
+    One shuffle of the token table produces BOTH the minhash signature
+    and the verification token-set/size per doc (fused aggregate);
+    everything downstream works on the per-doc table (|docs| rows).
+    """
+    per_doc_aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("token")), "UTF-8"))
+        ).alias(f"h{i}")
+        for i in range(1, num_hashes + 1)
+    ] + [F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("n")]
+    sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
     if blocks is not None:
         sig = sig.join(blocks, "doc_id")
     block_col = None if blocks is None else "__block"
@@ -130,9 +140,7 @@ def lsh_pairs_from_tokens(
     # candidate pair beats re-exploding tokens through two joins (the
     # doc-set table is |docs| rows -- broadcastable at any corpus size
     # where candidates fit; at larger scale it hash-joins on doc id).
-    docsets = tok.groupBy("doc_id").agg(
-        F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("n")
-    )
+    docsets = sig.select("doc_id", "toks", "n")
     jac = (
         cand.join(
             docsets.select(
