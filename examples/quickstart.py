@@ -24,36 +24,18 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.dashboard import (  # noqa: E402
     dashboard_main,
 )
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (  # noqa: E402
+    CUSTOMER_PURCHASE_SUMMARY_SQL,
+)
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.session import (  # noqa: E402
     get_spark,
 )
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (  # noqa: E402
     fixtures,
 )
-from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (  # noqa: E402
-    CUSTOMERS_SCHEMA,
-    MERCHANTS_SCHEMA,
-    PRODUCTS_SCHEMA,
-    TRANSACTIONS_SCHEMA,
-)
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (  # noqa: E402
     write_feed_batch,
 )
-
-SUMMARY_SQL = """
-    SELECT t.transaction_id, t.customer_id, c.age AS customer_age,
-           t.product_id, p.product_name, p.product_category,
-           t.merchant_id, m.merchant_name, m.merchant_category,
-           t.transaction_date, t.transaction_time, t.quantity,
-           t.quantity * p.price AS total_price,
-           t.transaction_card, t.transaction_category
-    FROM transactions t
-    JOIN customers c ON t.customer_id = c.customer_id
-    JOIN products p ON t.product_id = p.product_id
-    JOIN merchants m ON t.merchant_id = m.merchant_id
-                    AND m.merchant_category = p.product_category
-"""
-
 
 def main() -> None:
     spark = get_spark(app_name="quickstart", conf={"spark.ui.showConsoleProgress": "false"})
@@ -65,24 +47,16 @@ def main() -> None:
     customers = fixtures.make_customers(300)
     merchants = fixtures.make_merchants()
     products = fixtures.make_products()
-    tx = fixtures.make_transactions(customers, products, merchants, n=1000)
 
     engine = Engine(spark, f"{tmp}/store")
-    engine.bootstrap(
-        {
-            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
-            "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
-            "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
-            "transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA),
-        }
-    )
+    engine.bootstrap(fixtures.seed_dataframes(spark, n_customers=300))
     print("snapshot replication:")
     engine.replication_state().show()
 
     # 2. CREATE DYNAMIC TABLE ... TARGET_LAG='1 minute' REFRESH_MODE=INCREMENTAL
     engine.create_dynamic_table_sql(
         "customer_purchase_summary",
-        SUMMARY_SQL,
+        CUSTOMER_PURCHASE_SUMMARY_SQL,
         fact_table="transactions",
         fact_key="transaction_id",
         view_key="transaction_id",
@@ -96,20 +70,20 @@ def main() -> None:
     n0 = engine.table("customer_purchase_summary").count()
     print(f"dynamic table initialized: {n0} rows (orphan transactions dropped)")
 
-    # 3. start the connector tail and generate load (insert_transactions proc)
-    q = engine.start(f"{tmp}/feed", f"{tmp}/ckpt", trigger={"processingTime": "2 seconds"})
+    # 3. generate load (insert_transactions proc) and tail the feed to
+    # completion (availableNow drain: deterministic -- all 3 batches,
+    # including the dim-update / delete / duplicate-key cases, apply)
     for batch in fixtures.change_log(customers, products, merchants, batches=3, rows_per_batch=100):
         write_feed_batch(f"{tmp}/feed", batch)
-
-    deadline = time.monotonic() + 60
-    n1 = n0
-    while time.monotonic() < deadline:
-        n1 = engine.table("customer_purchase_summary").count()
-        if n1 > n0:
-            break
-        time.sleep(1)
-    q.stop()
-    print(f"view caught up: {n0} -> {n1} rows; connector stats:")
+    t0 = time.monotonic()
+    q = engine.start(f"{tmp}/feed", f"{tmp}/ckpt")  # trigger=availableNow
+    q.awaitTermination(120)
+    if q.exception() is not None:
+        raise RuntimeError(f"stream failed: {q.exception()}")
+    n1 = engine.table("customer_purchase_summary").count()
+    if n1 <= n0:
+        raise RuntimeError(f"view did not advance ({n0} -> {n1})")
+    print(f"view caught up: {n0} -> {n1} rows in {time.monotonic() - t0:.1f}s; connector stats:")
     engine.connector_stats().show()
 
     # 4. dashboard analytics on the materialization

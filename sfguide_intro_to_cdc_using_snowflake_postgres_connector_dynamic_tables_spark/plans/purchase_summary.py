@@ -19,6 +19,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: The Dynamic Table's defining query as SQL text (the notebook's
+#: CREATE DYNAMIC TABLE body, cell ``create_dynamic_table``) -- single
+#: source of truth for examples/tests that exercise the SQL-DDL path.
+CUSTOMER_PURCHASE_SUMMARY_SQL = """
+    SELECT t.transaction_id, t.customer_id, c.age AS customer_age,
+           t.product_id, p.product_name, p.product_category,
+           t.merchant_id, m.merchant_name, m.merchant_category,
+           t.transaction_date, t.transaction_time, t.quantity,
+           t.quantity * p.price AS total_price,
+           t.transaction_card, t.transaction_category
+    FROM transactions t
+    JOIN customers c ON t.customer_id = c.customer_id
+    JOIN products p ON t.product_id = p.product_id
+    JOIN merchants m ON t.merchant_id = m.merchant_id
+                    AND m.merchant_category = p.product_category
+"""
+
 
 def customer_purchase_summary(
     transactions: DataFrame,

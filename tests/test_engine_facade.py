@@ -24,23 +24,12 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
     FEED_SCHEMA,
 )
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
+    CUSTOMER_PURCHASE_SUMMARY_SQL as SUMMARY_SQL,
+)
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
     DynamicTable,
 )
-
-SUMMARY_SQL = """
-    SELECT t.transaction_id, t.customer_id, c.age AS customer_age,
-           t.product_id, p.product_name, p.product_category,
-           t.merchant_id, m.merchant_name, m.merchant_category,
-           t.transaction_date, t.transaction_time, t.quantity,
-           t.quantity * p.price AS total_price,
-           t.transaction_card, t.transaction_category
-    FROM transactions t
-    JOIN customers c ON t.customer_id = c.customer_id
-    JOIN products p ON t.product_id = p.product_id
-    JOIN merchants m ON t.merchant_id = m.merchant_id
-                    AND m.merchant_category = p.product_category
-"""
 
 
 def test_engine_workflow(spark, tmp_path):
