@@ -124,6 +124,23 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+POSITIVE_WORDS = ("fast", "good", "great", "small", "easy", "win", "best")
+NEGATIVE_WORDS = ("slow", "bad", "big", "hard", "fail", "worst", "error")
+
+
+def sentiment_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lexicon sentiment in [-1, 1]: (positive hits - negative hits) /
+    tokens.  The trivial-but-deterministic baseline scorer; a model
+    scorer would slot in as a pandas UDF with the same output contract.
+    """
+    toks = tokens(F.col(text_col))
+    n_pos = F.size(F.filter(toks, lambda t: t.isin(*POSITIVE_WORDS)))
+    n_neg = F.size(F.filter(toks, lambda t: t.isin(*NEGATIVE_WORDS)))
+    return docs.select(
+        F.col(id_col), ((n_pos - n_neg) / F.size(toks)).alias("sentiment")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic content fingerprints:
 

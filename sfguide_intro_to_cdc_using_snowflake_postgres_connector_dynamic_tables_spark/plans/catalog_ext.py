@@ -291,6 +291,23 @@ FROM t
 """
 
 
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sentiment_score(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SENTIMENT = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       (len(list_filter(toks, x -> x IN ('fast','good','great','small','easy','win','best')))
+        - len(list_filter(toks, x -> x IN ('slow','bad','big','hard','fail','worst','error'))))
+       * 1.0 / len(toks) AS sentiment
+FROM t
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
@@ -340,6 +357,7 @@ EXT_CATALOG: dict[str, tuple] = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "sentiment": (q_sentiment, SQL_SENTIMENT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, None),
 }
