@@ -30,6 +30,16 @@ Refresh strategies (SURVEY.md section 4.3):
   the (small) delta key sets and never shuffle the fact table; the
   merge anti-join co-locates with a view store bucketed on the view
   key.
+
+AGGREGATE views (``group_col`` set) use the same skeleton with the
+grouping column as the anchor: affected GROUPS = groups gaining rows
+(delta payload) ∪ groups losing rows (old membership of deleted/
+updated PKs, resolved against the previous fact snapshot) ∪ groups
+whose dims changed; the defining query recomputes only those groups'
+fact rows, and the merge swaps whole group rows.  Per-tick cost is
+O(|fact rows of touched groups|) -- the standard high-cardinality-
+group sweet spot; a low-cardinality group (everyone in one group)
+degrades to full recompute, which is what it semantically is.
 """
 
 from __future__ import annotations
@@ -61,6 +71,11 @@ class DynamicTable:
     dims: dict[str, tuple[str, str]] = field(default_factory=dict)
     target_lag_seconds: int = 60
     refresh_mode: str = "incremental"  # 'incremental' | 'full'
+    #: set for AGGREGATE views: the fact column whose values are the
+    #: view's group keys (view_key must name the same values in the
+    #: view output).  When set, incremental refresh recomputes whole
+    #: affected GROUPS instead of per-fact-row view rows.
+    group_col: str | None = None
 
 
 class DynamicTableManager:
@@ -104,11 +119,35 @@ class DynamicTableManager:
         tables = self._base_tables(dt)
         fact = tables[dt.fact_table]
 
-        # 1. affected fact keys
+        # the "anchor": per-fact-row views key on the fact PK; aggregate
+        # views key on the grouping column -- affected-set, restriction,
+        # and merge all run on this column
+        anchor = dt.group_col or dt.fact_key
+
+        # 1. affected anchor keys
         affected: DataFrame | None = None
         fact_delta = relevant.get(dt.fact_table)
         if fact_delta is not None:
-            affected = fact_delta.select(F.col(dt.fact_key))
+            if dt.group_col is None:
+                affected = fact_delta.select(F.col(dt.fact_key))
+            else:
+                # groups gaining rows: from the delta payload (D rows
+                # carry a NULL payload -- drop them here)
+                affected = fact_delta.filter(F.col("op") != "D").select(F.col(anchor))
+                # groups LOSING rows (deletes, and updates that moved a
+                # row between groups): old membership via the previous
+                # fact snapshot, looked up by PK
+                prev = self.store.read_previous(self.spark, dt.fact_table)
+                if prev is None:
+                    # cannot resolve old groups -> correctness fallback
+                    self.full_refresh(name)
+                    return
+                old_keys = prev.join(
+                    F.broadcast(fact_delta.select(F.col(dt.fact_key))),
+                    on=dt.fact_key,
+                    how="left_semi",
+                ).select(F.col(anchor))
+                affected = affected.unionByName(old_keys)
         for dim_table, (fact_fk, dim_pk) in dt.dims.items():
             dim_delta = relevant.get(dim_table)
             if dim_delta is None:
@@ -120,7 +159,7 @@ class DynamicTableManager:
                     fact[fact_fk] == changed_keys[dim_pk],
                     "left_semi",
                 )
-                .select(F.col(dt.fact_key))
+                .select(F.col(anchor))
             )
             affected = hit if affected is None else affected.unionByName(hit)
         if affected is None:
@@ -130,17 +169,18 @@ class DynamicTableManager:
         # broadcast carries a few duplicate keys instead
         affected = affected.cache()
         try:
-            # 2. recompute the defining query over affected fact rows only
+            # 2. recompute the defining query over affected fact rows
+            # (row views) / whole affected groups (aggregate views)
             restricted = dict(tables)
             restricted[dt.fact_table] = fact.join(
-                F.broadcast(affected), on=dt.fact_key, how="left_semi"
+                F.broadcast(affected), on=anchor, how="left_semi"
             )
             recomputed = dt.defining_fn(restricted)
 
             # 3. MERGE into the materialization by view key
             view = self.store.read(self.spark, name)
             kept = view.join(
-                F.broadcast(affected.withColumnRenamed(dt.fact_key, dt.view_key)),
+                F.broadcast(affected.withColumnRenamed(anchor, dt.view_key)),
                 on=dt.view_key,
                 how="left_anti",
             )

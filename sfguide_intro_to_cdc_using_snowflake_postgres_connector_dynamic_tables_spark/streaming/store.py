@@ -79,6 +79,19 @@ class ParquetTableStore:
             raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
         return spark.read.parquet(os.path.join(self._table_dir(name), f"v{v}"))
 
+    def read_previous(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """The snapshot before the current one (None if this is the
+        first version).  Valid while ``keep_versions >= 2``; used by
+        incremental aggregate maintenance to resolve the old group
+        membership of deleted/updated fact rows."""
+        v = self.current_version(name)
+        if v is None or v <= 1:
+            return None
+        path = os.path.join(self._table_dir(name), f"v{v - 1}")
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path)
+
     def overwrite(self, name: str, df: DataFrame) -> int:
         """Write a full new snapshot and commit it."""
         v = (self.current_version(name) or 0) + 1
