@@ -17,9 +17,9 @@ def spend_status(total: Column) -> Column:
     """Low < 4000 <= Medium < 6000 <= High
     (``customer_spending_dashboard.py:21-23``)."""
     return (
-        F.when(total < 4000, F.lit("Low Spender"))
-        .when((total >= 4000) & (total < 6000), F.lit("Medium Spender"))
-        .otherwise(F.lit("High Spender"))
+        F.when(total < 4000, F.lit("Low Spenders"))
+        .when((total >= 4000) & (total < 6000), F.lit("Medium Spenders"))
+        .otherwise(F.lit("High Spenders"))
     )
 
 

@@ -125,21 +125,21 @@ def q_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spend.withColumn(
         "spend_status",
-        F.when(F.col("total_spend") < _LOW_EDGE, F.lit("Low Spender"))
+        F.when(F.col("total_spend") < _LOW_EDGE, F.lit("Low Spenders"))
         .when(
             (F.col("total_spend") >= _LOW_EDGE) & (F.col("total_spend") < _HIGH_EDGE),
-            F.lit("Medium Spender"),
+            F.lit("Medium Spenders"),
         )
-        .otherwise(F.lit("High Spender")),
+        .otherwise(F.lit("High Spenders")),
     )
 
 
 SQL_SPEND_BANDS = f"""
 SELECT o_custkey AS custkey, sum(o_totalprice) AS total_spend,
-       CASE WHEN sum(o_totalprice) < {_LOW_EDGE} THEN 'Low Spender'
+       CASE WHEN sum(o_totalprice) < {_LOW_EDGE} THEN 'Low Spenders'
             WHEN sum(o_totalprice) >= {_LOW_EDGE}
-                 AND sum(o_totalprice) < {_HIGH_EDGE} THEN 'Medium Spender'
-            ELSE 'High Spender' END AS spend_status
+                 AND sum(o_totalprice) < {_HIGH_EDGE} THEN 'Medium Spenders'
+            ELSE 'High Spenders' END AS spend_status
 FROM orders GROUP BY o_custkey
 """
 

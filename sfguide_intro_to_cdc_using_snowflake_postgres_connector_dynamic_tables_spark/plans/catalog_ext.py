@@ -4,14 +4,15 @@ DuckDB oracle) pairs over the driver's ``documents`` / ``embeddings``
 tables.
 
 Oracle-strength notes:
-- minhash/ngram dedup ARE under the strong hash-match gate -- the
-  salted-md5 lexicographic-min design (operators/dedup.py) is
-  reproducible in ANSI-ish SQL.
-- simhash (bit mixing in a pandas UDF), IVF/LSH approximate search
-  (sampled centroids / random hyperplanes), and multimodal feature
-  extraction (binary payloads) are genuinely non-SQL-expressible;
-  they ship as rows-only entries and their correctness is pinned by
-  pytest against exact baselines instead (tests/test_extensions.py).
+- minhash/ngram dedup, BOTH embedding near-dup variants (the exact
+  broadcast self-join and the banded hyperplane LSH -- its plane matrix
+  is md5-derived so SQL rebuilds identical buckets), and the multimodal
+  stub features (deterministic byte math over an ASCII corpus) are all
+  under the strong hash-match gate.
+- simhash (bit mixing in a pandas UDF) and IVF approximate search
+  (sampled centroids) are genuinely non-SQL-expressible; they ship as
+  rows-only entries and their correctness is pinned by pytest against
+  exact baselines instead (tests/test_extensions.py).
 """
 
 from __future__ import annotations
@@ -143,7 +144,10 @@ def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_cosine_pairs_bruteforce(
+    # Exact all-pairs via distributed broadcast self-join -- no driver
+    # collect() in the plan (the single-node BLAS bruteforce variant is
+    # kept as the in-test baseline only, operators/dedup.py).
+    return dedup.embedding_cosine_pairs_exact(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
@@ -162,6 +166,69 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
         / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+_LSH_SEED, _LSH_PLANES, _LSH_BANDS, _LSH_THRESHOLD = 42, 4, 12, 0.4
+
+
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scale path, gated: banded hyperplane LSH with md5-derived
+    # planes, so the oracle below rebuilds the identical buckets and the
+    # entry sits under the strong hash-match gate (recall vs exact is
+    # additionally pinned in tests/test_extensions.py).
+    return dedup.embedding_cosine_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_LSH_THRESHOLD,
+        num_planes=_LSH_PLANES,
+        num_bands=_LSH_BANDS,
+        seed=_LSH_SEED,
+    )
+
+
+# Rebuilds the engine's plane matrix from scratch: component(p, j) =
+# uint32(md5("seed|p|j")[:8]) / 2^32 - 0.5, every step exact in doubles
+# (see dedup._lsh_plane_component), then the same band buckets, bucket
+# self-join, and exact cosine verify.
+SQL_EMBEDDING_DUP_PAIRS_LSH = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+planes AS (
+  SELECT p, list_transform(range(1, (SELECT len(v) FROM n LIMIT 1) + 1), j ->
+           list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5('{_LSH_SEED}|' || CAST(p AS VARCHAR) || '|' || CAST(j AS VARCHAR)),
+                            i, 1)) - 1) * pow(16, 8 - i)))
+           / 4294967296.0 - 0.5) AS pv
+  FROM (SELECT unnest(range(1, {_LSH_PLANES * _LSH_BANDS} + 1)) AS p)
+),
+bits AS (
+  SELECT n.vec_id, ((p - 1) // {_LSH_PLANES}) + 1 AS band, p,
+         CASE WHEN list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * pv[j])) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM n CROSS JOIN planes
+),
+bucket AS (
+  SELECT vec_id, CAST(band AS VARCHAR) || '|' || string_agg(bit, '' ORDER BY p) AS bucket
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucket a JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       list_sum(list_transform(list_zip(na.v, nb.v), pr -> pr[1] * pr[2]))
+         / (na.nrm * nb.nrm) AS cosine
+FROM cand c
+JOIN n na ON na.vec_id = c.id_a
+JOIN n nb ON nb.vec_id = c.id_b
+WHERE list_sum(list_transform(list_zip(na.v, nb.v), pr -> pr[1] * pr[2]))
+        / (na.nrm * nb.nrm) >= {_LSH_THRESHOLD}
 """
 
 
@@ -326,8 +393,11 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: binary payload feature extraction (stub kernel) has no
-    # SQL equivalent; byte-exact behavior is pinned in tests.
+    # The mapInPandas feature pipeline end-to-end, with the array<float>
+    # feature unpacked to scalar f0..f7 doubles so the driver can
+    # canonicalize (and hash-match) the rows.  The stub decode kernel
+    # (sum of every 8th byte mod 997) is deterministic byte math, so the
+    # DuckDB oracle below reproduces it exactly on the ASCII corpus.
     from ..operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -342,7 +412,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("codec"), F.lit("raw"),
         ).alias("meta"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+# The stub kernel in SQL: byte i of the payload (UTF-8 of an ASCII
+# corpus, so ord(char) == byte) contributes to feature i % 8; each
+# feature is the lane sum mod 997.  1-based list indexing: lane i is
+# positions i+1, i+9, ... == range(i+1, len+1, 8).
+def _sql_multimodal_lane(i: int) -> str:
+    return (
+        f"CAST(coalesce(list_sum(list_transform(range({i + 1}, len(bytes) + 1, 8), "
+        f"j -> bytes[j])), 0) % 997 AS DOUBLE) AS f{i}"
+    )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                        c -> ord(c)) AS bytes
+  FROM documents
+)
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       {", ".join(_sql_multimodal_lane(i) for i in range(8))}
+FROM b
+"""
 
 
 EXT_CATALOG: dict[str, tuple] = {
@@ -351,6 +455,7 @@ EXT_CATALOG: dict[str, tuple] = {
     "ngram_jaccard_dup": (q_ngram_jaccard_dup, SQL_NGRAM_JACCARD_DUP),
     "simhash_dup": (q_simhash_dup, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, None),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
@@ -359,5 +464,5 @@ EXT_CATALOG: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "sentiment": (q_sentiment, SQL_SENTIMENT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -73,7 +73,7 @@ def spend_band_counts(spending: DataFrame) -> DataFrame:
     spark = spending.sparkSession
     bands = spark.range(1).select(
         F.explode(
-            F.array(F.lit("Low Spender"), F.lit("Medium Spender"), F.lit("High Spender"))
+            F.array(F.lit("Low Spenders"), F.lit("Medium Spenders"), F.lit("High Spenders"))
         ).alias("spend_status")
     )
     counts = spending.groupBy("spend_status").count()
@@ -117,7 +117,7 @@ def top_merchant(summary: DataFrame) -> DataFrame:
     """
     return (
         summary.groupBy("merchant_name")
-        .agg(F.round(F.sum("total_price"), 2).alias("total_price"))
+        .agg(F.sum("total_price").alias("total_price"))
         .orderBy(F.desc("total_price"), F.asc("merchant_name"))
         .limit(1)
     )
@@ -151,5 +151,5 @@ def merchant_stats(summary: DataFrame) -> DataFrame:
     (``customer_spending_dashboard.py:137``)."""
     return summary.groupBy("merchant_name").agg(
         F.count("transaction_id").alias("transaction_count"),
-        F.round(F.sum("total_price"), 2).alias("total_price"),
+        F.sum("total_price").alias("total_price"),
     )

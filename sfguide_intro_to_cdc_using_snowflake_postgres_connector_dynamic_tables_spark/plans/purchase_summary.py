@@ -133,6 +133,8 @@ def purchase_summary_star(
         F.col("o.o_orderdate").alias("orderdate"),
         F.col("o.o_orderpriority").alias("orderpriority"),
         F.col("l.l_quantity").alias("quantity"),
-        F.round(F.col("l.l_quantity") * F.col("p.p_retailprice"), 2).alias("gross_price"),
+        # No round(): both engines emit the identical IEEE product and
+        # the driver applies its single uniform 2dp rounding pre-hash.
+        (F.col("l.l_quantity") * F.col("p.p_retailprice")).alias("gross_price"),
         F.col("l.l_returnflag").alias("returnflag"),
     )

@@ -95,9 +95,9 @@ def test_customer_spending_bands(data):
         con,
         """
         SELECT customer_id, sum(total_price) AS total_price,
-               CASE WHEN sum(total_price) < 4000 THEN 'Low Spender'
-                    WHEN sum(total_price) >= 4000 AND sum(total_price) < 6000 THEN 'Medium Spender'
-                    ELSE 'High Spender' END AS spend_status
+               CASE WHEN sum(total_price) < 4000 THEN 'Low Spenders'
+                    WHEN sum(total_price) >= 4000 AND sum(total_price) < 6000 THEN 'Medium Spenders'
+                    ELSE 'High Spenders' END AS spend_status
         FROM summary WHERE transaction_category = 'Purchase'
         GROUP BY customer_id
         """,
@@ -129,7 +129,7 @@ def test_spend_band_zero_fill(spark, data):
     dfs, summary, con = data
     spending = dashboard.calculate_customer_spending(summary)
     counts = {r["spend_status"]: r["count"] for r in dashboard.spend_band_counts(spending).collect()}
-    assert set(counts) == {"Low Spender", "Medium Spender", "High Spender"}  # all bands present
+    assert set(counts) == {"Low Spenders", "Medium Spenders", "High Spenders"}  # all bands present
     total = spending.count()
     assert sum(counts.values()) == total
 
@@ -137,7 +137,7 @@ def test_spend_band_zero_fill(spark, data):
 def test_semi_join_restriction(data):
     dfs, summary, con = data
     spending = dashboard.calculate_customer_spending(summary)
-    high = dashboard.customers_with_spend_status(summary, spending, "High Spender")
+    high = dashboard.customers_with_spend_status(summary, spending, "High Spenders")
     _match(
         high.select("transaction_id", "customer_id"),
         con,
@@ -145,11 +145,11 @@ def test_semi_join_restriction(data):
         SELECT transaction_id, customer_id FROM summary
         WHERE customer_id IN (
             SELECT customer_id FROM (
-                SELECT customer_id, CASE WHEN sum(total_price) < 4000 THEN 'Low Spender'
-                            WHEN sum(total_price) >= 4000 AND sum(total_price) < 6000 THEN 'Medium Spender'
-                            ELSE 'High Spender' END AS spend_status
+                SELECT customer_id, CASE WHEN sum(total_price) < 4000 THEN 'Low Spenders'
+                            WHEN sum(total_price) >= 4000 AND sum(total_price) < 6000 THEN 'Medium Spenders'
+                            ELSE 'High Spenders' END AS spend_status
                 FROM summary WHERE transaction_category = 'Purchase' GROUP BY customer_id)
-            WHERE spend_status = 'High Spender')
+            WHERE spend_status = 'High Spenders')
         """,
     )
 
@@ -160,9 +160,9 @@ def test_top_merchant_deterministic(data):
         dashboard.top_merchant(summary),
         con,
         """
-        SELECT merchant_name, round(sum(total_price), 2) AS total_price
+        SELECT merchant_name, sum(total_price) AS total_price
         FROM summary GROUP BY merchant_name
-        ORDER BY round(sum(total_price), 2) DESC, merchant_name ASC LIMIT 1
+        ORDER BY sum(total_price) DESC, merchant_name ASC LIMIT 1
         """,
     )
 
@@ -207,7 +207,7 @@ def test_chart_aggregations(data):
         dashboard.merchant_stats(summary),
         con,
         """SELECT merchant_name, count(transaction_id) AS transaction_count,
-                  round(sum(total_price), 2) AS total_price
+                  sum(total_price) AS total_price
            FROM summary GROUP BY 1""",
     )
 
