@@ -27,12 +27,19 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 )
 
 
-def _bench_cdc(spark, batches: int = 5, rows_per_batch: int = 400) -> float:
+def _bench_cdc(
+    spark, batches: int = 5, rows_per_batch: int = 400, partitioned: bool = False
+) -> float:
     """End-to-end CDC throughput: bootstrap the reference-shaped tables,
     then apply `batches` change batches with incremental view refresh
     after each.  Returns elapsed seconds; the implied sustained rate is
     batches*rows_per_batch/elapsed (reference SLO: 200 rows/min at
-    <=60 s lag -- BASELINE.md)."""
+    <=60 s lag -- BASELINE.md).
+
+    ``partitioned=True`` stores the fact table and the view hash-
+    partitioned so each refresh rewrites only touched buckets -- the
+    O(delta)-write-I/O path; at this (tiny) scale it pays extra fixed
+    job overhead per batch, at 100 TB it is the only viable path."""
     import json as _json
     import tempfile
 
@@ -67,7 +74,8 @@ def _bench_cdc(spark, batches: int = 5, rows_per_batch: int = 400) -> float:
 
     with tempfile.TemporaryDirectory() as tmp:
         store = ParquetTableStore(f"{tmp}/store")
-        p = CDCPipeline(spark, store)
+        spec = {"transactions": 16} if partitioned else None
+        p = CDCPipeline(spark, store, partition_spec=spec)
         p.bootstrap(
             {
                 "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
@@ -91,6 +99,7 @@ def _bench_cdc(spark, batches: int = 5, rows_per_batch: int = 400) -> float:
                     "products": ("product_id", "product_id"),
                     "merchants": ("merchant_id", "merchant_id"),
                 },
+                partition_buckets=16 if partitioned else None,
             )
         )
         mgr.attach(p)
@@ -126,6 +135,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timings["cdc_pipeline"] = round(_bench_cdc(spark), 3)
+    timings["cdc_pipeline_partitioned"] = round(_bench_cdc(spark, partitioned=True), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -22,6 +22,7 @@ from .streaming.changefeed import CDCPipeline
 from .streaming.dynamic_table import (
     DynamicTable,
     DynamicTableManager,
+    dynamic_table_from_ddl,
     dynamic_table_from_sql,
 )
 from .streaming.monitoring import connector_stats, freshness_lag_seconds, replication_state
@@ -58,6 +59,15 @@ class Engine:
     def create_dynamic_table_sql(self, name: str, sql: str, **kwargs) -> None:
         self.manager.create(
             dynamic_table_from_sql(self.spark, self.store, name, sql, **kwargs)
+        )
+
+    def execute_ddl(self, ddl: str, **kwargs) -> None:
+        """The notebook cell, verbatim: a ``CREATE [OR REPLACE] DYNAMIC
+        TABLE ... AS SELECT ...`` string is parsed, its maintenance
+        metadata inferred from the join tree, and the view created and
+        initialized -- no Python-side metadata required."""
+        self.manager.create(
+            dynamic_table_from_ddl(self.spark, self.store, ddl, **kwargs)
         )
 
     def refresh(self, name: str) -> None:

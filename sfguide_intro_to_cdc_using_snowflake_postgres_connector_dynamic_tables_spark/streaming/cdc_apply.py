@@ -30,6 +30,22 @@ def latest_per_key(changes: DataFrame, key: str, order_col: str = "lsn") -> Data
     return changes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def split_changes(
+    changes: DataFrame, key: str, order_col: str = "lsn"
+) -> tuple[DataFrame, DataFrame]:
+    """Reduce a change batch to its MERGE inputs: (upserts, touched).
+
+    ``upserts`` = envelope-stripped winning non-delete rows;
+    ``touched`` = every key the batch mentions (from the RAW batch, not
+    the windowed winners: same key set, but the anti-join consumer
+    doesn't re-run the window, which is otherwise computed twice --
+    plans aren't shared without cache)."""
+    winners = latest_per_key(changes, key, order_col)
+    payload_cols = [c for c in changes.columns if c not in ("op", order_col)]
+    upserts = winners.filter(F.col("op") != "D").select(*payload_cols)
+    return upserts, changes.select(key)
+
+
 def apply_changes(
     current: DataFrame | None,
     changes: DataFrame,
@@ -42,14 +58,8 @@ def apply_changes(
     full row columns (NULL payload for deletes).  Returns the new
     snapshot with the envelope columns stripped.
     """
-    winners = latest_per_key(changes, key, order_col)
-    payload_cols = [c for c in changes.columns if c not in ("op", order_col)]
-    upserts = winners.filter(F.col("op") != "D").select(*payload_cols)
+    upserts, touched = split_changes(changes, key, order_col)
     if current is None:
         return upserts
-    # touched keys come from the RAW batch, not the windowed winners:
-    # same key set, but the anti-join doesn't re-run the window (which
-    # is otherwise computed twice -- plans aren't shared without cache)
-    touched = changes.select(key)
     kept = current.join(touched, on=key, how="left_anti")
     return kept.unionByName(upserts)

@@ -76,6 +76,11 @@ class DynamicTable:
     #: view output).  When set, incremental refresh recomputes whole
     #: affected GROUPS instead of per-fact-row view rows.
     group_col: str | None = None
+    #: hash-partition the materialization on ``view_key`` into this
+    #: many buckets; each refresh then rewrites only the buckets whose
+    #: keys changed (store-level partition-pruned MERGE) instead of the
+    #: whole snapshot -- the O(delta) write-I/O path for large views.
+    partition_buckets: int | None = None
 
 
 class DynamicTableManager:
@@ -100,7 +105,13 @@ class DynamicTableManager:
 
     def full_refresh(self, name: str) -> None:
         dt = self.registry[name]
-        self.store.overwrite(name, dt.defining_fn(self._base_tables(dt)))
+        view = dt.defining_fn(self._base_tables(dt))
+        if dt.partition_buckets:
+            self.store.overwrite(
+                name, view, partition_key=dt.view_key, n_buckets=dt.partition_buckets
+            )
+        else:
+            self.store.overwrite(name, view)
 
     def incremental_refresh(self, name: str, deltas: dict[str, DataFrame]) -> None:
         """Fold base-table deltas (post-apply) into the materialization.
@@ -178,13 +189,17 @@ class DynamicTableManager:
             recomputed = dt.defining_fn(restricted)
 
             # 3. MERGE into the materialization by view key
-            view = self.store.read(self.spark, name)
-            kept = view.join(
-                F.broadcast(affected.withColumnRenamed(anchor, dt.view_key)),
-                on=dt.view_key,
-                how="left_anti",
-            )
-            self.store.overwrite(name, kept.unionByName(recomputed))
+            affected_view_keys = affected.withColumnRenamed(anchor, dt.view_key)
+            if self.store.partition_spec(name):
+                # partition-pruned: only buckets holding affected keys
+                # are read + rewritten; untouched buckets carry over
+                self.store.merge(self.spark, name, recomputed, affected_view_keys)
+            else:
+                view = self.store.read(self.spark, name)
+                kept = view.join(
+                    F.broadcast(affected_view_keys), on=dt.view_key, how="left_anti"
+                )
+                self.store.overwrite(name, kept.unionByName(recomputed))
         finally:
             affected.unpersist()
 
@@ -222,6 +237,8 @@ def dynamic_table_from_sql(
     dims: dict[str, tuple[str, str]],
     target_lag: str = "1 minute",
     refresh_mode: str = "incremental",
+    group_col: str | None = None,
+    partition_buckets: int | None = None,
 ) -> DynamicTable:
     """SQL-text Dynamic Table definition -- the reference's
     ``CREATE DYNAMIC TABLE ... TARGET_LAG=... REFRESH_MODE=... AS
@@ -233,8 +250,25 @@ def dynamic_table_from_sql(
     machinery (affected-keys + restricted recompute) applies unchanged
     because restriction happens on the *input* fact view, ahead of
     whatever plan the SQL builds.
+
+    An AGGREGATE defining query (GROUP BY) maintained incrementally
+    must pass ``group_col`` (the fact column whose values key the
+    groups); without it the per-fact-row merge anchor would silently
+    append wrong group rows, so that combination raises instead.
     """
     lag_seconds = _parse_lag(target_lag)
+    import re as _re
+
+    if (
+        refresh_mode == "incremental"
+        and group_col is None
+        and _re.search(r"(?i)\bGROUP\s+BY\b", sql)
+    ):
+        raise ValueError(
+            f"dynamic table {name!r}: GROUP BY with refresh_mode='incremental' "
+            "requires group_col= (the grouping fact column); pass it, or use "
+            "refresh_mode='full'"
+        )
 
     def defining_fn(tables: dict[str, DataFrame]) -> DataFrame:
         for t, df in tables.items():
@@ -250,6 +284,37 @@ def dynamic_table_from_sql(
         dims=dims,
         target_lag_seconds=lag_seconds,
         refresh_mode=refresh_mode,
+        group_col=group_col,
+        partition_buckets=partition_buckets,
+    )
+
+
+def dynamic_table_from_ddl(
+    spark: SparkSession,
+    store: ParquetTableStore,
+    ddl: str,
+    partition_buckets: int | None = None,
+) -> DynamicTable:
+    """The reference's verbatim ``CREATE DYNAMIC TABLE`` DDL text --
+    name, TARGET_LAG, REFRESH_MODE, WAREHOUSE, and the defining SELECT
+    are parsed out and the fact/dim maintenance metadata is inferred
+    from the join tree (:mod:`.ddl`), so the caller supplies exactly
+    what a Snowflake user supplies: the SQL string, nothing else."""
+    from .ddl import parse_dynamic_table_ddl
+
+    parsed = parse_dynamic_table_ddl(ddl)
+    return dynamic_table_from_sql(
+        spark,
+        store,
+        parsed.name,
+        parsed.select_sql,
+        fact_table=parsed.fact_table,
+        fact_key=parsed.fact_key,
+        view_key=parsed.view_key,
+        dims=parsed.dims,
+        target_lag=parsed.target_lag,
+        refresh_mode=parsed.refresh_mode,
+        partition_buckets=partition_buckets,
     )
 
 

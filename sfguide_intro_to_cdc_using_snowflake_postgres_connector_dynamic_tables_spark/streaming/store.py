@@ -2,33 +2,46 @@
 
 The reference's destination tables and Dynamic Table live in Snowflake
 managed storage; our equivalent is a directory of immutable parquet
-snapshots with an atomically-swapped version pointer:
+data plus an atomically-swapped version pointer.  Two layouts:
+
+Unpartitioned (full-snapshot) tables::
 
     root/<table>/v<N>/part-*.parquet
     root/<table>/_VERSION         (text file containing N)
 
-Commit protocol: write v<N+1> fully, then ``os.replace`` the version
-pointer -- readers either see v<N> or v<N+1>, never a torn write, and
-a refresh that crashes mid-write is invisible (re-running overwrites
-the orphan v<N+1> directory).  That gives the exactly-once
-materialization property SURVEY.md section 4.2 requires without a
-table format dependency.
+Hash-partitioned tables (``overwrite(..., partition_key=...)``)::
 
-Scale note: this read-modify-overwrite MERGE is the pure-parquet
-fallback.  The store is the single seam where a real deployment swaps
-in Delta/Iceberg ``MERGE INTO`` (row-level, partition-pruned); every
-caller goes through ``upsert``/``overwrite``/``read`` only.  At 100 TB
-the snapshot should additionally be partitioned/bucketed on the upsert
-key so the anti-join + union rewrite touches only matching buckets.
+    root/<table>/w<N>-<uuid>/__part=<b>/part-*.parquet   (data stages)
+    root/<table>/manifest-v<N>.json                      (bucket -> dir)
+    root/<table>/_VERSION
+
+A partitioned version is a MANIFEST mapping each hash bucket of the
+merge key to the immutable directory holding its rows.  ``merge``
+rewrites only the buckets touched by a change batch and carries every
+other bucket's directory reference forward unchanged -- write I/O per
+refresh is O(delta partitions), not O(table), which is the same
+row-group-pruned MERGE contract as Snowflake/Delta/Iceberg
+(``notebooks/0_start_here.ipynb:218`` REFRESH_MODE=INCREMENTAL), here
+with plain parquet + a JSON manifest standing in for the table format.
+
+Commit protocol (both layouts): write data (and manifest) fully, then
+``os.replace`` the version pointer -- readers either see v<N> or
+v<N+1>, never a torn write, and a refresh that crashes mid-write
+leaves only an unreferenced stage directory that the next commit's GC
+removes.  That gives the exactly-once materialization property
+SURVEY.md section 4.2 requires without a table-format dependency.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTableStore:
@@ -52,6 +65,23 @@ class ParquetTableStore:
         except (FileNotFoundError, ValueError):
             return None
 
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"manifest-v{version}.json")
+
+    def _read_manifest(self, name: str, version: int) -> dict | None:
+        try:
+            with open(self._manifest_path(name, version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_manifest(self, name: str, version: int, manifest: dict) -> None:
+        tdir = self._table_dir(name)
+        fd, tmp = tempfile.mkstemp(dir=tdir, prefix="_manifest.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(name, version))
+
     def _commit(self, name: str, version: int) -> None:
         vf = self._version_file(name)
         fd, tmp = tempfile.mkstemp(dir=self._table_dir(name), prefix="_VERSION.")
@@ -62,22 +92,62 @@ class ParquetTableStore:
 
     def _gc(self, name: str, current: int) -> None:
         tdir = self._table_dir(name)
+        floor = current - self.keep_versions
+        # referenced stage dirs across all KEPT partitioned versions
+        referenced: set[str] = set()
+        kept_any_manifest = False
+        for v in range(max(1, floor + 1), current + 1):
+            m = self._read_manifest(name, v)
+            if m is None:
+                continue
+            kept_any_manifest = True
+            for rel in list(m["partitions"].values()) + [m["schema_dir"]]:
+                referenced.add(rel.split("/", 1)[0])
         for entry in os.listdir(tdir):
+            path = os.path.join(tdir, entry)
             if entry.startswith("v") and entry[1:].isdigit():
-                v = int(entry[1:])
-                if v <= current - self.keep_versions:
-                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                if int(entry[1:]) <= floor:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif entry.startswith("manifest-v"):
+                v = int(entry[len("manifest-v"):-len(".json")])
+                if v <= floor:
+                    os.unlink(path)
+            elif entry.startswith("w") and "-" in entry and kept_any_manifest:
+                # stage dir: drop if no kept manifest references it (old
+                # versions and crash orphans alike)
+                if entry not in referenced:
+                    shutil.rmtree(path, ignore_errors=True)
 
     # -- public API ----------------------------------------------------------
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
+    def partition_spec(self, name: str) -> tuple[str, int] | None:
+        """(key, n_buckets) for a partitioned table, else None."""
+        v = self.current_version(name)
+        if v is None:
+            return None
+        m = self._read_manifest(name, v)
+        if m is None:
+            return None
+        return m["key"], m["n_buckets"]
+
+    def _read_version(self, spark: SparkSession, name: str, v: int) -> DataFrame:
+        m = self._read_manifest(name, v)
+        tdir = self._table_dir(name)
+        if m is None:
+            return spark.read.parquet(os.path.join(tdir, f"v{v}"))
+        paths = [os.path.join(tdir, rel) for rel in m["partitions"].values()]
+        # the zero-row schema marker makes empty/partial tables readable
+        paths.append(os.path.join(tdir, m["schema_dir"]))
+        return spark.read.parquet(*paths)
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
-        return spark.read.parquet(os.path.join(self._table_dir(name), f"v{v}"))
+        return self._read_version(spark, name, v)
 
     def read_previous(self, spark: SparkSession, name: str) -> DataFrame | None:
         """The snapshot before the current one (None if this is the
@@ -87,16 +157,145 @@ class ParquetTableStore:
         v = self.current_version(name)
         if v is None or v <= 1:
             return None
-        path = os.path.join(self._table_dir(name), f"v{v - 1}")
-        if not os.path.isdir(path):
+        prev_dir = os.path.join(self._table_dir(name), f"v{v - 1}")
+        if self._read_manifest(name, v - 1) is None and not os.path.isdir(prev_dir):
             return None
-        return spark.read.parquet(path)
+        return self._read_version(spark, name, v - 1)
 
-    def overwrite(self, name: str, df: DataFrame) -> int:
-        """Write a full new snapshot and commit it."""
+    # -- writes --------------------------------------------------------------
+
+    @staticmethod
+    def bucket_expr(key: str, n_buckets: int):
+        """The bucket id of a key value: pmod(murmur3(key), B).  Stable
+        across sessions, so bucket membership never migrates."""
+        return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_key: str | None = None,
+        n_buckets: int = 16,
+    ) -> int:
+        """Write a full new snapshot and commit it.
+
+        With ``partition_key`` (or when the table is already
+        partitioned -- the spec is sticky), rows are hash-bucketed and
+        written one directory per bucket so later ``merge`` calls can
+        rewrite buckets selectively."""
         v = (self.current_version(name) or 0) + 1
-        path = os.path.join(self._table_dir(name), f"v{v}")
-        shutil.rmtree(path, ignore_errors=True)  # orphan from a crashed commit
-        df.write.mode("overwrite").parquet(path)
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        spec = self.partition_spec(name)
+        if partition_key is None and spec is not None:
+            partition_key, n_buckets = spec
+        if partition_key is None:
+            path = os.path.join(tdir, f"v{v}")
+            shutil.rmtree(path, ignore_errors=True)  # orphan from a crashed commit
+            df.write.mode("overwrite").parquet(path)
+            self._commit(name, v)
+            return v
+        stage = f"w{v}-{uuid.uuid4().hex[:8]}"
+        stage_dir = os.path.join(tdir, stage)
+        (
+            df.withColumn("__part", self.bucket_expr(partition_key, n_buckets))
+            .write.partitionBy("__part")
+            .parquet(stage_dir)
+        )
+        schema_dir = f"{stage}-schema"
+        df.limit(0).write.parquet(os.path.join(tdir, schema_dir))
+        partitions = {
+            entry.split("=", 1)[1]: f"{stage}/{entry}"
+            for entry in os.listdir(stage_dir)
+            if entry.startswith("__part=")
+        }
+        self._write_manifest(
+            name,
+            v,
+            {
+                "key": partition_key,
+                "n_buckets": n_buckets,
+                "partitions": partitions,
+                "schema_dir": schema_dir,
+            },
+        )
         self._commit(name, v)
         return v
+
+    def merge(
+        self,
+        spark: SparkSession,
+        name: str,
+        upserts: DataFrame,
+        touched_keys: DataFrame,
+    ) -> int:
+        """Partition-pruned MERGE into a partitioned table.
+
+        Rows of ``touched_keys`` (single key column) are deleted, then
+        ``upserts`` inserted -- the standard upsert/delete contract
+        (keys absent from ``upserts`` stay deleted).  Only the hash
+        buckets containing touched keys are read, rewritten, and
+        repointed in the new manifest; every other bucket's directory
+        carries over untouched, so write I/O is O(delta buckets)."""
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"merge target {name!r} does not exist")
+        m = self._read_manifest(name, v)
+        if m is None:
+            raise ValueError(f"table {name!r} is not partitioned; use overwrite()")
+        key, B = m["key"], m["n_buckets"]
+        tdir = self._table_dir(name)
+
+        # no .distinct() on the key set: duplicates don't change the
+        # anti-join, and dropping it removes a shuffle -- only the
+        # bucket-id projection (<= B rows out) dedupes
+        keys = touched_keys.select(key).unionByName(upserts.select(key)).cache()
+        try:
+            touched = sorted(
+                r[0] for r in keys.select(self.bucket_expr(key, B).alias("b")).distinct().collect()
+            )
+            if not touched:
+                return v
+            old_paths = [
+                os.path.join(tdir, m["partitions"][str(b)])
+                for b in touched
+                if str(b) in m["partitions"]
+            ]
+            if old_paths:
+                old_rows = spark.read.parquet(*old_paths)
+                kept = old_rows.join(F.broadcast(keys), on=key, how="left_anti")
+                new_rows = kept.unionByName(upserts)
+            else:
+                new_rows = upserts
+
+            nv = v + 1
+            stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
+            stage_dir = os.path.join(tdir, stage)
+            (
+                new_rows.withColumn("__part", self.bucket_expr(key, B))
+                .write.partitionBy("__part")
+                .parquet(stage_dir)
+            )
+            written = {
+                entry.split("=", 1)[1]: f"{stage}/{entry}"
+                for entry in os.listdir(stage_dir)
+                if entry.startswith("__part=")
+            }
+            partitions = dict(m["partitions"])
+            for b in touched:
+                partitions.pop(str(b), None)  # bucket may have emptied
+            partitions.update(written)
+            self._write_manifest(
+                name,
+                nv,
+                {
+                    "key": key,
+                    "n_buckets": B,
+                    "partitions": partitions,
+                    "schema_dir": m["schema_dir"],
+                },
+            )
+            self._commit(name, nv)
+            return nv
+        finally:
+            keys.unpersist()

@@ -1,0 +1,77 @@
+"""Debezium wire-format adapter: replay a canned capture of the
+reference's postgres tables through the engine's CDC apply path.
+
+The canned events mirror what the reference's connector would see
+tailing the publication in ``scripts/agent_configuration/
+databases.json`` -- snapshot reads (r), inserts (c), updates (u), and
+a delete (d) whose payload is the ``before`` image.
+"""
+
+from __future__ import annotations
+
+import json
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+    CDCPipeline,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+    debezium_to_envelope,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+
+def _event(op, table, lsn, after=None, before=None, enveloped=True):
+    body = {
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {"lsn": lsn, "table": table, "ts_ms": 1_700_000_000_000 + lsn},
+        "ts_ms": 1_700_000_000_000 + lsn,
+    }
+    return json.dumps({"payload": body} if enveloped else body)
+
+
+CUST = lambda cid, name, age: {  # noqa: E731
+    "customer_id": cid, "firstname": name, "lastname": "Doe", "age": age,
+    "email": f"c{cid}@x.io", "phone_number": "555",
+}
+
+
+def test_debezium_capture_replays_through_pipeline(spark, tmp_path):
+    # snapshot phase (r) + tail phase (c/u/d), interleaved tables
+    events = [
+        _event("r", "customers", 1, after=CUST(1, "Ann", 30)),
+        _event("r", "customers", 2, after=CUST(2, "Bob", 40)),
+        _event("c", "customers", 10, after=CUST(3, "Cay", 50)),
+        _event("u", "customers", 11, after=CUST(2, "Bobby", 41)),
+        # delete: key arrives in `before`, after is null
+        _event("d", "customers", 12, before=CUST(1, "Ann", 30)),
+        # flattened (schemas.enable=false) event must parse identically
+        _event("c", "customers", 13, after=CUST(4, "Dee", 22), enveloped=False),
+    ]
+    raw = spark.createDataFrame([(e,) for e in events], "value string")
+    env = debezium_to_envelope(raw)
+
+    rows = {(r["op"], r["lsn"]) for r in env.collect()}
+    assert rows == {("I", 1), ("I", 2), ("I", 10), ("U", 11), ("D", 12), ("I", 13)}
+    assert env.filter("lsn = 12").first()["after_json"] is not None  # key travels
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+    p.apply_envelope_batch(env, batch_id=0)
+
+    cust = {r["customer_id"]: r for r in store.read(spark, "customers").collect()}
+    assert set(cust) == {2, 3, 4}          # 1 deleted, 3+4 inserted
+    assert cust[2]["firstname"] == "Bobby" and cust[2]["age"] == 41
+    ts = env.filter("lsn = 10").first()["commit_ts"]
+    assert ts is not None and ts.year >= 2023  # source.ts_ms surfaced
+
+
+def test_debezium_ignores_non_change_events(spark):
+    # tombstones / heartbeats (no op) must be dropped, not crash
+    raw = spark.createDataFrame(
+        [("{}",), (json.dumps({"payload": {"schema": "noise"}}),)], "value string"
+    )
+    assert debezium_to_envelope(raw).count() == 0

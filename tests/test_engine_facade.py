@@ -110,3 +110,126 @@ def test_engine_workflow(spark, tmp_path):
     state = engine.replication_state()
     assert state.filter(F.col("snapshot_replication_status") != "DONE").count() == 0
     assert engine.connector_stats().count() == 1  # n/a row before any stream
+
+
+# The reference notebook's DDL cell, verbatim (0_start_here.ipynb,
+# cell `create_dynamic_table`) -- the engine must accept this string
+# with NO Python-side metadata.
+REFERENCE_DDL = '''
+CREATE OR REPLACE DYNAMIC TABLE cdc_prod.analytics.customer_purchase_summary
+TARGET_LAG = '1 minute' 
+WAREHOUSE = cdc_ds_wh
+REFRESH_MODE = INCREMENTAL
+AS
+SELECT
+    t.transaction_id
+    , t.customer_id
+    , c.age AS customer_age
+    , t.product_id
+    , p.product_name
+    , p.product_category
+    , t.merchant_id
+    , m.merchant_name
+    , m.merchant_category
+    , t.transaction_date
+    , t.transaction_time
+    , t.quantity
+    , t.quantity * p.price AS total_price
+    , t.transaction_card
+    , t.transaction_category
+FROM
+    CONNECTOR_DEST_DB."raw_cdc"."transactions" t
+JOIN
+    CONNECTOR_DEST_DB."raw_cdc"."customers" c ON t.customer_id = c.customer_id
+JOIN
+    CONNECTOR_DEST_DB."raw_cdc"."products" p ON t.product_id = p.product_id
+JOIN
+    CONNECTOR_DEST_DB."raw_cdc"."merchants" m ON t.merchant_id = m.merchant_id
+AND
+    m.merchant_category = p.product_category;
+'''
+
+
+def test_ddl_parser_infers_reference_metadata():
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.ddl import (
+        parse_dynamic_table_ddl,
+    )
+
+    p = parse_dynamic_table_ddl(REFERENCE_DDL)
+    assert p.name == "customer_purchase_summary"
+    assert p.target_lag == "1 minute"
+    assert p.refresh_mode == "incremental"
+    assert p.warehouse == "cdc_ds_wh"
+    assert p.fact_table == "transactions"
+    assert p.fact_key == "transaction_id" and p.view_key == "transaction_id"
+    assert p.dims == {
+        "customers": ("customer_id", "customer_id"),
+        "products": ("product_id", "product_id"),
+        "merchants": ("merchant_id", "merchant_id"),
+    }
+    # qualified refs rewritten to bare store names
+    assert "CONNECTOR_DEST_DB" not in p.select_sql and '"raw_cdc"' not in p.select_sql
+
+
+def test_ddl_parser_rejects_unsupported_shapes():
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.ddl import (
+        parse_dynamic_table_ddl,
+    )
+
+    with pytest.raises(ValueError, match="equi-conjunct"):
+        parse_dynamic_table_ddl(
+            "CREATE DYNAMIC TABLE v TARGET_LAG = '1 minute' AS "
+            "SELECT t.id FROM facts t JOIN dims d ON t.x < d.y"
+        )
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_dynamic_table_ddl(
+            "CREATE DYNAMIC TABLE v AS "
+            "SELECT t.cust_id FROM facts t GROUP BY t.cust_id"
+        )
+    with pytest.raises(ValueError, match="merge key"):
+        parse_dynamic_table_ddl(
+            "CREATE DYNAMIC TABLE v AS SELECT d.name FROM facts t "
+            "JOIN dims d ON t.d_id = d.id"
+        )
+
+
+def test_engine_executes_reference_ddl_verbatim(spark, tmp_path):
+    """The whole point of the DDL surface: the notebook cell string in,
+    an incrementally-maintained view out -- and it stays equal to the
+    full recompute across change batches."""
+    customers = fixtures.make_customers(40, seed=13)
+    merchants = fixtures.make_merchants(seed=13)
+    products = fixtures.make_products(seed=13)
+    tx = fixtures.make_transactions(customers, products, merchants, n=150, orphan_frac=0.4, seed=13)
+
+    engine = Engine(spark, str(tmp_path / "cdc_prod"))
+    engine.bootstrap(
+        {
+            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+            "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+            "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+            "transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA),
+        }
+    )
+    engine.execute_ddl(REFERENCE_DDL)
+    dt = engine.manager.registry["customer_purchase_summary"]
+    assert dt.refresh_mode == "incremental" and dt.target_lag_seconds == 60
+
+    def _rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    for b in fixtures.change_log(customers, products, merchants, batches=2, rows_per_batch=25):
+        rows = [
+            (op, lsn, None, table, json.dumps(r, default=str))
+            for table, changes in b.items()
+            for op, lsn, r in changes
+        ]
+        engine.apply_batch(spark.createDataFrame(rows, FEED_SCHEMA))
+        incremental = _rows(engine.table("customer_purchase_summary"))
+        full = _rows(
+            engine.sql(SUMMARY_SQL, tables=["transactions", "customers", "products", "merchants"])
+        )
+        assert incremental == full

@@ -1,0 +1,249 @@
+"""Partition-pruned store MERGE (the O(delta) write-I/O path).
+
+Pins the two properties the pure-parquet manifest layout promises:
+(1) correctness -- merge == full read-modify-overwrite semantics, and
+(2) pruning -- a merge rewrites ONLY the hash buckets its keys touch;
+every other bucket's directory reference carries over byte-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
+    customer_purchase_summary,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+    fixtures,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+    CUSTOMERS_SCHEMA,
+    MERCHANTS_SCHEMA,
+    PRODUCTS_SCHEMA,
+    TRANSACTIONS_SCHEMA,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+    CDCPipeline,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+    DynamicTable,
+    DynamicTableManager,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+
+def _manifest(store, name):
+    v = store.current_version(name)
+    with open(os.path.join(store.root, name, f"manifest-v{v}.json")) as f:
+        return json.load(f)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_partitioned_roundtrip(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    store.overwrite("t", df, partition_key="k", n_buckets=8)
+    assert store.partition_spec("t") == ("k", 8)
+    assert _rows(store.read(spark, "t")) == _rows(df)
+    # spec is sticky: a later full overwrite keeps the partitioning
+    store.overwrite("t", df.filter(F.col("k") < 50))
+    assert store.partition_spec("t") == ("k", 8)
+    assert store.read(spark, "t").count() == 50
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    df = spark.range(200).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    store.overwrite("t", df, partition_key="k", n_buckets=8)
+    before = _manifest(store, "t")["partitions"]
+
+    # a delta touching 3 keys: update k=7, insert k=1000, delete k=11
+    upserts = spark.createDataFrame([(7, "new"), (1000, "new")], "k long, v string")
+    touched = spark.createDataFrame([(7,), (1000,), (11,)], "k long")
+    store.merge(spark, "t", upserts, touched)
+    after = _manifest(store, "t")["partitions"]
+
+    touched_buckets = {
+        r[0]
+        for r in touched.select(ParquetTableStore.bucket_expr("k", 8).alias("b"))
+        .distinct()
+        .collect()
+    }
+    changed = {b for b in before if before[b] != after.get(b)} | set(after) - set(before)
+    assert changed == {str(b) for b in touched_buckets}
+    untouched = set(before) - {str(b) for b in touched_buckets}
+    assert untouched, "test needs untouched buckets to be meaningful"
+    for b in untouched:
+        assert after[b] == before[b]  # directory reference carried over verbatim
+
+    got = {r["k"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert got[7] == "new" and got[1000] == "new"
+    assert 11 not in got
+    assert got[3] == "old" and len(got) == 200  # -1 delete +1 insert
+
+
+def test_merge_can_empty_a_bucket(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    df = spark.range(40).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    store.overwrite("t", df, partition_key="k", n_buckets=4)
+    # delete every key of bucket 0
+    b0 = df.select("k").filter(ParquetTableStore.bucket_expr("k", 4) == 0)
+    n_b0 = b0.count()
+    assert n_b0 > 0
+    empty = df.limit(0)
+    store.merge(spark, "t", empty, b0)
+    m = _manifest(store, "t")
+    assert "0" not in m["partitions"]
+    assert store.read(spark, "t").count() == 40 - n_b0
+
+
+def test_empty_partitioned_table_keeps_schema(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    store.overwrite("t", df.limit(0), partition_key="k", n_buckets=4)
+    out = store.read(spark, "t")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_crash_orphan_stage_is_invisible_and_gcd(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"), keep_versions=2)
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    store.overwrite("t", df, partition_key="k", n_buckets=4)
+    # simulate a crashed merge: stage dir written, no manifest/commit
+    orphan = os.path.join(store.root, "t", "w99-deadbeef")
+    os.makedirs(orphan)
+    assert store.read(spark, "t").count() == 10  # unreferenced -> invisible
+    # the next commits' GC removes it once versions advance
+    store.merge(spark, "t", df.limit(0), spark.createDataFrame([(1,)], "k long"))
+    store.merge(spark, "t", df.limit(0), spark.createDataFrame([(2,)], "k long"))
+    store.merge(spark, "t", df.limit(0), spark.createDataFrame([(3,)], "k long"))
+    assert not os.path.isdir(orphan)
+    assert store.read(spark, "t").count() == 7
+
+
+def test_read_previous_partitioned(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    store.overwrite("t", df, partition_key="k", n_buckets=4)
+    store.merge(
+        spark,
+        "t",
+        spark.createDataFrame([(3, "b")], "k long, v string"),
+        spark.createDataFrame([(3,)], "k long"),
+    )
+    prev = store.read_previous(spark, "t")
+    assert {r["v"] for r in prev.filter(F.col("k") == 3).collect()} == {"a"}
+    cur = store.read(spark, "t")
+    assert {r["v"] for r in cur.filter(F.col("k") == 3).collect()} == {"b"}
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: the CDC pipeline + dynamic table on a partitioned store
+# must produce exactly the snapshots the unpartitioned path produces.
+# ---------------------------------------------------------------------------
+
+SUMMARY_VIEW = dict(
+    name="customer_purchase_summary",
+    defining_fn=lambda t: customer_purchase_summary(
+        t["transactions"], t["customers"], t["products"], t["merchants"]
+    ),
+    fact_table="transactions",
+    fact_key="transaction_id",
+    view_key="transaction_id",
+    dims={
+        "customers": ("customer_id", "customer_id"),
+        "products": ("product_id", "product_id"),
+        "merchants": ("merchant_id", "merchant_id"),
+    },
+)
+
+
+def _envelope_df(spark, batch):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+    )
+
+    rows = []
+    for table, changes in batch.items():
+        for op, lsn, row in changes:
+            rows.append((op, lsn, None, table, json.dumps(row, default=str)))
+    return spark.createDataFrame(rows, FEED_SCHEMA)
+
+
+def test_cdc_pipeline_partitioned_matches_unpartitioned(spark, tmp_path):
+    customers = fixtures.make_customers(40, seed=42)
+    merchants = fixtures.make_merchants(seed=42)
+    products = fixtures.make_products(seed=42)
+    transactions = fixtures.make_transactions(
+        customers, products, merchants, n=200, orphan_frac=0.5, seed=42
+    )
+    seed = lambda: {  # noqa: E731
+        "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+        "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+        "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+        "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
+    }
+
+    plain_store = ParquetTableStore(str(tmp_path / "plain"))
+    plain = CDCPipeline(spark, plain_store)
+    plain.bootstrap(seed())
+    part_store = ParquetTableStore(str(tmp_path / "part"))
+    part = CDCPipeline(
+        spark, part_store, partition_spec={"transactions": 8, "customers": 4}
+    )
+    part.bootstrap(seed())
+
+    mgr = DynamicTableManager(spark, part_store)
+    mgr.create(DynamicTable(**SUMMARY_VIEW, partition_buckets=8))
+    mgr.attach(part)
+    plain_mgr = DynamicTableManager(spark, plain_store)
+    plain_mgr.create(DynamicTable(**SUMMARY_VIEW))
+    plain_mgr.attach(plain)
+
+    log = fixtures.change_log(customers, products, merchants, batches=3, rows_per_batch=30)
+    for i, batch in enumerate(log):
+        plain.apply_envelope_batch(_envelope_df(spark, batch), batch_id=i)
+        part.apply_envelope_batch(_envelope_df(spark, batch), batch_id=i)
+        for table in ("transactions", "customers", "products", "merchants"):
+            assert _rows(part_store.read(spark, table)) == _rows(
+                plain_store.read(spark, table)
+            ), f"{table} diverged after batch {i}"
+        assert _rows(mgr.read("customer_purchase_summary")) == _rows(
+            plain_mgr.read("customer_purchase_summary")
+        ), f"view diverged after batch {i}"
+    # pruning: a small fact-only batch (2 rows) must leave most bucket
+    # dirs of both the fact table and the view carried over verbatim
+    # (the broad batches above legitimately touch all buckets via dim
+    # fanout -- pruning kicks in exactly when deltas are narrow)
+    fact_before = _manifest(part_store, "transactions")["partitions"]
+    view_before = _manifest(part_store, "customer_purchase_summary")["partitions"]
+    tx_rows = [row for op, _, row in log[0]["transactions"] if op == "I"][:2]
+    small = {
+        "transactions": [
+            ("U", 10_000 + i, {**r, "quantity": 9}) for i, r in enumerate(tx_rows)
+        ]
+    }
+    part.apply_envelope_batch(_envelope_df(spark, small), batch_id=99)
+    plain.apply_envelope_batch(_envelope_df(spark, small), batch_id=99)
+    assert _rows(mgr.read("customer_purchase_summary")) == _rows(
+        plain_mgr.read("customer_purchase_summary")
+    )
+    fact_after = _manifest(part_store, "transactions")["partitions"]
+    view_after = _manifest(part_store, "customer_purchase_summary")["partitions"]
+    for before, after in ((fact_before, fact_after), (view_before, view_after)):
+        carried = [b for b in before if after.get(b) == before[b]]
+        rewritten = [b for b in before if after.get(b) != before[b]]
+        assert len(rewritten) <= 2  # 2 keys -> at most 2 buckets rewritten
+        assert len(carried) >= len(before) - 2
