@@ -137,6 +137,30 @@ def main() -> None:
     timings["cdc_pipeline"] = round(_bench_cdc(spark), 3)
     timings["cdc_pipeline_partitioned"] = round(_bench_cdc(spark, partitioned=True), 3)
 
+    # DuckDB wall time per oracled query on the same tables, so the
+    # "within 2x of equivalent work" gate is auditable per query
+    oracle_timings: dict[str, float] = {}
+    try:
+        from tests.oracle import duckdb_conn
+
+        con = duckdb_conn(sf_dir)
+        for name, (_fn, sql) in CATALOG.items():
+            if name == "similarity_topk_ivf":
+                # data-dependent oracle: regenerate for this scale
+                from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_ext import (
+                    ivf_oracle_sql,
+                )
+
+                sql = ivf_oracle_sql(sf_dir)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            oracle_timings[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        pass  # oracle timing is advisory; never fail the bench for it
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -150,6 +174,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_oracle_sec": oracle_timings,
                 "sf": sf_val,
             }
         )

@@ -58,14 +58,13 @@ def topk_cosine(
     )
 
 
-def _kmeans_centroids(
-    emb: DataFrame, vec_col: str, n_cells: int, seed: int, iters: int = 8,
-    sample_cap: int = 4096,
+def kmeans_on_sample(
+    X: "np.ndarray", n_cells: int, seed: int, iters: int = 8
 ) -> list[list[float]]:
-    """Seeded Lloyd's k-means on a bounded sample (the IVF coarse
-    quantizer).  kmeans++-style spread init from the sample."""
-    rows = emb.select(vec_col).limit(sample_cap).collect()
-    X = np.array([[float(x) for x in r[0]] for r in rows])
+    """Seeded Lloyd's k-means (the IVF coarse quantizer), kmeans++-style
+    spread init.  Pure numpy on an in-memory sample so the engine and
+    the oracle generator (plans/catalog_ext.py) derive bit-identical
+    centroids from the same rows."""
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
     # k-means++ init
@@ -81,6 +80,17 @@ def _kmeans_centroids(
             if (assign == j).any():
                 C[j] = X[assign == j].mean(axis=0)
     return [list(map(float, c)) for c in C]
+
+
+def _kmeans_centroids(
+    emb: DataFrame, vec_col: str, n_cells: int, seed: int, iters: int = 8,
+    sample_cap: int = 4096,
+) -> list[list[float]]:
+    """Constant-size (<= sample_cap rows) driver-side sample in scan
+    order, quantized by :func:`kmeans_on_sample`."""
+    rows = emb.select(vec_col).limit(sample_cap).collect()
+    X = np.array([[float(x) for x in r[0]] for r in rows])
+    return kmeans_on_sample(X, n_cells, seed, iters)
 
 
 def topk_cosine_ivf(
@@ -105,8 +115,6 @@ def topk_cosine_ivf(
     that sample is still constant-size, and assignment stays fully
     distributed.
     """
-    import math
-
     from pyspark.sql.functions import pandas_udf
 
     centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
@@ -124,11 +132,19 @@ def topk_cosine_ivf(
         return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     qv = [float(x) for x in query_vec]
-    probe_cells = sorted(
+    probed = probe_cells(centroids, qv, n_probe)
+
+    assigned = emb.withColumn("__cell", cell_of(F.col(vec_col)))
+    pruned = assigned.filter(F.col("__cell").isin(probed))
+    return topk_cosine(pruned.drop("__cell"), qv, k, vec_col, id_col)
+
+
+def probe_cells(centroids: list[list[float]], qv: list[float], n_probe: int) -> list[int]:
+    """The n_probe cells whose centroids sit closest to the query --
+    shared by the engine and the oracle generator."""
+    import math
+
+    return sorted(
         range(len(centroids)),
         key=lambda ci: math.dist([float(x) for x in centroids[ci]], qv),
     )[:n_probe]
-
-    assigned = emb.withColumn("__cell", cell_of(F.col(vec_col)))
-    pruned = assigned.filter(F.col("__cell").isin(probe_cells))
-    return topk_cosine(pruned.drop("__cell"), qv, k, vec_col, id_col)

@@ -3,16 +3,20 @@
 DuckDB oracle) pairs over the driver's ``documents`` / ``embeddings``
 tables.
 
-Oracle-strength notes:
-- minhash/ngram dedup, BOTH embedding near-dup variants (the exact
-  broadcast self-join and the banded hyperplane LSH -- its plane matrix
-  is md5-derived so SQL rebuilds identical buckets), and the multimodal
-  stub features (deterministic byte math over an ASCII corpus) are all
-  under the strong hash-match gate.
-- simhash (bit mixing in a pandas UDF) and IVF approximate search
-  (sampled centroids) are genuinely non-SQL-expressible; they ship as
-  rows-only entries and their correctness is pinned by pytest against
-  exact baselines instead (tests/test_extensions.py).
+Oracle-strength notes -- every entry is under the strong hash-match
+gate, including the formerly rows-only ones:
+- minhash/ngram dedup: salted-md5 lexicographic-min signatures are
+  reproducible in ANSI-ish SQL;
+- embedding near-dup, both variants: exact (block BLAS) matches the
+  all-pairs SQL; the banded hyperplane LSH's plane matrix is
+  md5-derived so SQL rebuilds identical buckets;
+- multimodal stub features: deterministic byte math over an ASCII
+  corpus (ord(char) == byte);
+- simhash: the 64-bit mixing is integer math on md5 hex digits,
+  replicated with DuckDB bit operators (SQL_SIMHASH_DUP);
+- IVF search: the quantizer is data-dependent, so its oracle is
+  GENERATED -- the same seeded numpy k-means over the same sample
+  rows, centroids embedded as SQL literals (ivf_oracle_sql).
 """
 
 from __future__ import annotations
@@ -138,9 +142,46 @@ WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.6
 
 
 def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: 64-bit mixing isn't SQL-expressible; exactness pinned
-    # against dedup_exact in tests (identical texts share a simhash).
     return simhash_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# The engine's 64-bit mixing, reproduced in SQL: bit i of a token's
+# fingerprint is bit (i%4) of hex digit 16-(i//4) of md5(token) (the
+# big-endian top 8 bytes), per-doc the +1/-1 accumulate over distinct
+# tokens sets bit i iff 2*ones_i > n_tokens, and the 64 bits fold to a
+# signed BIGINT through HUGEINT (two's-complement wrap).  Matches
+# operators/simhash.py::_simhash_one bit-for-bit -- md5 is identical in
+# both engines and everything after it is integer math.  (A doc with
+# zero tokens would be dropped here but fingerprints to 0 engine-side;
+# impossible in this corpus and irrelevant under dup_count > 1.)
+SQL_SIMHASH_DUP = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, md5(t) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  WHERE t <> ''
+),
+bitrows AS (
+  SELECT doc_id, i,
+         ((strpos('0123456789abcdef', substr(h, 16 - (i // 4), 1)) - 1) >> (i % 4)) & 1 AS b
+  FROM tok, (SELECT unnest(range(0, 64)) AS i)
+),
+acc AS (SELECT doc_id, i, sum(b) AS ones FROM bitrows GROUP BY 1, 2),
+ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+fp AS (
+  SELECT a.doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616
+                   ELSE s END AS BIGINT) AS simhash
+  FROM (
+    SELECT a.doc_id,
+           sum(CASE WHEN 2 * a.ones > t.n THEN CAST(1 AS HUGEINT) << a.i
+                    ELSE CAST(0 AS HUGEINT) END) AS s
+    FROM acc a JOIN ntok t USING (doc_id)
+    GROUP BY a.doc_id
+  ) a(doc_id, s)
+)
+SELECT simhash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM fp GROUP BY simhash HAVING count(*) > 1
+"""
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,10 +303,82 @@ LIMIT 10
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: approximate (IVF probe subset); recall vs exact top-k
-    # is asserted in tests/test_extensions.py.
+    # approximate (IVF probe subset), but fully deterministic: the
+    # coarse quantizer is a seeded k-means over the first <=4096 rows
+    # in scan order, so the oracle generator below rebuilds the same
+    # centroids + probe set and the entry sits under the hash-match
+    # gate; recall vs exact top-k is additionally pinned in tests.
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.topk_cosine_ivf(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def ivf_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> str:
+    """Generate the DuckDB oracle for ``similarity_topk_ivf``.
+
+    The quantizer is data-dependent, so the oracle is *generated*: the
+    same sample rows (first ``sample_cap`` in file order, the order a
+    single-file parquet scan yields in both engines) run through the
+    same ``kmeans_on_sample`` numpy code, and the resulting centroids
+    are embedded as SQL literals.  Cell assignment replicates numpy's
+    first-tie argmin via ``list_position(dl, list_min(dl))``.  Default
+    ``sf_dir`` is sf0.01 -- the driver's fixed comparison scale; tests
+    regenerate for other dirs.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    X = np.array(vecs[:sample_cap])
+    centroids = similarity.kmeans_on_sample(X, n_cells, seed)
+    qv = vecs[ids.index(0)]
+    probed = similarity.probe_cells(centroids, qv, n_probe)
+
+    lits = ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in centroids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+      FROM e WHERE vec_id = 0),
+cent AS (SELECT [{lits}] AS cs),
+cells AS (
+  SELECT vec_id, v,
+         list_position(dl, list_min(dl)) - 1 AS cell
+  FROM (
+    SELECT vec_id, v,
+           list_transform(cs, c ->
+             list_sum(list_transform(range(1, len(v) + 1), j -> (v[j] - c[j]) ** 2))) AS dl
+    FROM e, cent
+  )
+)
+SELECT c.vec_id,
+       list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(c.v, x -> x * x))) * q.qn) AS cosine
+FROM cells c, q
+WHERE c.cell IN ({", ".join(str(p) for p in probed)})
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+try:
+    SQL_SIMILARITY_TOPK_IVF: str | None = ivf_oracle_sql()
+except Exception:  # testdata absent (non-driver environments): rows-only
+    SQL_SIMILARITY_TOPK_IVF = None
 
 
 # ---------------------------------------------------------------------------
@@ -453,11 +566,11 @@ EXT_CATALOG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
     "ngram_jaccard_dup": (q_ngram_jaccard_dup, SQL_NGRAM_JACCARD_DUP),
-    "simhash_dup": (q_simhash_dup, None),
+    "simhash_dup": (q_simhash_dup, SQL_SIMHASH_DUP),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
-    "similarity_topk_ivf": (q_similarity_topk_ivf, None),
+    "similarity_topk_ivf": (q_similarity_topk_ivf, SQL_SIMILARITY_TOPK_IVF),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),

@@ -269,6 +269,27 @@ def dynamic_table_from_sql(
             "requires group_col= (the grouping fact column); pass it, or use "
             "refresh_mode='full'"
         )
+    # every table the SQL scans must be registered (fact or dims):
+    # deltas of unregistered tables would otherwise be silently ignored
+    # and the materialization would go stale without an error
+    referenced = {
+        _re.split(r"\s*\.\s*", m.group(1))[-1].strip('"').lower()
+        for m in _re.finditer(
+            r'(?i)\b(?:FROM|JOIN)\s+((?:[A-Za-z_][\w$]*|"[^"]+")'
+            r'(?:\s*\.\s*(?:[A-Za-z_][\w$]*|"[^"]+"))*)',
+            sql,
+        )
+    }
+    known = {fact_table.lower(), *(d.lower() for d in dims)}
+    unknown = referenced - known
+    if unknown and refresh_mode == "incremental":
+        raise ValueError(
+            f"dynamic table {name!r}: defining SQL references "
+            f"{sorted(unknown)} which are neither the fact table nor "
+            "registered dims -- their changes would never trigger a "
+            "refresh. Register them in dims= (delta-keyed propagation "
+            "handles fact-sized tables too) or use refresh_mode='full'"
+        )
 
     def defining_fn(tables: dict[str, DataFrame]) -> DataFrame:
         for t, df in tables.items():
