@@ -1,0 +1,118 @@
+"""Window-family operators: analytic windows, sessionization, as-of
+join.
+
+None of these exist in the reference (its only window is the CDC
+latest-per-key row_number), but they are the standard next step for
+any user who outgrows the quickstart's workload -- and all three are
+single-shuffle plans at 100 TB:
+
+- analytic windows: ONE Exchange on the partition key, every frame
+  function (lag/lead/rank/running sum) evaluated in the same Window
+  operator pass;
+- sessionization: the classic gap-and-island build -- lag for the gap
+  flag, running sum for the session id -- still one shuffle;
+- as-of join: the union trick.  Tag both sides, sort each key's
+  timeline once, and carry the right side's last value forward with
+  ``last(ignorenulls=True)``.  One shuffle of (left + right), NO
+  range-join explosion, no per-row probing -- the canonical
+  distributed as-of layout (native ASOF joins in DuckDB/kdb do the
+  same merge per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def analytic_window(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+) -> DataFrame:
+    """lag/lead/rank/running-sum of ``value`` over one (key, order)
+    window -- one shuffle, one Window pass."""
+    w = Window.partitionBy(key).orderBy(*order)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        key,
+        *order,
+        F.col(value),
+        F.lag(value).over(w).alias("prev_value"),
+        F.lead(value).over(w).alias("next_value"),
+        F.row_number().over(w).alias("seq"),
+        F.sum(value).over(frame).alias("running_value"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``.  Gap math is integer
+    microseconds (``unix_micros``) so every engine agrees exactly."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.select(
+        key,
+        order_tiebreak,
+        F.col(ts_col),
+        F.sum(new_session).over(run).alias("session_seq"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """For each left row: ``value`` of the right row with the greatest
+    ``right_ts <= left_ts`` for the same key (NULL if none).
+
+    Right rows sharing a (key, ts) must be pre-deduped by the caller if
+    a specific winner is required; this operator keeps whichever sorts
+    last on (ts).  Implementation is the union trick described in the
+    module docstring: right rows sort BEFORE left rows at equal
+    timestamps (side 0 < 1), giving inclusive <= semantics."""
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(right.schema[value].dataType).alias("__v"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema) + ">"
+        ).alias("__l"),
+        F.col(value).alias("__v"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        out_col, F.last("__v", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("__side") == 1)
+        .select(F.col("__l.*"), F.col(out_col))
+    )

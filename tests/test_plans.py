@@ -60,3 +60,28 @@ def test_latest_per_key_single_shuffle(spark):
     # one hash-partitioning exchange on the window key, nothing else
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+def test_window_pack_single_shuffle(spark):
+    # lag/lead/row_number/running-sum must share ONE window exchange
+    plan = plan_of(CATALOG["window_analytics"][0](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = plan_of(CATALOG["sessionize"][0](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_union_not_range_join(spark):
+    # the union trick: no join operator at all in the merged timeline --
+    # a BroadcastNestedLoopJoin/range join here would explode at scale
+    plan = plan_of(CATALOG["asof_last_order"][0](spark, SF), mode="simple")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_rollup_is_expand_plus_partial_agg(spark):
+    plan = plan_of(CATALOG["rollup_pricing"][0](spark, SF), mode="simple")
+    assert "Expand" in plan  # one pass generates all grouping sets
+    assert plan.count("Exchange hashpartitioning") == 1
