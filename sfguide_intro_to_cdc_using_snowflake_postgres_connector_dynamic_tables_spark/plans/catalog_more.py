@@ -240,6 +240,190 @@ FROM r WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# String-function pack (all JVM built-ins, codegen'd).
+# ---------------------------------------------------------------------------
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.substring("c_name", 3, 5).alias("name_mid"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.length("c_name").alias("name_len"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_mktsegment) AS lower_seg,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       substr(c_name, 3, 5) AS name_mid,
+       replace(c_name, '#', '-') AS dashed,
+       regexp_extract(c_name, '[0-9]+') AS digits,
+       split_part(c_name, '#', 2) AS after_hash,
+       reverse(c_mktsegment) AS rev_seg,
+       length(c_name) AS name_len,
+       strpos(c_name, '#') AS hash_pos,
+       concat_ws('-', c_mktsegment, c_name) AS joined
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datetime pack (dayofweek aligned to Sunday=0 in both engines).
+# ---------------------------------------------------------------------------
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.date_trunc("month", "ts").cast("date").alias("month_start"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.year("ts").alias("yr"),
+        F.quarter("ts").alias("qtr"),
+        F.last_day(F.to_date("ts")).alias("month_end"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+    )
+
+
+SQL_DATETIME_FUNCTIONS = """
+SELECT event_id,
+       CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week_start,
+       CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month_start,
+       dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+       dayofyear(CAST(ts AS TIMESTAMP)) AS doy,
+       year(CAST(ts AS TIMESTAMP)) AS yr,
+       quarter(CAST(ts AS TIMESTAMP)) AS qtr,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY 2.6 -- none in the reference, standard surface).
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    with_events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("custkey")).distinct()
+    both = with_orders.intersect(with_events).select("custkey", F.lit("both").alias("cohort"))
+    orders_only = with_orders.exceptAll(with_events).distinct().select(
+        "custkey", F.lit("orders_only").alias("cohort")
+    )
+    events_only = with_events.exceptAll(with_orders).distinct().select(
+        "custkey", F.lit("events_only").alias("cohort")
+    )
+    return both.unionByName(orders_only).unionByName(events_only)
+
+
+SQL_SET_OPS = """
+WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+     we AS (SELECT DISTINCT user_id AS custkey FROM events)
+SELECT custkey, 'both' AS cohort FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM we)
+UNION ALL
+SELECT custkey, 'orders_only' FROM (SELECT custkey FROM wo EXCEPT SELECT custkey FROM we)
+UNION ALL
+SELECT custkey, 'events_only' FROM (SELECT custkey FROM we EXCEPT SELECT custkey FROM wo)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped COUNT(DISTINCT).
+# ---------------------------------------------------------------------------
+
+def q_grouped_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_GROUPED_COUNT_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus filter: the end-to-end composition a data pipeline
+# actually runs -- exact-dedup keeper ∩ language gate ∩ quality gate.
+# ---------------------------------------------------------------------------
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = text.quality_score(docs)
+    lang = text.language_id(docs)
+    keepers = dedup.dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    return (
+        quality.join(lang, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "quality", "lang_pred")
+    )
+
+
+SQL_CORPUS_FILTER = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         least(n_chars / 500.0, 1.0) * 0.4
+         + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.4
+         + least(len(list_filter(toks,
+               x -> x IN ('the','a','an','and','of','to','in','is'))) / 5.0, 1.0) * 0.2
+           AS quality
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS score_en,
+         len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS score_de,
+         len(list_filter(toks, x -> x IN ('el','la','los','y'))) AS score_es,
+         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS score_fr,
+         len(list_filter(toks, x -> x IN ('de5','le5','shi4','zai4'))) AS score_zh
+  FROM t
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+              WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+              WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+              WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM s
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT q.doc_id, q.quality, l.lang_pred
+FROM quality q
+JOIN lang l USING (doc_id)
+WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+  AND q.quality >= 0.5 AND l.lang_pred = 'en'
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -248,4 +432,9 @@ MORE_CATALOG: dict[str, tuple] = {
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "string_functions": (q_string_functions, SQL_STRING_FUNCTIONS),
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "grouped_count_distinct": (q_grouped_count_distinct, SQL_GROUPED_COUNT_DISTINCT),
+    "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
 }

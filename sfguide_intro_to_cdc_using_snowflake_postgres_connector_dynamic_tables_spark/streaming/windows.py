@@ -42,6 +42,34 @@ def tumbling_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "15 minutes",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): a session extends
+    while events keep arriving within ``gap`` of the previous one and
+    closes (emitting one final row, output mode 'append') once the
+    watermark passes the gap -- the streaming dual of the batch
+    ``operators.window_ops.sessionize``.  State per open session only;
+    the watermark bounds it."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            key,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sliding_rates(
     events: DataFrame,
     window: str = "10 minutes",

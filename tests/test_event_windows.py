@@ -89,3 +89,55 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # on-time row updated its window; the 00:00 window never appeared
     assert results[("2024-01-01 02:00:00", "click")] == (3, 7.0)
     assert ("2024-01-01 00:00:00", "click") not in results
+
+
+def test_session_windows_batch_and_stream(spark, tmp_path):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.windows import (
+        session_windows,
+    )
+
+    # batch semantics: two sessions for user 1 (65-min gap), one for user 2
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:20:00", 2.0),   # within 30min of previous -> same session
+        (1, "2024-01-01 01:25:00", 4.0),   # 65min gap -> new session
+        (2, "2024-01-01 00:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in session_windows(df, gap="30 minutes").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01 01:25:00")] == (1, 4.0)
+    assert got[(2, "2024-01-01 00:00:00")] == (1, 8.0)
+
+    # streaming: a session only emits once the watermark closes it
+    feed = str(tmp_path / "sfeed")
+    emitted = []
+
+    def sink(batch, bid):
+        emitted.extend(
+            (r["user_id"], str(r["session_start"]), r["n_events"]) for r in batch.collect()
+        )
+
+    _write(feed, "s1", [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01 00:10:00", "value": 2.0},
+        # event time far ahead: watermark passes the first session's gap
+        {"user_id": 9, "ts": "2024-01-01 06:00:00", "value": 0.0},
+    ])
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").json(feed)
+    agg = session_windows(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (1, "2024-01-01 00:00:00", 2) in emitted          # closed session emitted
+    assert not any(u == 9 for u, _, _ in emitted)            # open session still held
