@@ -53,19 +53,18 @@ def main() -> None:
     print("snapshot replication:")
     engine.replication_state().show()
 
-    # 2. CREATE DYNAMIC TABLE ... TARGET_LAG='1 minute' REFRESH_MODE=INCREMENTAL
-    engine.create_dynamic_table_sql(
-        "customer_purchase_summary",
-        CUSTOMER_PURCHASE_SUMMARY_SQL,
-        fact_table="transactions",
-        fact_key="transaction_id",
-        view_key="transaction_id",
-        dims={
-            "customers": ("customer_id", "customer_id"),
-            "products": ("product_id", "product_id"),
-            "merchants": ("merchant_id", "merchant_id"),
-        },
-        target_lag="1 minute",
+    # 2. the notebook's DDL cell, verbatim -- name, TARGET_LAG,
+    # REFRESH_MODE and the fact/dim maintenance metadata are all parsed
+    # or inferred from the SQL text (streaming/ddl.py), exactly like
+    # Snowflake; no Python-side metadata
+    engine.execute_ddl(
+        f"""
+        CREATE OR REPLACE DYNAMIC TABLE cdc_prod.analytics.customer_purchase_summary
+        TARGET_LAG = '1 minute'
+        WAREHOUSE = cdc_ds_wh
+        REFRESH_MODE = INCREMENTAL
+        AS {CUSTOMER_PURCHASE_SUMMARY_SQL}
+        """
     )
     n0 = engine.table("customer_purchase_summary").count()
     print(f"dynamic table initialized: {n0} rows (orphan transactions dropped)")

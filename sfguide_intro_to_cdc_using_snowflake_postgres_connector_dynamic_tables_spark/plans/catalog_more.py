@@ -317,13 +317,20 @@ FROM events
 # ---------------------------------------------------------------------------
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT == left-semi and EXCEPT == left-anti on distinct inputs;
+    # the join formulation broadcasts the smaller key set instead of
+    # Spark's replicaterows INTERSECT/EXCEPT-ALL construction, and the
+    # two distinct aggregates are shared across all three branches
+    # (ReusedExchange) -- the scale-friendly shape for cohort splits.
     with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
     with_events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("custkey")).distinct()
-    both = with_orders.intersect(with_events).select("custkey", F.lit("both").alias("cohort"))
-    orders_only = with_orders.exceptAll(with_events).distinct().select(
+    both = with_orders.join(with_events, "custkey", "left_semi").select(
+        "custkey", F.lit("both").alias("cohort")
+    )
+    orders_only = with_orders.join(with_events, "custkey", "left_anti").select(
         "custkey", F.lit("orders_only").alias("cohort")
     )
-    events_only = with_events.exceptAll(with_orders).distinct().select(
+    events_only = with_events.join(with_orders, "custkey", "left_anti").select(
         "custkey", F.lit("events_only").alias("cohort")
     )
     return both.unionByName(orders_only).unionByName(events_only)
@@ -424,6 +431,184 @@ WHERE q.doc_id IN (SELECT doc_id FROM keepers)
 """
 
 
+# ---------------------------------------------------------------------------
+# Composite analytics (TPC-H Q3/Q5/Q10 shapes on the driver schema):
+# multi-join + filter + agg + top-k in one plan -- the workloads join
+# ordering and broadcast decisions actually matter for.
+# ---------------------------------------------------------------------------
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3_TOP_ORDERS = """
+SELECT l_orderkey AS orderkey, o_orderdate AS orderdate,
+       o_orderpriority AS orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderkey ASC LIMIT 10
+"""
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_Q5_REGION_VOLUME = """
+SELECT n_name AS nation, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10_RETURNED_REVENUE = """
+SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+       n_name AS nation,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, custkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide metric columns -> long (metric, val) rows.
+# ---------------------------------------------------------------------------
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array-function pack over the embedding column (scalar outputs so the
+# driver's row canonicalization applies).
+# ---------------------------------------------------------------------------
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.array_min(v).alias("v_min"),
+        F.array_max(v).alias("v_max"),
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x).alias("v_sum"),
+        F.element_at(v, 1).alias("first_component"),
+        F.aggregate(F.slice(v, 1, 4), F.lit(0.0), lambda acc, x: acc + x).alias("head4_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       len(v) AS dim,
+       list_min(v) AS v_min,
+       list_max(v) AS v_max,
+       list_sum(v) AS v_sum,
+       v[1] AS first_component,
+       list_sum(list_slice(v, 1, 4)) AS head4_sum,
+       len(list_filter(v, x -> x > 0)) AS n_positive
+FROM e
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -437,4 +622,9 @@ MORE_CATALOG: dict[str, tuple] = {
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "grouped_count_distinct": (q_grouped_count_distinct, SQL_GROUPED_COUNT_DISTINCT),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
+    "q3_top_orders": (q3_top_orders, SQL_Q3_TOP_ORDERS),
+    "q5_region_volume": (q5_region_volume, SQL_Q5_REGION_VOLUME),
+    "q10_returned_revenue": (q10_returned_revenue, SQL_Q10_RETURNED_REVENUE),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
+    "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
 }
