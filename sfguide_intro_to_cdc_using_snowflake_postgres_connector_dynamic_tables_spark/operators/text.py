@@ -155,3 +155,48 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(F.encode(bag, "UTF-8")).alias("content_fp"),
         F.md5(F.encode(F.substring(F.col(text_col), 1, 64), "UTF-8")).alias("prefix_fp"),
     )
+
+
+#: PII patterns restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically: char classes, bounded repeats, no
+#: backrefs or lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def clean_text(text: Column, min_token_len: int = 2) -> Column:
+    """Normalization pipeline for corpus prep: lowercase, strip
+    non-alphanumerics, collapse whitespace, drop tokens shorter than
+    ``min_token_len``.  Pure codegen expressions -- linear scan, no
+    shuffle, no Python."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    c = F.trim(c)
+
+    def keep(t: Column) -> Column:
+        # close over min_token_len (int); never a defaulted Column param
+        return F.length(t) >= min_token_len
+
+    return F.array_join(F.filter(F.split(c, " "), keep), " ")
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, US-style phone numbers, and IPv4 addresses with
+    typed placeholder tokens.  Pattern order matters: emails first so
+    their dotted domains are not half-eaten by the IP pattern."""
+    c = text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind match counts (pre-scrub audit columns)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name.strip('<>').lower()}")
+        for pat, name in PII_PATTERNS
+    ]

@@ -522,9 +522,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 def _register_extensions() -> None:
     from .catalog_ext import EXT_CATALOG
     from .catalog_more import MORE_CATALOG
+    from .catalog_pipeline import PIPELINE_CATALOG
 
     CATALOG.update(EXT_CATALOG)
     CATALOG.update(MORE_CATALOG)
+    CATALOG.update(PIPELINE_CATALOG)
 
 
 _register_extensions()

@@ -1,0 +1,253 @@
+"""Training-data pipeline catalog entries: deterministic corpus split,
+benchmark decontamination, normalization/PII scrub, CUBE aggregation,
+and an interval (equi + time-range) join.
+
+Every entry is a (spark_fn, duckdb_sql) pair under the driver's
+hash-match gate.  The SQL mirrors semantics, not syntax: e.g. the hash
+bucket is ``conv(substr(md5(id),1,2),16,10)`` on the Spark side and
+strpos nibble arithmetic on the DuckDB side -- same value byte-for-byte.
+
+Scale notes per entry are in the function docstrings; the common theme
+is that everything rides built-in expressions (codegen) and the only
+shuffles are the explicitly keyed joins/aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import corpus, text as text_ops
+from ..sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split.  No sampling pass, no global sort,
+# no driver state: each row derives its split from md5(doc_id), so the
+# assignment is stable under appends, reshuffles, and backfills -- the
+# property a 100 TB corpus split actually needs.
+# ---------------------------------------------------------------------------
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.assign_split(docs).select("doc_id", "lang", "split")
+
+
+SQL_CORPUS_SPLIT = f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 205 THEN 'train'
+            WHEN bucket < 231 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: train docs sharing any 8-gram with the test
+# split.  The benchmark gram set is broadcast (eval suites are small by
+# construction), so the contamination check adds no train-side shuffle
+# beyond the final per-doc count.
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.decontaminate(docs).select(
+        "doc_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH b AS (SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents),
+s AS (SELECT doc_id, text,
+             CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 231 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b),
+toks AS (SELECT doc_id, split,
+                list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         FROM s),
+grams AS (
+  SELECT DISTINCT doc_id, split, g
+  FROM (SELECT doc_id, split,
+               unnest(list_transform(range(1, len(tk) - 6),
+                      i -> array_to_string(list_slice(tk, i, i + 7), '_'))) AS g
+        FROM toks) u),
+bench AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+shared AS (
+  SELECT gr.doc_id, count(DISTINCT gr.g) AS n_shared
+  FROM grams gr JOIN bench USING (g)
+  WHERE gr.split = 'train'
+  GROUP BY 1)
+SELECT s.doc_id, CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared
+FROM s LEFT JOIN shared ON s.doc_id = shared.doc_id
+WHERE s.split = 'train'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalization pipeline (lowercase / strip / collapse / short-token
+# drop) -- pure codegen, no shuffle.
+# ---------------------------------------------------------------------------
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = text_ops.clean_text(F.col("text"))
+    kept = F.split(cleaned, " ")
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.when(cleaned == "", F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+
+
+SQL_TEXT_CLEAN = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS t
+  FROM documents),
+f AS (SELECT doc_id,
+             array_to_string(list_filter(string_split(t, ' '), x -> len(x) >= 2), ' ') AS cleaned
+      FROM c)
+SELECT doc_id, cleaned,
+       CAST(CASE WHEN cleaned = '' THEN 0
+                 ELSE len(string_split(cleaned, ' ')) END AS BIGINT) AS n_tokens_kept
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub.  The synthetic corpus has no PII, so the entry plants a
+# deterministic email/phone/IP per row (both engines build the identical
+# dirty string) and verifies the scrubbed output and per-kind counts.
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com or call 415-555-"),
+        F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), F.pmod(d, F.lit(256)).cast("string"), F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id",
+        text_ops.scrub_pii(dirty).alias("scrubbed"),
+        *[c.cast("long") for c in text_ops.pii_counts(dirty)],
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS dirty
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(dirty,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(dirty, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(dirty, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping-set combinations of (returnflag, linestatus) with
+# per-column GROUPING flags.  One Expand + one partial/final aggregate;
+# the 4x row inflation happens pre-shuffle on tiny grouping keys.
+# ---------------------------------------------------------------------------
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval join: for each error event, clicks by the same user within
+# the following hour.  Equi key first (user_id -> one hash shuffle),
+# time range as a residual filter -- the scale-correct shape; a pure
+# range join would need time-bucket blocking instead.
+# ---------------------------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("err_ts"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("clk_ts")
+    )
+    j = err.join(
+        clk,
+        (F.col("u") == F.col("cu"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") < F.col("err_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy("err_id", "u", "err_ts").agg(
+        F.count("clk_ts").alias("n_clicks_1h")
+    ).select(
+        "err_id", F.col("u").alias("user_id"), "err_ts", "n_clicks_1h"
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+err AS (SELECT event_id AS err_id, user_id AS u, ts AS err_ts FROM e WHERE event_type = 'error'),
+clk AS (SELECT user_id AS cu, ts AS clk_ts FROM e WHERE event_type = 'click')
+SELECT err_id, u AS user_id, err_ts, CAST(count(clk_ts) AS BIGINT) AS n_clicks_1h
+FROM err LEFT JOIN clk
+  ON cu = u AND clk_ts >= err_ts AND clk_ts < err_ts + INTERVAL 1 HOUR
+GROUP BY 1, 2, 3
+"""
+
+
+PIPELINE_CATALOG: dict[str, tuple] = {
+    "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+}

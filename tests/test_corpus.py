@@ -1,0 +1,139 @@
+"""Corpus-pipeline operator semantics: deterministic splits, benchmark
+decontamination, text cleaning, PII scrubbing, and the interval-join /
+CUBE boundary behavior the oracle comparison alone doesn't isolate."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+    corpus,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
+    clean_text,
+    scrub_pii,
+)
+
+
+def test_split_deterministic_and_stable_under_append(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in corpus.assign_split(docs).collect()}
+    # same ids through a different (unioned, repartitioned) lineage get
+    # the identical assignment -- membership depends only on the id
+    again = (
+        docs.union(spark.range(2000, 2500).withColumnRenamed("id", "doc_id"))
+        .repartition(13)
+    )
+    b = {r["doc_id"]: r["split"] for r in corpus.assign_split(again).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # proportions near 80/10/10 (hash-uniform, not exact)
+    n = len(b)
+    frac = {s: sum(1 for v in b.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.74 < frac["train"] < 0.86
+    assert 0.06 < frac["val"] < 0.14
+    assert 0.06 < frac["test"] < 0.14
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # find one id per split so the plant is guaranteed regardless of
+    # md5 assignment
+    probe = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    splits = {r["doc_id"]: r["split"] for r in corpus.assign_split(probe).collect()}
+    test_id = next(i for i, s in splits.items() if s == "test")
+    train_a, train_b = [i for i, s in splits.items() if s == "train"][:2]
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 tail"
+    rows = [
+        (test_id, bench_text),               # benchmark doc
+        (train_a, "pre " + bench_text),      # contains its 8-gram
+        (train_b, "a b c d e f g h i"),      # clean train doc -> n_shared = 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared"] for r in corpus.decontaminate(docs).collect()}
+    assert out[rows[1][0]] >= 1
+    assert out[rows[2][0]] == 0
+    # benchmark doc itself is not in the output (train rows only)
+    assert test_id not in out
+
+
+def test_decontaminate_short_doc_has_no_grams(spark):
+    # fewer than 8 tokens -> no grams -> never contaminated, no crash
+    probe = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    by_split = {
+        r["split"]: r["doc_id"]
+        for r in corpus.assign_split(probe).dropDuplicates(["split"]).collect()
+    }
+    docs = spark.createDataFrame(
+        [(by_split["train"], "one two three"), (by_split["test"], "one two three")],
+        "doc_id long, text string",
+    )
+    out = corpus.decontaminate(docs).collect()
+    assert [(r["doc_id"], r["n_shared"]) for r in out] == [(by_split["train"], 0)]
+
+
+def test_clean_text_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   WORLD!! a b2c x"),
+            (2, "!!! ??? ..."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["c"] for r in df.select("doc_id", clean_text(F.col("text")).alias("c")).collect()}
+    assert out[1] == "hello world b2c"  # punctuation gone, 1-char tokens dropped
+    assert out[2] == ""
+    assert out[3] == ""
+
+
+def test_scrub_pii_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "mail Jane.Doe+x@corp.example.org or 212-555-0147 at 192.168.1.10 end")],
+        "doc_id long, text string",
+    )
+    got = df.select(scrub_pii(F.col("text")).alias("s")).first()["s"]
+    assert got == "mail <EMAIL> or <PHONE> at <IP> end"
+
+
+def test_interval_join_boundary(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_pipeline import (
+        q_interval_join,
+    )
+    # build a miniature events table through a temp view shim: the
+    # catalog fn reads parquet, so test the join predicate directly here
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    err = spark.createDataFrame([(100, 7, t0)], "err_id long, u long, err_ts timestamp")
+    clk = spark.createDataFrame(
+        [
+            (7, t0),                                    # same instant: counted
+            (7, t0 + datetime.timedelta(minutes=59)),   # inside: counted
+            (7, t0 + datetime.timedelta(hours=1)),      # exactly +1h: excluded
+            (8, t0 + datetime.timedelta(minutes=5)),    # other user: excluded
+        ],
+        "cu long, clk_ts timestamp",
+    )
+    j = err.join(
+        clk,
+        (F.col("u") == F.col("cu"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") < F.col("err_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).groupBy("err_id").agg(F.count("clk_ts").alias("n"))
+    assert j.first()["n"] == 2
+
+
+def test_cube_grouping_flags(spark):
+    df = spark.createDataFrame(
+        [("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0)], "rf string, ls string, q double"
+    )
+    out = df.cube("rf", "ls").agg(
+        F.sum("q").alias("s"),
+        F.grouping("rf").cast("int").alias("g_rf"),
+        F.grouping("ls").cast("int").alias("g_ls"),
+    )
+    rows = {(r["rf"], r["ls"]): (r["s"], r["g_rf"], r["g_ls"]) for r in out.collect()}
+    assert rows[(None, None)] == (6.0, 1, 1)       # grand total
+    assert rows[("A", None)] == (3.0, 0, 1)        # rf subtotal
+    assert rows[(None, "x")] == (4.0, 1, 0)        # ls subtotal
+    assert rows[("B", "x")] == (3.0, 0, 0)         # detail
