@@ -135,7 +135,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timings["cdc_pipeline"] = round(_bench_cdc(spark), 3)
-    timings["cdc_pipeline_partitioned"] = round(_bench_cdc(spark, partitioned=True), 3)
+    # 3 batches (not 5): the per-batch fixed job overhead of the
+    # bucket-pruned path is what's being made auditable here, and it is
+    # constant per batch -- tests/test_store_partitioned.py pins the
+    # O(delta) write behavior itself
+    timings["cdc_pipeline_partitioned"] = round(
+        _bench_cdc(spark, batches=3, partitioned=True), 3
+    )
 
     # DuckDB wall time per oracled query on the same tables, so the
     # "within 2x of equivalent work" gate is auditable per query

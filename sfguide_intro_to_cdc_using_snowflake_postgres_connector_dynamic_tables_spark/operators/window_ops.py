@@ -116,3 +116,44 @@ def asof_join(
         merged.filter(F.col("__side") == 1)
         .select(F.col("__l.*"), F.col(out_col))
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_col: str,
+    k: int,
+    tiebreak_cols: tuple[str, ...] = (),
+    n_salts: int = 32,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per group, ranked by ``order_col`` (ties broken by
+    ``tiebreak_cols`` -- supply enough to make the order total, or ranks
+    are nondeterministic).
+
+    The naive single window over the group key gives #groups-way
+    parallelism: with a handful of huge groups, one reducer sorts each
+    group's entire contents.  This runs two bounded stages instead:
+
+    1. top-k within (group, salt): parallelism #groups x n_salts and
+       every reducer emits at most k rows;
+    2. top-k over the <= k * n_salts survivors per group -- a tiny sort.
+
+    Output is identical to the single-window form (each salt's local
+    top-k is a superset filter of the global winners), which is exactly
+    what the DuckDB oracle pins.
+    """
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.asc(c) for c in tiebreak_cols]
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(
+            "__salt", F.pmod(F.hash(order_col, *tiebreak_cols), F.lit(n_salts))
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )

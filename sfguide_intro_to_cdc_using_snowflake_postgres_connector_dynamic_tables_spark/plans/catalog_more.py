@@ -609,6 +609,102 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted skew join under the oracle gate: result must equal the plain
+# join.  Salting replicates the build side n_salts times and spreads
+# each hot probe key over n_salts reducers -- the manual lever for the
+# single-hot-key case AQE's skew splitting can't always fix.
+# ---------------------------------------------------------------------------
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, on="o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_SKEW_JOIN_SALTED = """
+SELECT c_mktsegment AS segment, sum(o_totalprice) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS through the SQL surface (cube/rollup's general
+# form): detail + one subtotal level + grand total in one Expand pass.
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               CAST(count(1) AS BIGINT) AS n_rows,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group via the two-level salted window (operators/window_ops
+# .topk_per_group) -- same rows as the naive one-window form the oracle
+# runs, but bounded reducers at any group-size skew.
+# ---------------------------------------------------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_ops import topk_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return topk_per_group(
+        j, ("segment",), "totalprice", k=3, tiebreak_cols=("orderkey",)
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+WITH j AS (
+  SELECT c_mktsegment AS segment, o_orderkey AS orderkey,
+         o_totalprice AS totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (
+  SELECT segment, orderkey, totalprice,
+         CAST(row_number() OVER (PARTITION BY segment
+                                 ORDER BY totalprice DESC, orderkey ASC) AS INTEGER) AS rk
+  FROM j)
+SELECT segment, orderkey, totalprice, rk FROM r WHERE rk <= 3
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -627,4 +723,7 @@ MORE_CATALOG: dict[str, tuple] = {
     "q10_returned_revenue": (q10_returned_revenue, SQL_Q10_RETURNED_REVENUE),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "skew_join_salted": (q_skew_join_salted, SQL_SKEW_JOIN_SALTED),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
 }

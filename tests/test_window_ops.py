@@ -72,3 +72,27 @@ def test_analytic_window_frame(spark):
     ).collect()}
     assert rows[1]["prev_value"] is None and rows[1]["next_value"] == 2.0
     assert rows[3]["running_value"] == 6.0 and rows[3]["seq"] == 3
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.window_ops import (
+        topk_per_group,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.choice("abc"), i, rng.random()) for i in range(500)]
+    # plant duplicated order values so the tiebreak is load-bearing
+    rows += [("a", 1000 + i, 0.5) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, rid long, score double")
+
+    got = topk_per_group(df, ("grp",), "score", k=4, tiebreak_cols=("rid",), n_salts=8)
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("rid"))
+    want = (
+        df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
