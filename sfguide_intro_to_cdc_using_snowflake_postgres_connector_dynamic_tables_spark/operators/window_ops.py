@@ -142,6 +142,14 @@ def topk_per_group(
     Output is identical to the single-window form (each salt's local
     top-k is a superset filter of the global winners), which is exactly
     what the DuckDB oracle pins.
+
+    NB: for rank/row_number filters specifically, Spark >= 3.5 already
+    inserts partial/final ``WindowGroupLimit`` (map-side truncation to
+    k rows per group before the shuffle) -- visible in this plan too.
+    The salted form stays valuable for window functions and frames that
+    optimization can't cover (aggregates over group frames, percentile
+    cuts), and bounds the *reducer* side as well when map partitions
+    are many.
     """
     order = [F.desc(order_col) if descending else F.asc(order_col)]
     order += [F.asc(c) for c in tiebreak_cols]

@@ -85,3 +85,42 @@ def test_rollup_is_expand_plus_partial_agg(spark):
     plan = plan_of(CATALOG["rollup_pricing"][0](spark, SF), mode="simple")
     assert "Expand" in plan  # one pass generates all grouping sets
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(CATALOG["q5_region_volume"][0](spark, SF), mode="simple")
+    # supplier/customer/nation/region all broadcast; at sf0.001 orders
+    # broadcasts too under AQE -- the invariant is NO sort-merge join
+    # and no more than one fact-side hash exchange (the final agg's)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_per_group_no_single_reducer_sort(spark):
+    plan = plan_of(CATALOG["topk_per_group"][0](spark, SF), mode="simple")
+    # two window stages (salted then global), never a global Sort over
+    # the whole input without partitioning
+    assert plan.count("+- Window ") == 2
+    # stage-1 sort is per (group, salt) partition
+    assert "__salt" in plan
+    # Spark >= 3.5 additionally pushes partial WindowGroupLimit before
+    # each exchange -- map-side truncation to k rows per group
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    plan = plan_of(CATALOG["decontaminate"][0](spark, SF), mode="simple")
+    # the benchmark gram set rides a broadcast; the train side is never
+    # shuffled for the contamination check itself
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    plan = plan_of(CATALOG["unpivot_metrics"][0](spark, SF), mode="simple")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_corpus_split_zero_shuffle(spark):
+    plan = plan_of(CATALOG["corpus_split"][0](spark, SF), mode="simple")
+    assert "Exchange" not in plan  # pure projection
