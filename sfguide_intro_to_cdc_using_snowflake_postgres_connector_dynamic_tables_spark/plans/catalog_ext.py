@@ -562,7 +562,46 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# Video frame sampling: the expansion step (one row per sampled frame
+# timestamp) is pure relational -- sequence + explode, no Python; the
+# per-frame decode would then flow through extract_features.  Synthetic
+# videos: duration derived from n_chars so both engines build the same
+# corpus.
+# ---------------------------------------------------------------------------
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), (F.col("n_chars") * 40).cast("int"),
+            F.lit("codec"), F.lit("raw"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         greatest(CAST(floor((n_chars * 40) / 1000.0) AS INTEGER), 1) AS n_frames
+  FROM documents)
+SELECT media_id, CAST(unnest(range(0, n_frames)) * 1000 AS BIGINT) AS frame_ts_ms
+FROM v
+"""
+
+
 EXT_CATALOG: dict[str, tuple] = {
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
     "ngram_jaccard_dup": (q_ngram_jaccard_dup, SQL_NGRAM_JACCARD_DUP),

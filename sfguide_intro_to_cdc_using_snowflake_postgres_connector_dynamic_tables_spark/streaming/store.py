@@ -149,6 +149,37 @@ class ParquetTableStore:
             raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
         return self._read_version(spark, name, v)
 
+    def versions(self, name: str) -> list[int]:
+        """Committed versions still readable on disk, oldest first.
+        Retention is ``keep_versions`` back from the current pointer;
+        older snapshots are GC'd at commit time."""
+        cur = self.current_version(name)
+        if cur is None:
+            return []
+        tdir = self._table_dir(name)
+        out = []
+        for v in range(max(1, cur - self.keep_versions), cur + 1):
+            if self._read_manifest(name, v) is not None or os.path.isdir(
+                os.path.join(tdir, f"v{v}")
+            ):
+                out.append(v)
+        return out
+
+    def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
+        """Time travel: read a specific retained snapshot version.
+
+        The same mechanism Delta/Iceberg expose as ``VERSION AS OF``;
+        here retention is version-count-bounded (``keep_versions``), so
+        a GC'd version raises instead of silently reading the wrong
+        data."""
+        avail = self.versions(name)
+        if version not in avail:
+            raise ValueError(
+                f"version {version} of {name!r} is not retained "
+                f"(available: {avail}; keep_versions={self.keep_versions})"
+            )
+        return self._read_version(spark, name, version)
+
     def read_previous(self, spark: SparkSession, name: str) -> DataFrame | None:
         """The snapshot before the current one (None if this is the
         first version).  Valid while ``keep_versions >= 2``; used by
