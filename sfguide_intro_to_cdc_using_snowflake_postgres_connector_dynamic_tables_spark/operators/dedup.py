@@ -451,3 +451,63 @@ def embedding_cosine_pairs_lsh(
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a dup-pair edge list: label every node
+    with the minimum id reachable from it, so each near-dup cluster gets
+    one canonical component id (keep ``component``, drop the rest -- the
+    cluster-level completion of the pairwise dedup operators).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, with ``localCheckpoint``
+    cutting the plan lineage per round (an iterative-join loop would
+    otherwise compound the logical plan exponentially).  Converges in
+    O(graph diameter) rounds; near-dup clusters are shallow (stars and
+    short chains), so a handful of rounds suffice.  For adversarially
+    long chains at extreme scale the standard accelerant is the
+    small-star/large-star alternation (Kiveris et al.), which this
+    looping skeleton accommodates without API change.  Raises if
+    ``max_iter`` rounds don't converge rather than returning wrong
+    labels.
+    """
+    e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["v"])
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["v"] == nbr_min["nv"], "left")
+            .select(
+                labels["v"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

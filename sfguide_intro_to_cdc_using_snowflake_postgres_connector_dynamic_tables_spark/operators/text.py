@@ -200,3 +200,83 @@ def pii_counts(text: Column) -> list[Column]:
         F.regexp_count(text, F.lit(pat)).alias(f"n_{name.strip('<>').lower()}")
         for pat, name in PII_PATTERNS
     ]
+
+
+def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, term) TF-IDF: ``tf = count/doc_len``,
+    ``idf = ln(N/df)``, score = tf·idf.
+
+    Distributed shape: one explode + two keyed aggregations (term
+    counts per doc; document frequency per term), then a join back.
+    The corpus size N rides a 1-row broadcast cross join -- never a
+    driver-side scalar pulled out of band.  All arithmetic is double
+    IEEE in the same expression order as the oracle.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    tf = exploded.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    doc_len = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df_tbl = (
+        exploded.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    )
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(df_tbl, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf_cnt") / F.col("doc_len")).alias("tf"),
+            F.col("df_cnt").cast("long").alias("df"),
+            (
+                (F.col("tf_cnt") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("df_cnt"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, and the fraction of
+    duplicate (non-distinct) bigrams.  High values flag boilerplate /
+    degenerate text for corpus filtering.  One explode + keyed
+    aggregations; no Python."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    tok_cnt = (
+        base.select("doc_id", F.explode("tk").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    grams = F.when(
+        F.size(F.col("tk")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("tk")) - 2),
+            lambda i: F.concat_ws("_", F.slice(F.col("tk"), i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = base.select(
+        "doc_id",
+        F.size(grams).alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_bigrams"),
+    )
+    return (
+        tok_cnt.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("top_cnt") / F.col("n_tokens")).alias("top_token_fraction"),
+            F.when(F.col("n_bigrams") > 0,
+                   1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_fraction"),
+        )
+    )

@@ -243,7 +243,99 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF: one explode + two keyed aggregations + join back; corpus size
+# N rides a 1-row broadcast, never a driver scalar.
+# ---------------------------------------------------------------------------
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.tfidf(_t(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF = """
+WITH ex AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf_cnt FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM ex GROUP BY 1),
+dfq AS (SELECT token, count(*) AS df_cnt
+        FROM (SELECT DISTINCT doc_id, token FROM ex) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       tf.tf_cnt * 1.0 / dl.doc_len AS tf,
+       CAST(dfq.df_cnt AS BIGINT) AS df,
+       (tf.tf_cnt * 1.0 / dl.doc_len) * ln(n.n_docs * 1.0 / dfq.df_cnt) AS tfidf
+FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (corpus-quality filtering).
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS token FROM base),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM ex GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(cnt) AS n_tokens, max(cnt) AS top_cnt FROM tc GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams,
+         CASE WHEN len(tk) >= 2
+              THEN len(list_distinct(list_transform(range(1, len(tk)),
+                       i -> array_to_string(list_slice(tk, i, i + 1), '_'))))
+              ELSE 0 END AS n_distinct_bigrams
+  FROM base)
+SELECT a.doc_id,
+       a.top_cnt * 1.0 / a.n_tokens AS top_token_fraction,
+       CASE WHEN b.n_bigrams > 0
+            THEN 1 - b.n_distinct_bigrams * 1.0 / b.n_bigrams
+            ELSE 0.0 END AS dup_bigram_fraction
+FROM agg a JOIN bg b USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dup clusters: connected components over the n-gram Jaccard pair list
+# (iterative min-label propagation engine-side; recursive CTE oracle).
+# ---------------------------------------------------------------------------
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.6
+    )
+    return dedup.connected_components(pairs)
+
+
+def _dup_components_sql() -> str:
+    from .catalog_ext import SQL_NGRAM_JACCARD_DUP
+
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD_DUP}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(v, l) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
+    "tfidf": (q_tfidf, SQL_TFIDF),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "dup_components": (q_dup_components, _dup_components_sql()),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),

@@ -137,3 +137,56 @@ def test_cube_grouping_flags(spark):
     assert rows[("A", None)] == (3.0, 0, 1)        # rf subtotal
     assert rows[(None, "x")] == (4.0, 1, 0)        # ls subtotal
     assert rows[("B", "x")] == (3.0, 0, 0)         # detail
+
+
+def test_connected_components_planted_graph(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), star 10-(11,12,13), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {out[v] for v in (1, 2, 3, 4)} == {1}
+    assert {out[v] for v in (10, 11, 12, 13)} == {10}
+    assert {out[v] for v in (20, 21)} == {20}
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    import pytest as _pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-node chain labeled against the propagation direction needs ~5
+    # rounds; max_iter=2 must refuse loudly, never return wrong labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_repetition_stats_planted(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # top fraction 1.0; bigrams all "a_a" -> dup 2/3
+            (2, "x y z"),          # no repetition
+            (3, "solo"),           # 1 token: no bigrams -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_token_fraction"] == 1.0
+    assert abs(out[1]["dup_bigram_fraction"] - 2 / 3) < 1e-12
+    assert out[2]["top_token_fraction"] == 1 / 3
+    assert out[2]["dup_bigram_fraction"] == 0.0
+    assert out[3]["dup_bigram_fraction"] == 0.0
