@@ -332,8 +332,68 @@ SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary extraction: exact corpus-wide top-k tokens.  Partial
+# (map-side) counts collapse the explode before the single shuffle;
+# TakeOrderedAndProject keeps the top-k without a global sort.
+# ---------------------------------------------------------------------------
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+SQL_VOCAB_TOPK = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate pack: stddev/variance/corr/covar per group.
+# Magnitudes kept small (quantity/discount) so cross-engine partial-
+# aggregation order differences stay far inside the gate's 2dp rounding.
+# ---------------------------------------------------------------------------
+
+def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.corr("l_quantity", "l_discount").alias("corr_qty_disc"),
+        F.covar_samp("l_quantity", "l_discount").alias("covar_qty_disc"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+
+
+SQL_STATS_PACK = """
+SELECT l_returnflag AS returnflag,
+       stddev_samp(l_quantity) AS sd_qty,
+       var_samp(l_quantity) AS var_qty,
+       corr(l_quantity, l_discount) AS corr_qty_disc,
+       covar_samp(l_quantity, l_discount) AS covar_qty_disc,
+       avg(l_discount) AS avg_disc
+FROM lineitem
+GROUP BY 1
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "tfidf": (q_tfidf, SQL_TFIDF),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "stats_pack": (q_stats_pack, SQL_STATS_PACK),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dup_components": (q_dup_components, _dup_components_sql()),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
