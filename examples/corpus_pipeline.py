@@ -1,0 +1,105 @@
+"""End-to-end LLM training-corpus preparation on the engine.
+
+Mirrors the shape of a production data pipeline:
+
+    raw docs -> normalize -> quality gate -> near-dup clustering
+             -> keep one doc per cluster -> benchmark decontamination
+             -> deterministic train/val/test split
+             -> split-partitioned parquet (pruned reads)
+
+Every stage is a pure DataFrame transformation (one lazy plan until the
+final write), so Catalyst fuses the scans/filters and the only
+shuffles are the ones the operators declare (dedup banding, component
+propagation, decontamination count).
+
+Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+    corpus,
+    dedup,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
+    clean_text,
+    quality_score,
+    repetition_stats,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.session import (
+    get_spark,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+    load_table,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus-")
+    spark = get_spark(app_name="corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    raw = load_table(spark, sf_dir, "documents")
+    n_raw = raw.count()
+
+    # 1. normalize text (codegen-only, no shuffle)
+    docs = raw.select("doc_id", "lang", clean_text(F.col("text")).alias("text"))
+
+    # 2. quality gate: drop degenerate / boilerplate docs
+    q = quality_score(docs).select("doc_id", "quality")
+    rep = repetition_stats(docs)
+    keep_q = (
+        docs.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("quality") >= 0.2)
+            & (F.col("top_token_fraction") <= 0.5)
+            & (F.col("dup_bigram_fraction") <= 0.9)
+        )
+        .select("doc_id", "lang", "text")
+    )
+    n_quality = keep_q.count()
+
+    # 3. near-dup clusters -> keep the lowest doc_id per cluster
+    pairs = dedup.ngram_jaccard_pairs(keep_q, n=2, threshold=0.6)
+    comps = dedup.connected_components(pairs)
+    drop = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    unique_docs = keep_q.join(F.broadcast(drop), "doc_id", "left_anti")
+    n_unique = unique_docs.count()
+
+    # 4. split, then decontaminate train against the test split's 8-grams
+    split_docs = corpus.assign_split(unique_docs)
+    contaminated = (
+        corpus.decontaminate(unique_docs)
+        .filter(F.col("n_shared") > 0)
+        .select("doc_id")
+    )
+    final = split_docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    n_final = final.count()
+
+    # 5. split-partitioned write -> reading one split prunes the others
+    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    print(f"raw documents:        {n_raw}")
+    print(f"after quality gate:   {n_quality}")
+    print(f"after near-dup dedup: {n_unique}")
+    print(f"after decontamination:{n_final}")
+    per_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(out_dir).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"written to {out_dir}: {per_split}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
