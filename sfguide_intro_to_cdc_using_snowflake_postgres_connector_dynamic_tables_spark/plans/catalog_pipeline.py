@@ -390,7 +390,44 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Non-equi range join via bucket blocking: orders priced into irregular
+# (quadratic-width) bands.  Equi join on the quantized bucket + residual
+# range filter -- never a nested loop; the oracle runs the naive
+# BETWEEN join.
+# ---------------------------------------------------------------------------
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import bucketed_range_join
+
+    bands = spark.range(0, 40).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id") * 500).cast("double").alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * 500).cast("double").alias("hi"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = bucketed_range_join(o, bands, "o_totalprice", step=25000.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_RANGE_BAND_JOIN = """
+WITH bands AS (
+  SELECT i AS band_id, CAST(i * i * 500 AS DOUBLE) AS lo,
+         CAST((i + 1) * (i + 1) * 500 AS DOUBLE) AS hi
+  FROM (SELECT unnest(range(0, 40)) AS i))
+SELECT band_id, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
+    "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "stats_pack": (q_stats_pack, SQL_STATS_PACK),

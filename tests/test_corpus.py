@@ -232,3 +232,34 @@ def test_split_partitioned_corpus_write_prunes(spark, tmp_path):
     n_train = train.count()
     total = spark.read.parquet(out).count()
     assert 0 < n_train < total == 500
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.range_join import (
+        bucketed_range_join,
+    )
+
+    rng = random.Random(3)
+    probe = spark.createDataFrame(
+        [(i, rng.uniform(0, 1000)) for i in range(300)], "pid long, value double"
+    )
+    # overlapping, irregular, and empty ranges; hi exclusive boundary
+    ranges = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 50.0, 60.0), (2, 59.9, 700.0), (3, 900.0, 900.0)],
+        "rid long, lo double, hi double",
+    )
+    got = bucketed_range_join(probe, ranges, "value", step=37.0)
+    naive = probe.join(
+        ranges,
+        (probe.value >= ranges.lo) & (probe.value < ranges.hi),
+    ).select(probe.pid, ranges.rid)
+    assert sorted(map(tuple, got.select("pid", "rid").collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # plan never falls back to a nested loop
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "NestedLoop" not in plan
