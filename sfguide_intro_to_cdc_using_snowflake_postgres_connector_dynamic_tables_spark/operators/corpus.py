@@ -17,11 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: hex-decode the first two md5 nibbles -> uniform bucket in [0, 256).
-#: Expressed with instr/substr only so the DuckDB oracle can rebuild the
-#: identical bucket assignment byte-for-byte (same trick as the simhash
-#: oracle's nibble decode, plans/catalog_ext.py).
-_HEX = "0123456789abcdef"
+# hex-decode of the first two md5 nibbles -> uniform bucket in [0, 256);
+# Spark uses conv(hex, 16, 10), the DuckDB oracle strpos nibble
+# arithmetic (same trick as the simhash oracle, plans/catalog_ext.py) --
+# different spellings of the identical value.
 
 
 def hash_bucket(id_col: Column) -> Column:
