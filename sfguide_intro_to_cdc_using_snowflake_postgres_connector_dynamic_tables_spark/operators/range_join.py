@@ -33,11 +33,17 @@ def bucketed_range_join(
     ``lo <= value < hi``, executed as an equi join on the quantized
     bucket plus a residual range filter."""
     lo, hi = F.col(lo_col), F.col(hi_col)
+    # covered buckets: [floor(lo/step), ceil(hi/step) - 1].  The upper
+    # bound must come from ceil, not floor(hi - 1): with a fractional
+    # axis, a value in (hi-1, hi) can sit one bucket past floor((hi-1)/
+    # step) and would silently miss its range.  hi is exclusive, so a
+    # range ending exactly on a bucket boundary stops one bucket short
+    # (ceil(k·step/step) - 1 = k - 1) -- exactly right.
     exploded = ranges.filter(hi > lo).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(lo / F.lit(step)), F.floor((hi - 1) / F.lit(step))
+                F.floor(lo / F.lit(step)), F.ceil(hi / F.lit(step)) - 1
             )
         ),
     )

@@ -245,11 +245,15 @@ def test_bucketed_range_join_matches_naive(spark):
     probe = spark.createDataFrame(
         [(i, rng.uniform(0, 1000)) for i in range(300)], "pid long, value double"
     )
-    # overlapping, irregular, and empty ranges; hi exclusive boundary
+    # overlapping, irregular, and empty ranges; hi exclusive boundary;
+    # rid=4 regression: fractional range narrower than 1 whose (hi-1,hi)
+    # window crosses a bucket boundary (step=37 -> boundary at 148)
     ranges = spark.createDataFrame(
-        [(0, 0.0, 100.0), (1, 50.0, 60.0), (2, 59.9, 700.0), (3, 900.0, 900.0)],
+        [(0, 0.0, 100.0), (1, 50.0, 60.0), (2, 59.9, 700.0), (3, 900.0, 900.0),
+         (4, 147.5, 148.4)],
         "rid long, lo double, hi double",
     )
+    probe = probe.union(spark.createDataFrame([(1000, 148.2)], "pid long, value double"))
     got = bucketed_range_join(probe, ranges, "value", step=37.0)
     naive = probe.join(
         ranges,

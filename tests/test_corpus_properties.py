@@ -1,0 +1,87 @@
+"""Property-based tests for the algorithmic corpus operators:
+connected components against a pure-Python union-find model, and the
+bucketed range join against the naive range predicate, over randomized
+inputs (the same hypothesis-vs-model strategy as test_cdc_properties)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for v in list(parent):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in parent}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=50).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=80),
+    ranges=st.lists(
+        st.tuples(st.floats(0, 1000, allow_nan=False), st.floats(0, 300, allow_nan=False)),
+        min_size=1,
+        max_size=12,
+    ),
+    step=st.sampled_from([7.0, 50.0, 333.0]),
+)
+def test_bucketed_range_join_matches_naive_property(spark, values, ranges, step):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.range_join import (
+        bucketed_range_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "pid long, value double"
+    )
+    rng_df = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(ranges)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        map(tuple, bucketed_range_join(probe, rng_df, "value", step=step)
+            .select("pid", "rid").collect())
+    )
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(values)
+        for j, (lo, w) in enumerate(ranges)
+        if lo <= v < lo + w
+    )
+    assert got == want
