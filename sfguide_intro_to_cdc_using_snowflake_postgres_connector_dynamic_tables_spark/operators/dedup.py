@@ -398,7 +398,12 @@ def embedding_cosine_pairs_lsh(
     ``distinct`` over the tiny result)."""
     from pyspark.sql.types import ArrayType, StringType
 
-    dim = len(emb.select(vec_col).first()[0])
+    first_row = emb.select(vec_col).first()
+    if first_row is None or first_row[0] is None:
+        # empty input: same contract as the exact variant -- an empty
+        # pair set, not a TypeError from the dim probe
+        return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = len(first_row[0])
     planes = np.array(
         [
             [_lsh_plane_component(seed, p, j) for j in range(1, dim + 1)]

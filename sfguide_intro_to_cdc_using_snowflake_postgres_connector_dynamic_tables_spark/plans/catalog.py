@@ -13,6 +13,15 @@ identical inputs, and the driver applies its own single 2dp rounding
 to both results pre-hash -- one rounding implementation, applied
 uniformly, beats two engines' round() implementations racing each
 other at .005 boundaries (SURVEY.md section 7.4).
+
+Integer-sum discipline (HUGEINT rule): DuckDB widens sum() over any
+integer type to HUGEINT, which Arrow surfaces as decimal128 and the
+driver canonicalizes differently from BIGINT ('3.00' vs '3').  Every
+oracle output column that sums integers MUST be wrapped
+``CAST(sum(...) AS BIGINT)`` -- int-width mismatches (INT vs BIGINT)
+are harmless, HUGEINT is not.  Grep rule: no uncast integer ``sum(``
+may appear in a final SELECT list of any SQL_* constant (sums that
+feed ratios/doubles internally are fine).
 """
 
 from __future__ import annotations

@@ -64,10 +64,11 @@ WITH g AS (
   FROM events
 )
 SELECT user_id, event_id, ts,
-       sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_seq
 FROM g
 """
 

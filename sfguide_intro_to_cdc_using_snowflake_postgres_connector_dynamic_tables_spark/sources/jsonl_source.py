@@ -33,7 +33,10 @@ def read_jsonl_corpus(
     """Permissive JSONL read: well-formed rows parse against ``schema``,
     malformed lines surface whole in ``_corrupt_record`` (all data
     columns NULL for that row)."""
-    full = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+    # StructType.add mutates in place and returns self -- build a copy so
+    # the shared DOC_SCHEMA (or a caller's schema) never accumulates
+    # _corrupt_record fields across calls.
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)])
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

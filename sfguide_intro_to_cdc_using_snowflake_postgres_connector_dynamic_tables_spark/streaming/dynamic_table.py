@@ -271,13 +271,22 @@ def dynamic_table_from_sql(
         )
     # every table the SQL scans must be registered (fact or dims):
     # deltas of unregistered tables would otherwise be silently ignored
-    # and the materialization would go stale without an error
+    # and the materialization would go stale without an error.
+    # SQL-syntax FROMs that are function keywords, not table scans --
+    # EXTRACT(YEAR FROM ts), SUBSTRING(x FROM 1), TRIM(... FROM ...) --
+    # are neutralized first so their operands aren't misread as tables.
+    scan_sql = _re.sub(
+        r"(?i)\b(EXTRACT|SUBSTRING|TRIM|POSITION|OVERLAY)\s*"
+        r"\(((?:[^()]|\([^()]*\))*)\)",
+        lambda m: _re.sub(r"(?i)\bFROM\b", " ", m.group(0)),
+        sql,
+    )
     referenced = {
         _re.split(r"\s*\.\s*", m.group(1))[-1].strip('"').lower()
         for m in _re.finditer(
             r'(?i)\b(?:FROM|JOIN)\s+((?:[A-Za-z_][\w$]*|"[^"]+")'
             r'(?:\s*\.\s*(?:[A-Za-z_][\w$]*|"[^"]+"))*)',
-            sql,
+            scan_sql,
         )
     }
     known = {fact_table.lower(), *(d.lower() for d in dims)}

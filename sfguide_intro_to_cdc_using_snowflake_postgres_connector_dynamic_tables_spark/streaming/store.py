@@ -149,6 +149,38 @@ class ParquetTableStore:
             raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
         return self._read_version(spark, name, v)
 
+    def bucket_paths(self, name: str, bucket_ids) -> list[str]:
+        """Data directories of the given hash buckets in the current
+        version (buckets with no rows have no directory and are
+        skipped).  Raises on unpartitioned tables."""
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
+        m = self._read_manifest(name, v)
+        if m is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        tdir = self._table_dir(name)
+        return [
+            os.path.join(tdir, m["partitions"][str(b)])
+            for b in bucket_ids
+            if str(b) in m["partitions"]
+        ]
+
+    def read_buckets(self, spark: SparkSession, name: str, bucket_ids) -> DataFrame:
+        """Partition-pruned read: only the listed hash buckets are
+        scanned (plus the zero-row schema marker, so an empty selection
+        is still a readable DataFrame).  This is the read-side mirror of
+        ``merge``'s O(delta-buckets) writes: a consumer that knows which
+        key buckets it cares about pays I/O proportional to those
+        buckets, not to the table."""
+        v = self.current_version(name)
+        m = self._read_manifest(name, v) if v is not None else None
+        if m is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        paths = self.bucket_paths(name, bucket_ids)
+        paths.append(os.path.join(self._table_dir(name), m["schema_dir"]))
+        return spark.read.parquet(*paths)
+
     def versions(self, name: str) -> list[int]:
         """Committed versions still readable on disk, oldest first.
         Retention is ``keep_versions`` back from the current pointer;

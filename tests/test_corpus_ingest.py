@@ -57,3 +57,74 @@ def test_corpus_ingest_stream(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {1, 2, 6}
     # upsert path kept the store partitioned (merge, not full rewrite)
     assert store.partition_spec("corpus") is not None
+
+
+def test_corpus_ingest_fp_index_bucket_pruned(spark, tmp_path):
+    """The content-dedup anti-join reads only the fp buckets the batch's
+    fingerprints hash into -- a strict subset of the index -- mirroring
+    the O(delta-buckets) write contract of the partitioned store."""
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        fp_table_name,
+        ingest_batch,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    rows = [
+        (i, f"{GOOD} variant number {i} with extra words to pass quality", "en")
+        for i in range(40)
+    ]
+    b1 = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ingest_batch(store, spark, b1, min_quality=0.2)
+    fp = fp_table_name("corpus")
+    assert store.exists(fp)
+    _key, B = store.partition_spec(fp)
+    all_paths = set(store.bucket_paths(fp, range(B)))
+
+    b2 = spark.createDataFrame(
+        [(100, rows[0][1], "en"),  # dup content of doc 0
+         (101, f"{GOOD} a genuinely new document body for batch two", "en")],
+        "doc_id long, text string, lang string",
+    )
+    batch_fps = b2.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_fp"))
+    batch_buckets = [
+        r[0] for r in batch_fps.select(
+            store.bucket_expr("content_fp", B).alias("b")).distinct().collect()
+    ]
+    read_paths = set(store.bucket_paths(fp, batch_buckets))
+    assert read_paths < all_paths  # strict subset: pruned, not a full scan
+
+    ingest_batch(store, spark, b2, min_quality=0.2)
+    got = {r["doc_id"] for r in store.read(spark, "corpus").collect()}
+    assert got == set(range(40)) | {101}  # dup dropped, new doc stored
+    fp_rows = store.read(spark, fp).count()
+    assert fp_rows == 41  # index tracks every stored fingerprint exactly once
+
+
+def test_corpus_ingest_legacy_unpartitioned_fallback(spark, tmp_path):
+    """A pre-existing unpartitioned table can't take a bucket merge; the
+    ingest falls back to a full rewrite (and backfills the fp index)
+    instead of raising."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        fp_table_name,
+        ingest_batch,
+    )
+    from pyspark.sql import functions as F
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    legacy = spark.createDataFrame(
+        [(1, GOOD, "en")], "doc_id long, text string, lang string"
+    ).withColumn("content_fp", F.md5(F.encode(F.col("text"), "UTF-8")))
+    store.overwrite("corpus", legacy)  # unpartitioned snapshot
+    assert store.partition_spec("corpus") is None
+
+    batch = spark.createDataFrame(
+        [(2, GOOD, "en"),  # dup of stored content
+         (3, GOOD + " fresh tail", "en")],
+        "doc_id long, text string, lang string",
+    )
+    ingest_batch(store, spark, batch, min_quality=0.2)
+    got = {r["doc_id"] for r in store.read(spark, "corpus").collect()}
+    assert got == {1, 3}
+    assert store.partition_spec(fp_table_name("corpus")) is not None

@@ -132,3 +132,16 @@ def test_exact_dedup_counts(spark):
     res = {r["keep_doc_id"]: r["dup_count"] for r in dedup.dedup_exact(docs).collect()}
     assert res[0] == 2  # doc 0 + planted exact dup
     assert res[1] == 1  # near-dup is NOT an exact dup
+
+
+def test_embedding_lsh_empty_input(spark):
+    """Empty input returns an empty pair set (same contract as the
+    exact variant), not a TypeError from the dimension probe."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_cosine_pairs_lsh(empty, threshold=0.5)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0

@@ -152,3 +152,72 @@ def test_sql_defined_dynamic_table_incremental(spark, tmp_path):
     for n, df in tables.items():
         df.createOrReplaceTempView(n)
     assert incremental == canon(spark.sql(sql))
+
+
+def test_jsonl_schema_not_mutated(spark, tmp_path):
+    """read_jsonl_corpus must not append _corrupt_record to the shared
+    DOC_SCHEMA (StructType.add mutates in place): two reads in a row
+    previously accumulated duplicate corrupt columns."""
+    import json as _json
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.jsonl_source import (
+        DOC_SCHEMA,
+        read_jsonl_corpus,
+        split_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        _json.dumps({"doc_id": 1, "text": "hello world", "lang": "en", "source": "a"})
+        + "\n{not json\n"
+    )
+    before = [f.name for f in DOC_SCHEMA.fields]
+    clean1, bad1 = split_quarantine(read_jsonl_corpus(spark, str(p)))
+    clean2, bad2 = split_quarantine(read_jsonl_corpus(spark, str(p)))  # second read: same schema
+    assert [f.name for f in DOC_SCHEMA.fields] == before
+    assert clean1.count() == clean2.count() == 1
+    assert bad1.count() == bad2.count() == 1
+
+
+def test_dynamic_table_sql_allows_extract_from(spark, tmp_path):
+    """EXTRACT(YEAR FROM ts) / SUBSTRING(x FROM 1) are function syntax,
+    not table scans -- the unknown-table guard must not flag them."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        dynamic_table_from_sql,
+    )
+
+    dt = dynamic_table_from_sql(
+        spark,
+        name="with_extract",
+        sql=(
+            "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS yr, "
+            "SUBSTRING(o_orderpriority FROM 1 FOR 1) AS pri "
+            "FROM orders_src"
+        ),
+        fact_table="orders_src",
+        fact_key="o_orderkey",
+        view_key="o_orderkey",
+        target_lag="60 seconds",
+        refresh_mode="incremental",
+    )
+    assert dt.name == "with_extract"
+
+
+def test_dynamic_table_sql_still_rejects_unknown_tables(spark):
+    import pytest as _pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        dynamic_table_from_sql,
+    )
+
+    with _pytest.raises(ValueError, match="mystery"):
+        dynamic_table_from_sql(
+            spark,
+            name="bad",
+            sql="SELECT * FROM orders_src JOIN mystery ON 1=1",
+            fact_table="orders_src",
+            fact_key="o_orderkey",
+            view_key="o_orderkey",
+            target_lag="60 seconds",
+            refresh_mode="incremental",
+        )
