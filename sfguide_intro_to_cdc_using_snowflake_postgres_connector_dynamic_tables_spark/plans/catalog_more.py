@@ -439,13 +439,21 @@ WHERE q.doc_id IN (SELECT doc_id FROM keepers)
 # ---------------------------------------------------------------------------
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import broadcast_if_small
+
     cutoff = F.lit("1998-06-30").cast("timestamp")
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # customer is fact-sized at large SF: size-gate the broadcast hint
+    # so AQE decides once the footprint outgrows the driver.
+    c = broadcast_if_small(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING"),
+        sf_dir,
+        "customer",
+    )
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -473,21 +481,25 @@ ORDER BY revenue DESC, orderkey ASC LIMIT 10
 
 
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = _t(spark, sf_dir, "nation")
-    s = _t(spark, sf_dir, "supplier")
-    c = _t(spark, sf_dir, "customer")
+    from ..sources.testdata import broadcast_if_small
+
+    # nation/region are fixed-cardinality (25/5 rows) -- always
+    # broadcast. supplier/customer grow with SF -- size-gate the hint.
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    s = broadcast_if_small(_t(spark, sf_dir, "supplier"), sf_dir, "supplier")
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(c),
+            c,
             (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -507,17 +519,19 @@ GROUP BY n_name
 
 
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
+    from ..sources.testdata import broadcast_if_small
+
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -679,10 +693,11 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.window_ops import topk_per_group
+    from ..sources.testdata import broadcast_if_small
 
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_totalprice").alias("totalprice"),

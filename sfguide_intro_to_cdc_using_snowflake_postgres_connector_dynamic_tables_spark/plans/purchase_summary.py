@@ -100,6 +100,11 @@ def purchase_summary_star(
     sits in the customer's nation survive).  ``gross_price`` recomputes
     price from the part dim exactly like the Dynamic Table recomputes
     ``total_price``.
+
+    Broadcast hints are the CALLER's job (size-gated via
+    ``sources.testdata.broadcast_if_small``): customer/part/supplier
+    grow with SF, and a hint forced here would OOM the driver at
+    TPC-H-at-100-TB scale. Pass pre-hinted frames when they fit.
     """
     l, o, c, p, s = (
         lineitem.alias("l"),
@@ -110,10 +115,10 @@ def purchase_summary_star(
     )
     joined = (
         l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner")
-        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"), "inner")
-        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"), "inner")
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"), "inner")
+        .join(p, F.col("l.l_partkey") == F.col("p.p_partkey"), "inner")
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l.l_suppkey") == F.col("s.s_suppkey"))
             & (F.col("s.s_nationkey") == F.col("c.c_nationkey")),
             "inner",

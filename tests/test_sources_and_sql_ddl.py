@@ -50,6 +50,67 @@ def test_csv_load_with_uppercase_headers(spark, tmp_path):
     assert df.filter(F.col("age") == 17).count() == 1
 
 
+def test_load_table_rejects_renamed_columns(spark, tmp_path):
+    """A testdata regeneration that renames a relied-on column must fail
+    at load time with a clear 'testdata format changed' error, not
+    mid-plan with an AnalysisException."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+        load_table,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(0, "AFRICA")], ["regionkey", "r_name"]  # r_regionkey renamed
+    ).write.parquet(os.path.join(sf_dir, "region.parquet"))
+    with pytest.raises(TypeError, match="testdata format changed.*r_regionkey"):
+        load_table(spark, sf_dir, "region")
+
+
+def test_load_table_events_ts_dtype_adaptive(spark, tmp_path):
+    """events.ts has shipped as both TIMESTAMP(NANOS)->bigint and native
+    micros across testdata generations; both must load as a proper
+    timestamp, and an unrecognized dtype must fail loudly."""
+    import datetime
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+        load_table,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)
+
+    # native-micros world (current driver drops)
+    d_us = str(tmp_path / "us")
+    os.makedirs(d_us)
+    spark.createDataFrame([(1, t0, 7, "click", 1.0, "{}")], cols).write.parquet(
+        os.path.join(d_us, "events.parquet")
+    )
+    got = load_table(spark, d_us, "events")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert got.first()["ts"] == t0
+
+    # nanos-as-long world (older drops): same instant, floor-truncated
+    d_ns = str(tmp_path / "ns")
+    os.makedirs(d_ns)
+    ns = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+    spark.createDataFrame(
+        [(1, ns, 7, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).write.parquet(os.path.join(d_ns, "events.parquet"))
+    got_ns = load_table(spark, d_ns, "events")
+    assert dict(got_ns.dtypes)["ts"] == "timestamp"
+
+    # unrecognized dtype (string): loud failure, not a mid-plan crash
+    d_bad = str(tmp_path / "bad")
+    os.makedirs(d_bad)
+    spark.createDataFrame(
+        [(1, "2024-01-01", 7, "click", 1.0, "{}")], cols
+    ).write.parquet(os.path.join(d_bad, "events.parquet"))
+    with pytest.raises(TypeError, match="events.ts loaded as"):
+        load_table(spark, d_bad, "events")
+
+
 def test_seeded_random_sample(spark):
     """O2: ORDER BY RANDOM() LIMIT 1 equivalent -- seeded, so
     deterministic per seed."""
@@ -185,9 +246,13 @@ def test_dynamic_table_sql_allows_extract_from(spark, tmp_path):
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
         dynamic_table_from_sql,
     )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
 
     dt = dynamic_table_from_sql(
         spark,
+        ParquetTableStore(str(tmp_path / "store")),
         name="with_extract",
         sql=(
             "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS yr, "
@@ -197,27 +262,33 @@ def test_dynamic_table_sql_allows_extract_from(spark, tmp_path):
         fact_table="orders_src",
         fact_key="o_orderkey",
         view_key="o_orderkey",
+        dims={},
         target_lag="60 seconds",
         refresh_mode="incremental",
     )
     assert dt.name == "with_extract"
 
 
-def test_dynamic_table_sql_still_rejects_unknown_tables(spark):
+def test_dynamic_table_sql_still_rejects_unknown_tables(spark, tmp_path):
     import pytest as _pytest
 
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
         dynamic_table_from_sql,
     )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
 
     with _pytest.raises(ValueError, match="mystery"):
         dynamic_table_from_sql(
             spark,
+            ParquetTableStore(str(tmp_path / "store")),
             name="bad",
             sql="SELECT * FROM orders_src JOIN mystery ON 1=1",
             fact_table="orders_src",
             fact_key="o_orderkey",
             view_key="o_orderkey",
+            dims={},
             target_lag="60 seconds",
             refresh_mode="incremental",
         )
