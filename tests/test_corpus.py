@@ -168,7 +168,47 @@ def test_connected_components_raises_on_iteration_cap(spark):
         [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, method="propagation")
+
+
+def test_connected_components_star_beats_propagation_on_deep_chain(spark):
+    """The O(log n) star alternation must finish a planted 64-deep chain
+    within a round budget where O(diameter) propagation provably cannot
+    (63 rounds needed)."""
+    import pytest as _pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 63-62-...-1-0: labels must all collapse to 0
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(chain, max_iter=12, method="star").collect()
+    }
+    assert set(out) == set(range(64))
+    assert set(out.values()) == {0}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=12, method="propagation")
+
+
+def test_connected_components_star_empty_and_self_loops(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty, method="star").count() == 0
+    loops = spark.createDataFrame([(3, 3), (4, 5)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(loops, method="star").collect()
+    }
+    # self-loop node 3 is a singleton component; 4-5 collapse to 4
+    assert out == {3: 3, 4: 4, 5: 4}
 
 
 def test_repetition_stats_planted(spark):

@@ -52,6 +52,43 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _uf_components(edges)
 
 
+def test_connected_components_star_equals_propagation_200_graphs(spark):
+    """Differential test of the two component engines over 200 seeded
+    random graphs, batched into ONE edge list via disjoint id spaces
+    (graph g lives in [g*1000, g*1000+999]) so each engine runs once
+    over the union instead of 200 times; both must match a pure-Python
+    union-find model exactly."""
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges: list[tuple[int, int]] = []
+    for g in range(200):
+        rng = random.Random(g)
+        n = rng.randint(2, 30)
+        base = g * 1000
+        for _ in range(rng.randint(1, 40)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.append((base + a, base + b))
+        if rng.random() < 0.3:  # planted chain: depth stress per graph
+            edges.extend((base + 100 + i, base + 101 + i) for i in range(rng.randint(2, 12)))
+    want = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got_star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=30, method="star").collect()
+    }
+    got_prop = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=50, method="propagation").collect()
+    }
+    assert got_star == want
+    assert got_prop == want
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     values=st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=80),
