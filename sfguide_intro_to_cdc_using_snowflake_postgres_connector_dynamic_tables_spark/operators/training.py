@@ -1,0 +1,142 @@
+"""Corpus-assembly operators for training-data pipelines: mixture
+sampling, token-budget selection, and sequence packing.
+
+These are the steps BETWEEN a cleaned/deduped corpus and a training
+run: decide how much of each source to keep (mixture), cap each
+stratum at a token budget (selection), and lay documents into
+fixed-length training sequences (packing).  All three are built from
+deterministic hashes and partition-local window functions:
+
+- no RNG state, no sampling pass, no driver-side ordering -- every
+  decision derives from ``md5(doc_id)`` or a shard-local prefix sum,
+  so results are stable under appends, retries, and repartitioning
+  (the property a resumable 100 TB ingestion actually needs);
+- windows are always partitioned by a bounded-cardinality shard key
+  (never a single global window), so each window task sees ~1/shards
+  of the stratum and the operators parallelize like any keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .corpus import hash_bucket
+from .text import tokens
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rate_thresholds: list[tuple[str, int]],
+    default_threshold: int = 26,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source downsampling -- the domain-mixing step
+    of a training-data pipeline (e.g. keep 100% of books, 25% of web).
+
+    ``rate_thresholds``: (source-prefix, threshold) pairs; a doc
+    survives when its md5 bucket (uniform in [0, 256)) is below the
+    first matching threshold, so threshold 128 = 50% of that source,
+    256 = keep all.  Hash-gated rather than ``sample()``: membership
+    is a pure function of the id, so re-running a failed shard or
+    appending new data never changes previous decisions, and no
+    sampling pass or RNG seed plumbing exists at all.  Filter is a
+    codegen'd expression -- pushed into the scan, zero shuffles.
+    """
+    b = hash_bucket(F.col(id_col))
+    # when-chain in declaration order: first matching prefix wins
+    thr = F.lit(default_threshold)
+    for prefix, t in reversed(rate_thresholds):
+        thr = F.when(F.col(source_col).startswith(prefix), F.lit(t)).otherwise(thr)
+    return docs.filter(b < thr)
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_per_shard: int,
+    n_shards: int = 8,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Cap each stratum at a token budget, preferring higher
+    ``order_col`` docs -- 'take the best N tokens per language'.
+
+    The budget is enforced per (stratum, shard) where shard =
+    ``md5(doc_id) % n_shards``: the global stratum budget is
+    ``n_shards * budget_per_shard`` and each shard fills its quota
+    independently.  That sharding is the scale design, not a
+    shortcut -- a single-stratum prefix sum would serialize millions
+    of docs through one window task, while the per-shard window is
+    bounded and embarrassingly parallel (the standard approximation
+    for distributed budget selection; the hash makes shard quotas
+    statistically even).
+
+    Returns (doc_id, stratum, shard, n_tok, cum_tok) for every doc
+    whose shard-local running total fits the budget.
+    """
+    from pyspark.sql.window import Window
+
+    tok = F.size(tokens(F.col(text_col))).cast("long")
+    shard = (hash_bucket(F.col(id_col)) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("stratum", "shard")
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            shard,
+            F.col(order_col),
+            tok.alias("n_tok"),
+        )
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= budget_per_shard)
+        .select(id_col, "stratum", "shard", "n_tok", "cum_tok")
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    max_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-length training sequences.
+
+    Deterministic contiguous packing: within shard =
+    ``md5(doc_id) % n_shards``, docs are laid out in id order and a
+    doc joins the sequence in which its running token total starts
+    (``seq_id = floor(cum_before / max_len)``).  A doc longer than
+    ``max_len`` owns the sequences it spans, exactly like a real
+    token-stream packer; the downstream tokenizer splits at token
+    granularity.
+
+    One shuffle (the per-shard window); shard count bounds window
+    task size, so packing 100 TB is n_shards-way parallel and
+    restart-stable (no RNG, no order dependence on input file
+    layout).  Returns (doc_id, shard, seq_id, n_tok).
+    """
+    from pyspark.sql.window import Window
+
+    tok = F.size(tokens(F.col(text_col))).cast("long")
+    shard = (hash_bucket(F.col(id_col)) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(F.col(id_col), shard, tok.alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .select(
+            id_col,
+            "shard",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / max_len).alias("seq_id"),
+            "n_tok",
+        )
+    )

@@ -541,10 +541,12 @@ def _register_extensions() -> None:
     from .catalog_ext import EXT_CATALOG
     from .catalog_more import MORE_CATALOG
     from .catalog_pipeline import PIPELINE_CATALOG
+    from .catalog_train import TRAIN_CATALOG
 
     CATALOG.update(EXT_CATALOG)
     CATALOG.update(MORE_CATALOG)
     CATALOG.update(PIPELINE_CATALOG)
+    CATALOG.update(TRAIN_CATALOG)
 
 
 #: The driver's CORRECTNESS gate hashes only the FIRST 50 ``queries()``
@@ -570,6 +572,15 @@ _GATE_TAIL: tuple[str, ...] = (
     "frame_sample",
     "fingerprint",
     "sentiment",
+    "dedup_exact",
+    "similarity_topk",
+    "text_stats",
+    "token_counts",
+    "language_id",
+    "quality_score",
+    "sql_entry",
+    "multimodal_features",
+    "rollup_pricing",
 )
 
 

@@ -1,0 +1,376 @@
+"""Catalog entries for the corpus-assembly (training-prep) operators
+and additional relational shapes (TPC-H Q12/Q14/Q16/Q18/Q19/Q22
+analogues on the driver schema).
+
+Training-prep entries wire ``operators/training.py`` under the
+hash-match gate; the DuckDB SQL rebuilds the identical md5 buckets
+with strpos nibble arithmetic (same trick as corpus_split).
+
+The relational shapes extend the covered query surface with the
+patterns the first TPC-H batch (q3/q5/q10) didn't exercise:
+conditional aggregation (Q12/Q14), COUNT DISTINCT grouping with
+exclusion predicates (Q16), HAVING-subquery semi-join (Q18),
+OR-of-ANDs pushdown across a join (Q19), and a scalar subquery plus
+NOT EXISTS anti-join (Q22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import training
+from ..sources.testdata import broadcast_if_small, load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_DOC_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_WS_TOK_SQL = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: per-source keep rates as md5-bucket thresholds.
+# ---------------------------------------------------------------------------
+
+#: (source-prefix, bucket threshold out of 256): src1* 100%, src0/2-4
+#: 50%, src5-9 25%, everything else ~10%.  Prefix order matters (first
+#: match wins), mirroring a real mixture config.
+MIXTURE_RATES: list[tuple[str, int]] = [
+    ("src1", 256),
+    ("src0", 128),
+    ("src2", 128),
+    ("src3", 128),
+    ("src4", 128),
+    ("src5", 64),
+    ("src6", 64),
+    ("src7", 64),
+    ("src8", 64),
+    ("src9", 64),
+]
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return training.mixture_sample(docs, MIXTURE_RATES).select(
+        "doc_id", "source", "lang"
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH b AS (SELECT doc_id, source, lang, {_DOC_BUCKET_SQL} AS bucket FROM documents)
+SELECT doc_id, source, lang FROM b
+WHERE bucket < CASE
+    WHEN source LIKE 'src1%' THEN 256
+    WHEN source LIKE 'src0%' THEN 128
+    WHEN source LIKE 'src2%' THEN 128
+    WHEN source LIKE 'src3%' THEN 128
+    WHEN source LIKE 'src4%' THEN 128
+    WHEN source LIKE 'src5%' THEN 64
+    WHEN source LIKE 'src6%' THEN 64
+    WHEN source LIKE 'src7%' THEN 64
+    WHEN source LIKE 'src8%' THEN 64
+    WHEN source LIKE 'src9%' THEN 64
+    ELSE 26 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection per (lang, shard).
+# ---------------------------------------------------------------------------
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return training.token_budget_select(docs, budget_per_shard=600, n_shards=8)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, lang AS stratum, ({_DOC_BUCKET_SQL}) % 8 AS shard,
+         n_chars, {_WS_TOK_SQL} AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, stratum, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY stratum, shard
+                          ORDER BY n_chars DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM t
+)
+SELECT doc_id, stratum, shard, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= 600
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: shard-local contiguous layout into 512-token rows.
+# ---------------------------------------------------------------------------
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return training.sequence_pack(docs, max_len=512, n_shards=8)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, ({_DOC_BUCKET_SQL}) % 8 AS shard, {_WS_TOK_SQL} AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM t
+)
+SELECT doc_id, shard, CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS seq_id,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: conditional aggregation of order-priority classes per
+# line status.  One join shuffle + one agg; the CASE arms are codegen.
+# ---------------------------------------------------------------------------
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12_PRIORITY_LINES = """
+SELECT l_linestatus AS linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share -- conditional numerator over a
+# broadcast-joined dim, single global agg row.
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = broadcast_if_small(_t(spark, sf_dir, "part"), sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+SQL_Q14_PROMO_REVENUE = """
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per part attribute group with
+# exclusion predicates.  count(DISTINCT) is a two-phase partial
+# aggregate; exclusions push into the part scan.
+# ---------------------------------------------------------------------------
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 50)
+        ),
+        sf_dir,
+        "part",
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16_SUPPLIER_VARIETY = """
+SELECT p_brand AS brand, p_type AS type, p_size AS size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 23, 36, 45, 50)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING-subquery semi-join (large orders).  The HAVING
+# aggregate and the outer aggregate share the lineitem shuffle key
+# (l_orderkey), so AQE can reuse the exchange.
+# ---------------------------------------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+SQL_Q18_LARGE_ORDERS = """
+SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey,
+       o_totalprice AS totalprice, sum(l_quantity) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: OR-of-ANDs across a join.  The per-arm part predicates
+# and the disjunction all stay inside codegen; the join itself remains
+# a plain equi-join (the OR arms are filters, not join conditions).
+# ---------------------------------------------------------------------------
+
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = broadcast_if_small(_t(spark, sf_dir, "part"), sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    arm1 = (
+        F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        F.col("p_brand").isin("Brand#21", "Brand#22", "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 35)
+    )
+    arm3 = (
+        F.col("p_brand").isin("Brand#31", "Brand#32", "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.coalesce(F.sum(rev), F.lit(0.0)).alias("revenue")
+    )
+
+
+SQL_Q19_BANDED_REVENUE = """
+SELECT coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand IN ('Brand#11','Brand#12','Brand#13')
+       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand IN ('Brand#21','Brand#22','Brand#23')
+       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand IN ('Brand#31','Brand#32','Brand#34')
+       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar subquery (global average) + NOT EXISTS anti-join.
+# The average is a 1-row broadcast cross join; the anti-join
+# broadcasts nothing it shouldn't (orders side is key-projected).
+# ---------------------------------------------------------------------------
+
+def q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22_DORMANT_VALUE_CUSTOMERS = """
+SELECT c_mktsegment AS segment, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+TRAIN_CATALOG = {
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "q12_priority_lines": (q12_priority_lines, SQL_Q12_PRIORITY_LINES),
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
+    "q16_supplier_variety": (q16_supplier_variety, SQL_Q16_SUPPLIER_VARIETY),
+    "q18_large_orders": (q18_large_orders, SQL_Q18_LARGE_ORDERS),
+    "q19_banded_revenue": (q19_banded_revenue, SQL_Q19_BANDED_REVENUE),
+    "q22_dormant_value_customers": (
+        q22_dormant_value_customers,
+        SQL_Q22_DORMANT_VALUE_CUSTOMERS,
+    ),
+}

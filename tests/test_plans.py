@@ -124,3 +124,33 @@ def test_unpivot_is_expand_no_shuffle(spark):
 def test_corpus_split_zero_shuffle(spark):
     plan = plan_of(CATALOG["corpus_split"][0](spark, SF), mode="simple")
     assert "Exchange" not in plan  # pure projection
+
+
+def test_sequence_pack_single_shuffle(spark):
+    # the packer must be one partition-local window shuffle -- a global
+    # (unpartitioned) window would serialize the corpus through one task
+    plan = plan_of(CATALOG["sequence_pack"][0](spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_single_shuffle(spark):
+    plan = plan_of(CATALOG["token_budget"][0](spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_sample_no_shuffle(spark):
+    # hash-gated sampling is a pure scan filter: zero exchanges
+    plan = plan_of(CATALOG["mixture_sample"][0](spark, SF), mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_q19_or_arms_push_into_both_scans(spark):
+    # Catalyst must distribute the OR-of-ANDs so each side's scan gets
+    # its own pushed disjunction (quantity bands -> lineitem, brand/size
+    # -> part); a plan filtering only post-join reads everything
+    plan = plan_of(CATALOG["q19_banded_revenue"][0](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed)
+    assert any("p_brand" in l and "Or(" in l for l in pushed)
