@@ -62,4 +62,9 @@ def apply_changes(
     if current is None:
         return upserts
     kept = current.join(touched, on=key, how="left_anti")
-    return kept.unionByName(upserts)
+    # allowMissingColumns = schema evolution: a batch carrying a column
+    # the snapshot lacks (upstream ADD COLUMN) back-fills old rows with
+    # NULL; a batch missing a snapshot column (upstream DROP) leaves the
+    # column in place with NULL for new rows (soft drop).  This mirrors
+    # the reference connector's ALTER TABLE propagation.
+    return kept.unionByName(upserts, allowMissingColumns=True)

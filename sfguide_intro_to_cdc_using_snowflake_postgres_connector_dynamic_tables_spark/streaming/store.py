@@ -141,7 +141,10 @@ class ParquetTableStore:
         paths = [os.path.join(tdir, rel) for rel in m["partitions"].values()]
         # the zero-row schema marker makes empty/partial tables readable
         paths.append(os.path.join(tdir, m["schema_dir"]))
-        return spark.read.parquet(*paths)
+        # mergeSchema: after a schema-evolving merge, untouched buckets
+        # still hold the pre-evolution column set; the union schema is
+        # the table's schema (footer-merge cost is per-file, bounded)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         v = self.current_version(name)
@@ -179,7 +182,7 @@ class ParquetTableStore:
             raise ValueError(f"table {name!r} is not partitioned")
         paths = self.bucket_paths(name, bucket_ids)
         paths.append(os.path.join(self._table_dir(name), m["schema_dir"]))
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def versions(self, name: str) -> list[int]:
         """Committed versions still readable on disk, oldest first.
@@ -325,9 +328,12 @@ class ParquetTableStore:
                 if str(b) in m["partitions"]
             ]
             if old_paths:
-                old_rows = spark.read.parquet(*old_paths)
+                # mergeSchema: touched buckets may straddle a schema
+                # evolution (some rewritten since the ADD COLUMN, some
+                # not); allowMissingColumns widens old rows with NULLs
+                old_rows = spark.read.option("mergeSchema", "true").parquet(*old_paths)
                 kept = old_rows.join(F.broadcast(keys), on=key, how="left_anti")
-                new_rows = kept.unionByName(upserts)
+                new_rows = kept.unionByName(upserts, allowMissingColumns=True)
             else:
                 new_rows = upserts
 
@@ -348,6 +354,20 @@ class ParquetTableStore:
             for b in touched:
                 partitions.pop(str(b), None)  # bucket may have emptied
             partitions.update(written)
+            # schema evolution: if this merge introduced columns the
+            # zero-row schema marker lacks, stamp a fresh marker with
+            # the union schema so empty/pruned reads see the evolved
+            # table (untouched-version markers stay for time travel)
+            schema_dir = m["schema_dir"]
+            marker_path = os.path.join(tdir, schema_dir)
+            marker = spark.read.parquet(marker_path)
+            if set(new_rows.columns) - set(marker.columns):
+                schema_dir = f"{stage}-schema"
+                (
+                    marker.limit(0)
+                    .unionByName(new_rows.limit(0), allowMissingColumns=True)
+                    .write.parquet(os.path.join(tdir, schema_dir))
+                )
             self._write_manifest(
                 name,
                 nv,
@@ -355,7 +375,7 @@ class ParquetTableStore:
                     "key": key,
                     "n_buckets": B,
                     "partitions": partitions,
-                    "schema_dir": m["schema_dir"],
+                    "schema_dir": schema_dir,
                 },
             )
             self._commit(name, nv)
