@@ -288,6 +288,56 @@ class ParquetTableStore:
         self._commit(name, v)
         return v
 
+    def rebucket(self, spark: SparkSession, name: str, n_buckets: int) -> int:
+        """Re-hash a partitioned table into a new bucket count.
+
+        The operational lever for table growth: bucket count is fixed at
+        creation, and a table that has grown 100x since then has 100x
+        the rows per bucket -- merges still prune correctly but each
+        touched bucket rewrite costs 100x the I/O.  Re-bucketing is one
+        full-table shuffle+write (off-peak maintenance, like Delta
+        OPTIMIZE or Iceberg rewrite_data_files), after which merge
+        pruning operates at the new granularity.  The version pointer
+        swap keeps the operation atomic: readers see the old layout or
+        the new one, never a mix, and concurrent time travel over
+        retained pre-rebucket versions still works.
+        """
+        spec = self.partition_spec(name)
+        if spec is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        key, old_b = spec
+        if n_buckets == old_b:
+            return self.current_version(name)
+        df = self.read(spark, name)
+        v = self.current_version(name) + 1
+        tdir = self._table_dir(name)
+        stage = f"w{v}-{uuid.uuid4().hex[:8]}"
+        stage_dir = os.path.join(tdir, stage)
+        (
+            df.withColumn("__part", self.bucket_expr(key, n_buckets))
+            .write.partitionBy("__part")
+            .parquet(stage_dir)
+        )
+        schema_dir = f"{stage}-schema"
+        df.limit(0).write.parquet(os.path.join(tdir, schema_dir))
+        partitions = {
+            entry.split("=", 1)[1]: f"{stage}/{entry}"
+            for entry in os.listdir(stage_dir)
+            if entry.startswith("__part=")
+        }
+        self._write_manifest(
+            name,
+            v,
+            {
+                "key": key,
+                "n_buckets": n_buckets,
+                "partitions": partitions,
+                "schema_dir": schema_dir,
+            },
+        )
+        self._commit(name, v)
+        return v
+
     def merge(
         self,
         spark: SparkSession,

@@ -247,3 +247,29 @@ def test_cdc_pipeline_partitioned_matches_unpartitioned(spark, tmp_path):
         rewritten = [b for b in before if after.get(b) != before[b]]
         assert len(rewritten) <= 2  # 2 keys -> at most 2 buckets rewritten
         assert len(carried) >= len(before) - 2
+
+
+def test_rebucket_preserves_rows_and_enables_merge(spark, tmp_path):
+    """Re-bucketing is the growth lever: same rows, new pruning
+    granularity, merges keep working at the new bucket count."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame([(i, i * 2) for i in range(50)], "id long, v long")
+    store.overwrite("t", base, partition_key="id", n_buckets=2)
+    v = store.rebucket(spark, "t", 8)
+    assert store.partition_spec("t") == ("id", 8)
+    got = {r["id"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert got == {i: i * 2 for i in range(50)}
+    # noop rebucket: same version back
+    assert store.rebucket(spark, "t", 8) == v
+    # time travel to the pre-rebucket layout still reads (while retained)
+    old = store.read_version(spark, "t", v - 1)
+    assert old.count() == 50
+    # merge after rebucket prunes at the new granularity and lands
+    ups = spark.createDataFrame([(3, 333), (77, 777)], "id long, v long")
+    store.merge(spark, "t", ups, ups.select("id"))
+    got = {r["id"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert got[3] == 333 and got[77] == 777 and len(got) == 51
