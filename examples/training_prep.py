@@ -1,0 +1,82 @@
+"""Corpus -> training-shards pipeline on the engine.
+
+The stage AFTER cleaning/dedup (examples/corpus_pipeline.py) and
+BEFORE a training run:
+
+    clean corpus -> mixture sampling (per-source keep rates)
+                 -> per-language token-budget selection (best-first)
+                 -> deterministic train/val/test split
+                 -> sequence packing (fixed-token-length rows)
+                 -> shard-partitioned parquet
+
+Everything is hash-deterministic: re-running any stage after a
+failure, appending new data, or changing the shard count of the
+OUTPUT never changes which documents were kept or where a document
+was packed -- the property that makes a 100 TB ingestion resumable.
+
+Run: python examples/training_prep.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+    corpus,
+    training,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.session import (
+    get_spark,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+    load_table,
+)
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. mixture: keep all of src1*, half of the other low-numbered
+    #    sources, a quarter of src5-9, ~10% of the rest
+    mixed = training.mixture_sample(
+        docs,
+        [("src1", 256), ("src0", 128), ("src2", 128), ("src3", 128), ("src4", 128)],
+        default_threshold=64,
+    )
+
+    # 2. token budget per (language, shard): best-first by length
+    kept = training.token_budget_select(mixed, budget_per_shard=5000, n_shards=8)
+    selected = mixed.join(kept.select("doc_id"), "doc_id", "left_semi")
+
+    # 3. deterministic split, then pack each split separately (val/test
+    #    sequences must never mix with train)
+    split = corpus.assign_split(selected)
+    for part in ("train", "val", "test"):
+        sub = split.filter(F.col("split") == part)
+        packed = training.sequence_pack(sub, max_len=512, n_shards=8)
+        out = (
+            sub.join(packed, "doc_id")
+            .select("doc_id", "shard", "seq_id", "n_tok", "source", "lang", "text")
+        )
+        path = os.path.join(out_dir, part)
+        out.write.mode("overwrite").partitionBy("shard").parquet(path)
+        n_docs = out.count()
+        n_seqs = out.select("shard", "seq_id").distinct().count()
+        print(f"{part}: {n_docs} docs packed into {n_seqs} sequences -> {path}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="training_prep_")
+    main(sf, out)
