@@ -75,9 +75,16 @@ def init_topk(
     return TopKState(buffer=buffer, saturated=saturated)
 
 
+def topk_of_buffer(
+    buffer: DataFrame, group_col: str, id_col: str, order_col: str, k: int
+) -> DataFrame:
+    """The maintained view from a (possibly store-loaded) buffer."""
+    return _trim(buffer, group_col, id_col, order_col, k)
+
+
 def topk(state: TopKState, group_col: str, id_col: str, order_col: str, k: int) -> DataFrame:
     """The maintained view: top k rows per group from the buffer."""
-    return _trim(state.buffer, group_col, id_col, order_col, k)
+    return topk_of_buffer(state.buffer, group_col, id_col, order_col, k)
 
 
 def apply_topk_delta(

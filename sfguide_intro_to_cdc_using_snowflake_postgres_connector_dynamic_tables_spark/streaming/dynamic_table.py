@@ -203,6 +203,88 @@ class DynamicTableManager:
         finally:
             affected.unpersist()
 
+    # -- top-k views ---------------------------------------------------------
+    #
+    # Top-k-per-group is the view shape the delta-propagation skeleton
+    # above can't anchor (a delete of a result row promotes something
+    # the view no longer remembers); it gets its own maintenance via
+    # the buffered algorithm in operators/topk_incremental.py, behind
+    # the same registry/refresh/read surface.
+
+    def create_topk(
+        self,
+        name: str,
+        fact_table: str,
+        group_col: str,
+        id_col: str,
+        order_col: str,
+        k: int,
+        buffer_factor: int = 2,
+    ) -> None:
+        from ..operators.topk_incremental import init_topk, topk
+
+        spec = {
+            "fact_table": fact_table,
+            "group_col": group_col,
+            "id_col": id_col,
+            "order_col": order_col,
+            "k": k,
+            "buffer_factor": buffer_factor,
+        }
+        self.topk_registry = getattr(self, "topk_registry", {})
+        self.topk_registry[name] = spec
+        fact = self.store.read(self.spark, fact_table)
+        state = init_topk(fact, group_col, id_col, order_col, k, buffer_factor)
+        self.store.overwrite(f"{name}__buffer", state.buffer)
+        self.store.overwrite(f"{name}__sat", state.saturated)
+        self.store.overwrite(name, topk(state, group_col, id_col, order_col, k))
+
+    def topk_refresh(self, name: str, deltas: dict[str, DataFrame]) -> int:
+        """Fold the fact delta into the buffered top-k state; returns
+        the number of groups refilled (0 on the normal fast path)."""
+        from ..operators.topk_incremental import (
+            TopKState,
+            apply_topk_delta,
+            topk_of_buffer,
+        )
+
+        spec = self.topk_registry[name]
+        delta = deltas.get(spec["fact_table"])
+        if delta is None:
+            return 0
+        state = TopKState(
+            buffer=self.store.read(self.spark, f"{name}__buffer"),
+            saturated=self.store.read(self.spark, f"{name}__sat"),
+        )
+        fact = self.store.read(self.spark, spec["fact_table"])
+        new_state, n_refill = apply_topk_delta(
+            state,
+            delta,
+            fact,
+            spec["group_col"],
+            spec["id_col"],
+            spec["order_col"],
+            spec["k"],
+            spec["buffer_factor"],
+        )
+        # materialize the new state BEFORE overwriting its own source
+        # version (the store retains old versions, but a lazy plan must
+        # not read a superseded snapshot mid-write)
+        self.store.overwrite(f"{name}__buffer", new_state.buffer.localCheckpoint())
+        self.store.overwrite(f"{name}__sat", new_state.saturated.localCheckpoint())
+        # the view derives from the freshly committed buffer
+        self.store.overwrite(
+            name,
+            topk_of_buffer(
+                self.store.read(self.spark, f"{name}__buffer"),
+                spec["group_col"],
+                spec["id_col"],
+                spec["order_col"],
+                spec["k"],
+            ),
+        )
+        return n_refill
+
     # -- CDC pipeline integration -------------------------------------------
 
     def attach(self, pipeline) -> None:
@@ -216,6 +298,8 @@ class DynamicTableManager:
                     self.incremental_refresh(name, deltas)
                 else:
                     self.full_refresh(name)
+            for name in getattr(self, "topk_registry", {}):
+                self.topk_refresh(name, deltas)
 
         pipeline.on_batch_applied(hook)
 

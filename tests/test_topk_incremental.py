@@ -112,3 +112,53 @@ def test_refill_fires_on_delete_storm(spark):
     assert n_refill == 1
     got = {(r["id"], r["score"]) for r in topk(state, "grp", "id", "score", K).collect()}
     assert got == {(14, 14), (13, 13), (12, 12)}
+
+
+def test_manager_topk_view_end_to_end(spark, tmp_path):
+    """Registry-level top-k view: init from the store's fact table,
+    fold envelope deltas, state persisted across refreshes; view equals
+    recompute after every tick."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        DynamicTableManager,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    model = {i: ("a" if i % 3 else "b", (i * 7) % 31) for i in range(15)}
+    store.overwrite(
+        "scores",
+        spark.createDataFrame([(i, g, s) for i, (g, s) in model.items()], SCHEMA),
+    )
+    mgr = DynamicTableManager(spark, store)
+    mgr.create_topk("best", "scores", "grp", "id", "score", k=K)
+    got = {(r["grp"], r["id"], r["score"]) for r in mgr.read("best").collect()}
+    assert got == _oracle_topk(model)
+
+    def tick(batch):
+        store.overwrite(
+            "scores",
+            spark.createDataFrame([(i, g, s) for i, (g, s) in model.items()], SCHEMA),
+        )
+        mgr.topk_refresh("best", {"scores": spark.createDataFrame(batch, DELTA_SCHEMA)})
+        got_now = {
+            (r["grp"], r["id"], r["score"]) for r in mgr.read("best").collect()
+        }
+        assert got_now == _oracle_topk(model)
+
+    # tick 1: an insert + a cross-group move
+    batch1 = [(20, "a", 99, "I", 1), (3, "b", 50, "U", 2)]
+    for rid, g, s, op, _ in batch1:
+        model[rid] = (g, s)
+    tick(batch1)
+
+    # tick 2: delete storm on group a's top rows (forces a refill)
+    tops_a = sorted(
+        (rid for rid, (g, _s) in model.items() if g == "a"),
+        key=lambda rid: (-model[rid][1], rid),
+    )[:4]
+    batch2 = [(rid, "a", 0, "D", 10 + j) for j, rid in enumerate(tops_a)]
+    for rid in tops_a:
+        model.pop(rid)
+    tick(batch2)
