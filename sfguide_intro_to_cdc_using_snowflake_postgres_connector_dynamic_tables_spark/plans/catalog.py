@@ -581,6 +581,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "sql_entry",
     "multimodal_features",
     "rollup_pricing",
+    "percentiles",
 )
 
 

@@ -360,6 +360,42 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated scalar subquery (per-part average) -- Spark
+# expresses the decorrelation explicitly: the per-group aggregate is a
+# DataFrame joined back on the correlation key, which is exactly the
+# rewrite Catalyst/DuckDB do internally for the subquery form.
+# ---------------------------------------------------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23"),
+        sf_dir,
+        "part",
+    )
+    # decorrelated: one partial+final agg over lineitem, keyed like the
+    # join -- never a per-row subquery execution
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(thresholds, l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+SQL_Q17_SMALL_QTY_REVENUE = """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
 TRAIN_CATALOG = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
@@ -373,4 +409,5 @@ TRAIN_CATALOG = {
         q22_dormant_value_customers,
         SQL_Q22_DORMANT_VALUE_CUSTOMERS,
     ),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, SQL_Q17_SMALL_QTY_REVENUE),
 }
