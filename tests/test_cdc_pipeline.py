@@ -228,3 +228,36 @@ def test_streaming_feed_applies(spark, pipeline, tmp_path):
         )
     )
     assert _sorted_rows(mgr.read("customer_purchase_summary")) == full
+
+
+def test_topk_view_maintained_through_live_pipeline(spark, pipeline):
+    """A registered top-k view (top 3 transactions per customer by
+    total_price) must track full recompute through the live CDC drive —
+    the hook wiring, store-backed state, and refill path together."""
+    p, store, (customers, merchants, products) = pipeline
+    mgr = DynamicTableManager(spark, store)
+    mgr.create_topk(
+        "top_txn", "transactions", "customer_id", "transaction_id", "total_price", k=3
+    )
+    mgr.attach(p)
+
+    def oracle():
+        from pyspark.sql import Window
+
+        t = store.read(spark, "transactions")
+        w = Window.partitionBy("customer_id").orderBy(
+            F.desc("total_price"), F.asc("transaction_id")
+        )
+        return _sorted_rows(
+            t.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("customer_id", "transaction_id", "total_price")
+        )
+
+    log = fixtures.change_log(customers, products, merchants, batches=4, rows_per_batch=40)
+    for i, batch in enumerate(log):
+        p.apply_envelope_batch(_envelope_df(spark, batch), batch_id=i)
+        got = _sorted_rows(
+            mgr.read("top_txn").select("customer_id", "transaction_id", "total_price")
+        )
+        assert got == oracle(), f"batch {i}: top-k view diverged from recompute"
