@@ -280,3 +280,41 @@ def repetition_stats(
             .alias("dup_bigram_fraction"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model (add-alpha smoothed) -- the statistical cousin of the
+    CCNet/KenLM perplexity filter: boilerplate and in-domain text score
+    high, token salad scores low, with no external model artifact.
+
+    Distributed shape (mirrors tfidf): one explode, a corpus-level
+    token-count aggregation (vocab-sized, joins back by token -- at
+    100 TB a hash join keyed on token; broadcast-eligible when the
+    vocab is small), corpus totals on a 1-row broadcast, one per-doc
+    aggregation.  Everything is codegen'd expressions.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    counts = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        exploded.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("cnt") + F.lit(alpha))
+                / (F.col("n_total") + F.lit(alpha) * F.col("vocab"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.avg("lp").alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )

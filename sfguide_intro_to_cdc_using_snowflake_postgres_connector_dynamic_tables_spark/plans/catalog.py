@@ -582,6 +582,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "multimodal_features",
     "rollup_pricing",
     "percentiles",
+    "dedup_keep_best",
 )
 
 

@@ -270,6 +270,30 @@ FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN n
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM quality score (the CCNet/KenLM-perplexity-filter shape
+# with corpus-derived statistics): explode + vocab-keyed count join +
+# per-doc mean log-probability.
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH ex AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+t AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM c)
+SELECT ex.doc_id,
+       avg(ln((c.cnt + 0.5) / (t.n_total + 0.5 * t.vocab))) AS avg_logprob,
+       count(*) AS n_tok
+FROM ex JOIN c USING (token) CROSS JOIN t
+GROUP BY ex.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition signals (corpus-quality filtering).
 # ---------------------------------------------------------------------------
 
@@ -439,4 +463,5 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
 }
