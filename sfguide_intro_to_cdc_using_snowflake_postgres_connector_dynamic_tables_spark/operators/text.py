@@ -318,3 +318,44 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping character-window chunks with
+    source offsets -- the context-window preprocessing step for
+    training/RAG pipelines (every chunk traceable to (doc, offset)).
+
+    ``sequence`` + ``posexplode`` + ``substring``: pure codegen row
+    expansion, no shuffle at all -- chunking 100 TB is a map-only
+    stage.  The final short chunk is kept (standard behavior); step =
+    chunk_chars - overlap must be positive.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    step = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.substring(
+                F.col(text_col), F.col("chunk_start") + 1, F.lit(chunk_chars)
+            ).alias("chunk_text"),
+        )
+    )

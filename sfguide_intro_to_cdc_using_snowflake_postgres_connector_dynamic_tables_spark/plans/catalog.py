@@ -583,6 +583,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "rollup_pricing",
     "percentiles",
     "dedup_keep_best",
+    "q3_top_orders",
 )
 
 

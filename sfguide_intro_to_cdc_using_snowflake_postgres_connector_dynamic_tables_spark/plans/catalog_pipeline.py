@@ -294,6 +294,30 @@ GROUP BY ex.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Overlapping chunking with source offsets: map-only row expansion
+# (sequence + posexplode + substring), zero shuffles.
+# ---------------------------------------------------------------------------
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text) - 1, 0) + 1, 150)) AS chunk_start
+  FROM documents)
+SELECT doc_id,
+       CAST(chunk_start / 150 AS INT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       substr(text, CAST(chunk_start AS INT) + 1, 200) AS chunk_text
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition signals (corpus-quality filtering).
 # ---------------------------------------------------------------------------
 
@@ -464,4 +488,5 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
 }

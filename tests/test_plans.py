@@ -154,3 +154,10 @@ def test_q19_or_arms_push_into_both_scans(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_quantity" in l and "Or(" in l for l in pushed)
     assert any("p_brand" in l and "Or(" in l for l in pushed)
+
+
+def test_chunk_documents_is_map_only(spark):
+    # sequence + posexplode + substring: pure row expansion, zero
+    # exchanges -- chunking at 100 TB must stay a map-only stage
+    plan = plan_of(CATALOG["chunk_documents"][0](spark, SF), mode="simple")
+    assert "Exchange" not in plan
