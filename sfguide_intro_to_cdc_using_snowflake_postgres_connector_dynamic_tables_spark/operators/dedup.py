@@ -113,6 +113,28 @@ def minhash_lsh_pairs(
     return lsh_pairs_from_tokens(tok, num_hashes, band_size, threshold, blocks)
 
 
+def band_keys_for_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 6,
+    band_size: int = 2,
+) -> DataFrame:
+    """(doc_id, band) LSH band keys for each doc -- byte-identical to
+    the bands ``lsh_pairs_from_tokens`` builds internally (same
+    salted-md5 minhash, same band hash), exposed for INDEXED near-dup
+    lookups: a streaming ingest stores these rows in a band-bucketed
+    index table and each batch probes only its own bands' buckets."""
+    tok = _token_set(docs, text_col, id_col)
+    sig = minhash_signatures(tok, num_hashes)
+    n_bands = num_hashes // band_size
+    exprs = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j + 1}") for j in range(band_size)]
+        exprs.append(F.md5(F.encode(F.concat(*cols), "UTF-8")))
+    return sig.select(id_col, F.explode(F.array(*exprs)).alias("band"))
+
+
 def lsh_pairs_from_tokens(
     tok: DataFrame,
     num_hashes: int = 6,

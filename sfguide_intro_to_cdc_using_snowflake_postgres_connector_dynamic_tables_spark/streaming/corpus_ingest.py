@@ -75,6 +75,114 @@ def _seen_fps_for_batch(
     return store.read_buckets(spark, fp_name, batch_buckets)
 
 
+def bands_table_name(table: str) -> str:
+    return f"{table}__bands"
+
+
+def _near_dup_filter(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    new_rows: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    band_size: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Drop batch docs that are near-duplicates (token-set Jaccard >=
+    threshold) of anything already in the store, using the band-bucketed
+    ``<table>__bands`` index so each tick reads only the band buckets
+    the batch's own band keys hash into -- O(batch bands + candidates)
+    per tick, never a corpus scan.
+
+    Index bootstrap mirrors the fp table: a one-time O(table) backfill
+    for stores created before the index existed.
+    """
+    from ..operators.dedup import band_keys_for_docs, minhash_lsh_pairs
+    from ..operators.text import tokens
+
+    # 1. batch-internal near-dup: keep the lowest-id doc of each pair
+    intra = minhash_lsh_pairs(
+        new_rows, num_hashes=num_hashes, band_size=band_size, threshold=threshold
+    )
+    survivors = new_rows.join(
+        intra.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+
+    bands_name = bands_table_name(table)
+    if not store.exists(bands_name):
+        store.overwrite(
+            bands_name,
+            band_keys_for_docs(
+                store.read(spark, table), num_hashes=num_hashes, band_size=band_size
+            ),
+            partition_key="band",
+            n_buckets=n_buckets,
+        )
+    new_bands = band_keys_for_docs(
+        survivors, num_hashes=num_hashes, band_size=band_size
+    ).cache()
+    try:
+        _key, B = store.partition_spec(bands_name)
+        batch_buckets = [
+            r[0]
+            for r in new_bands.select(store.bucket_expr("band", B).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not batch_buckets:
+            return survivors
+        stored_bands = store.read_buckets(spark, bands_name, batch_buckets)
+        cand = (
+            new_bands.join(stored_bands.withColumnRenamed("doc_id", "stored_id"), "band")
+            .select("doc_id", "stored_id")
+            .distinct()
+        )
+        if cand.isEmpty():
+            return survivors
+        # 2. fetch ONLY the candidate stored docs (bucket-pruned by the
+        # main table's doc_id partitioning when available)
+        cand_ids = cand.select(F.col("stored_id").alias("doc_id")).distinct()
+        spec = store.partition_spec(table)
+        if spec is not None:
+            _mk, MB = spec
+            id_buckets = [
+                r[0]
+                for r in cand_ids.select(store.bucket_expr("doc_id", MB).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            stored_docs = store.read_buckets(spark, table, id_buckets)
+        else:
+            stored_docs = store.read(spark, table)
+        stored_docs = stored_docs.join(cand_ids, "doc_id", "left_semi")
+
+        # 3. exact token-set Jaccard verify of candidate pairs
+        new_toks = survivors.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks_new")
+        )
+        old_toks = stored_docs.select(
+            F.col("doc_id").alias("stored_id"),
+            F.array_distinct(tokens(F.col("text"))).alias("toks_old"),
+        )
+        dup_ids = (
+            cand.join(new_toks, "doc_id")
+            .join(old_toks, "stored_id")
+            .withColumn("n_inter", F.size(F.array_intersect("toks_new", "toks_old")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.size("toks_new") + F.size("toks_old") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        return survivors.join(dup_ids, "doc_id", "left_anti")
+    finally:
+        new_bands.unpersist()
+
+
 def ingest_batch(
     store: ParquetTableStore,
     spark: SparkSession,
@@ -82,10 +190,16 @@ def ingest_batch(
     table: str = "corpus",
     min_quality: float = 0.2,
     n_buckets: int = 16,
+    near_dup: bool = False,
+    near_threshold: float = 0.8,
+    num_hashes: int = 6,
+    band_size: int = 2,
 ) -> None:
     """Apply one micro-batch: quality-gate, drop docs whose exact
-    content already exists in the store, upsert the rest (and the new
-    fingerprints into the bucketed ``<table>__fp`` index)."""
+    content already exists in the store, optionally drop NEAR
+    duplicates of stored content (``near_dup=True``: MinHash-LSH band
+    index probe + exact Jaccard verify), upsert the rest (and the new
+    fingerprints/band keys into their bucketed index tables)."""
     scored = quality_score(batch).filter(F.col("quality") >= min_quality)
     keep = batch.join(scored.select("doc_id"), "doc_id", "left_semi").withColumn(
         "content_fp", F.md5(F.encode(F.col("text"), "UTF-8"))
@@ -105,13 +219,48 @@ def ingest_batch(
     fp_name = fp_table_name(table)
     try:
         if not store.exists(table):
+            if near_dup:
+                from ..operators.dedup import band_keys_for_docs, minhash_lsh_pairs
+
+                intra = minhash_lsh_pairs(
+                    keep,
+                    num_hashes=num_hashes,
+                    band_size=band_size,
+                    threshold=near_threshold,
+                )
+                keep = keep.join(
+                    intra.select(F.col("doc_b").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
             store.overwrite(table, keep, partition_key="doc_id", n_buckets=n_buckets)
             store.overwrite(
                 fp_name, keep.select("content_fp"), partition_key="content_fp", n_buckets=n_buckets
             )
+            if near_dup:
+                store.overwrite(
+                    bands_table_name(table),
+                    band_keys_for_docs(
+                        keep, num_hashes=num_hashes, band_size=band_size
+                    ),
+                    partition_key="band",
+                    n_buckets=n_buckets,
+                )
             return
         seen = _seen_fps_for_batch(store, spark, table, keep, n_buckets)
-        new_rows = keep.join(seen, "content_fp", "left_anti").cache()
+        new_rows = keep.join(seen, "content_fp", "left_anti")
+        if near_dup:
+            new_rows = _near_dup_filter(
+                store,
+                spark,
+                table,
+                new_rows,
+                near_threshold,
+                num_hashes,
+                band_size,
+                n_buckets,
+            )
+        new_rows = new_rows.cache()
         try:
             if new_rows.isEmpty():
                 return
@@ -128,6 +277,16 @@ def ingest_batch(
                 store.merge(spark, table, new_rows, new_rows.select("doc_id"))
             fps = new_rows.select("content_fp")
             store.merge(spark, fp_name, fps, fps)
+            if near_dup:
+                from ..operators.dedup import band_keys_for_docs
+
+                store.append(
+                    spark,
+                    bands_table_name(table),
+                    band_keys_for_docs(
+                        new_rows, num_hashes=num_hashes, band_size=band_size
+                    ),
+                )
         finally:
             new_rows.unpersist()
     finally:
@@ -142,9 +301,14 @@ def start_corpus_ingest(
     table: str = "corpus",
     watermark: str = "30 minutes",
     min_quality: float = 0.2,
+    near_dup: bool = False,
+    near_threshold: float = 0.8,
 ):
     """Start the ingestion stream (availableNow-compatible).  Returns
-    the StreamingQuery."""
+    the StreamingQuery.  ``near_dup=True`` additionally drops documents
+    whose token-set Jaccard vs ANY stored document reaches
+    ``near_threshold`` (band-indexed MinHash probe, O(batch bands)
+    reads per tick)."""
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(feed_dir)
     deduped = dedup_stream(stream, keys=("doc_id",), ts_col="ts", watermark=watermark)
     return (
@@ -152,7 +316,13 @@ def start_corpus_ingest(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(
             lambda b, _id: ingest_batch(
-                store, spark, b, table=table, min_quality=min_quality
+                store,
+                spark,
+                b,
+                table=table,
+                min_quality=min_quality,
+                near_dup=near_dup,
+                near_threshold=near_threshold,
             )
         )
         .trigger(availableNow=True)

@@ -288,6 +288,68 @@ class ParquetTableStore:
         self._commit(name, v)
         return v
 
+    def append(self, spark: SparkSession, name: str, rows: DataFrame) -> int:
+        """Bucket-pruned APPEND into a partitioned table: like ``merge``
+        but without the delete-by-key step, for index tables whose
+        partition key is NOT unique (e.g. an LSH band index, where many
+        docs legitimately share a band value and an upsert-by-key merge
+        would evict them).  Only the buckets receiving new rows are
+        read and rewritten; every other bucket carries forward."""
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"append target {name!r} does not exist")
+        m = self._read_manifest(name, v)
+        if m is None:
+            raise ValueError(f"table {name!r} is not partitioned; use overwrite()")
+        key, B = m["key"], m["n_buckets"]
+        tdir = self._table_dir(name)
+        keys = rows.select(key).cache()
+        try:
+            touched = sorted(
+                r[0] for r in keys.select(self.bucket_expr(key, B).alias("b")).distinct().collect()
+            )
+            if not touched:
+                return v
+            old_paths = [
+                os.path.join(tdir, m["partitions"][str(b)])
+                for b in touched
+                if str(b) in m["partitions"]
+            ]
+            if old_paths:
+                old_rows = spark.read.option("mergeSchema", "true").parquet(*old_paths)
+                new_rows = old_rows.unionByName(rows, allowMissingColumns=True)
+            else:
+                new_rows = rows
+            nv = v + 1
+            stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
+            stage_dir = os.path.join(tdir, stage)
+            (
+                new_rows.withColumn("__part", self.bucket_expr(key, B))
+                .write.partitionBy("__part")
+                .parquet(stage_dir)
+            )
+            written = {
+                entry.split("=", 1)[1]: f"{stage}/{entry}"
+                for entry in os.listdir(stage_dir)
+                if entry.startswith("__part=")
+            }
+            partitions = dict(m["partitions"])
+            partitions.update(written)
+            self._write_manifest(
+                name,
+                nv,
+                {
+                    "key": key,
+                    "n_buckets": B,
+                    "partitions": partitions,
+                    "schema_dir": m["schema_dir"],
+                },
+            )
+            self._commit(name, nv)
+            return nv
+        finally:
+            keys.unpersist()
+
     def rebucket(self, spark: SparkSession, name: str, n_buckets: int) -> int:
         """Re-hash a partitioned table into a new bucket count.
 

@@ -128,3 +128,76 @@ def test_corpus_ingest_legacy_unpartitioned_fallback(spark, tmp_path):
     got = {r["doc_id"] for r in store.read(spark, "corpus").collect()}
     assert got == {1, 3}
     assert store.partition_spec(fp_table_name("corpus")) is not None
+
+
+def test_corpus_ingest_near_dup_stream(spark, tmp_path):
+    """near_dup=True drops documents whose token-set Jaccard vs stored
+    content clears the threshold — driven through two live stream runs
+    so the band index is built, probed, and appended across ticks."""
+    feed = str(tmp_path / "feed")
+    store = ParquetTableStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    distinct = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    _write(feed, "b1", [
+        {"doc_id": 1, "ts": "2024-01-01 00:00:00", "text": base, "lang": "en"},
+        {"doc_id": 2, "ts": "2024-01-01 00:00:01", "text": distinct, "lang": "en"},
+    ])
+    q = start_corpus_ingest(
+        spark, feed, store, ckpt, min_quality=0.0, near_dup=True, near_threshold=0.7
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {1, 2}
+
+    # run 2: near-copy of doc 1 (one word changed), plus a fresh doc
+    near_copy = base.replace("kappa", "KAPPA2")
+    fresh = (
+        "red orange yellow green blue indigo violet crimson teal "
+        "magenta cyan maroon olive navy silver golden bronze pearl"
+    )
+    _write(feed, "b2", [
+        {"doc_id": 10, "ts": "2024-01-01 00:10:00", "text": near_copy, "lang": "en"},
+        {"doc_id": 11, "ts": "2024-01-01 00:10:01", "text": fresh, "lang": "en"},
+    ])
+    q = start_corpus_ingest(
+        spark, feed, store, ckpt, min_quality=0.0, near_dup=True, near_threshold=0.7
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in store.read(spark, "corpus").collect()}
+    assert got == {1, 2, 11}  # near-copy dropped, fresh doc kept
+
+    # the band index covers exactly the stored docs
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        bands_table_name,
+    )
+
+    idx_ids = {
+        r["doc_id"] for r in store.read(spark, bands_table_name("corpus")).collect()
+    }
+    assert idx_ids == {1, 2, 11}
+
+
+def test_corpus_ingest_near_dup_batch_internal(spark, tmp_path):
+    """Two near-dup docs arriving in the SAME batch: lowest id wins."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    batch = spark.createDataFrame(
+        [(7, base, "en"), (8, base.replace("zeta", "ZETA9"), "en")],
+        "doc_id long, text string, lang string",
+    )
+    ingest_batch(store, spark, batch, min_quality=0.0, near_dup=True, near_threshold=0.7)
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {7}

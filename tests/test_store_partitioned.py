@@ -273,3 +273,30 @@ def test_rebucket_preserves_rows_and_enables_merge(spark, tmp_path):
     store.merge(spark, "t", ups, ups.select("id"))
     got = {r["id"]: r["v"] for r in store.read(spark, "t").collect()}
     assert got[3] == 333 and got[77] == 777 and len(got) == 51
+
+
+def test_append_keeps_same_key_rows(spark, tmp_path):
+    """append() is for non-unique-key index tables: rows sharing the
+    partition key value with existing rows must survive (merge would
+    evict them), and only touched buckets are rewritten."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [("band-x", 1), ("band-x", 2), ("band-y", 3)], "band string, doc_id long"
+    )
+    store.overwrite("idx", base, partition_key="band", n_buckets=4)
+    m1 = store._read_manifest("idx", store.current_version("idx"))
+    store.append(
+        spark,
+        "idx",
+        spark.createDataFrame([("band-x", 9)], "band string, doc_id long"),
+    )
+    got = {(r["band"], r["doc_id"]) for r in store.read(spark, "idx").collect()}
+    assert got == {("band-x", 1), ("band-x", 2), ("band-x", 9), ("band-y", 3)}
+    # untouched buckets carried forward by reference
+    m2 = store._read_manifest("idx", store.current_version("idx"))
+    carried = [b for b, d in m2["partitions"].items() if m1["partitions"].get(b) == d]
+    assert carried  # at least one bucket was not rewritten
