@@ -584,6 +584,12 @@ _GATE_TAIL: tuple[str, ...] = (
     "percentiles",
     "dedup_keep_best",
     "q3_top_orders",
+    "pricing_summary",
+    "q5_region_volume",
+    "q10_returned_revenue",
+    "unpivot_metrics",
+    "simhash_dup",
+    "embedding_dup_pairs",
 )
 
 

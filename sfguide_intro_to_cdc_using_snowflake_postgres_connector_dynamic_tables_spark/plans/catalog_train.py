@@ -396,6 +396,235 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+# ---------------------------------------------------------------------------
+# The remaining TPC-H shapes the driver schema supports (Q2/Q11/Q20
+# need partsupp, Q21 needs commit/receipt dates -- absent by design).
+# ---------------------------------------------------------------------------
+
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: EXISTS with a cross-table inequality -- a left-semi join
+    whose condition mixes the equi key with l_shipdate > o_orderdate
+    (stays a hash join; the inequality is a post-probe filter)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4_PRIORITY_COUNT = """
+SELECT o_orderpriority AS orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure scan-side conjunction + global agg; every predicate
+    must reach the parquet scan (the canonical pushdown probe)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bidirectional nation-pair shipping volume -- the same dim
+    (nation) joined twice under different roles, disjunctive pair
+    filter, group by (pair, year)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = broadcast_if_small(_t(spark, sf_dir, "supplier"), sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+        )
+    )
+
+
+SQL_Q7_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+       sum(l_extendedprice * (1 - l_discount)) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: a target nation's share of regional import volume per year
+    -- conditional-sum ratio over a 6-way join with the nation dim in
+    two roles (customer region membership, supplier nationality)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD"), sf_dir, "part"
+    )
+    s = broadcast_if_small(_t(spark, sf_dir, "supplier"), sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = broadcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == n1.n_nationkey)
+        .join(r, n1.n_regionkey == r.r_regionkey)
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+                )
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_Q8_MARKET_SHARE = """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       sum(CASE WHEN n2.n_name = 'NATION_3'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+GROUP BY 1
+"""
+
+
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customer distribution by order count INCLUDING zero-order
+    customers -- the left-join + count(non-null) + re-aggregation
+    double grouping."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+SQL_Q13_ORDER_HISTOGRAM = """
+SELECT n_orders, count(*) AS n_custs
+FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1) t
+GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum half-year revenue -- a derived
+    aggregate compared against its own scalar max (1-row broadcast),
+    the view-over-aggregate shape."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__max_rev"))
+    s = broadcast_if_small(_t(spark, sf_dir, "supplier"), sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .join(s, F.col("suppkey") == s.s_suppkey)
+        .select("suppkey", F.col("s_name").alias("name"), "total_rev")
+    )
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY 1)
+SELECT suppkey, s_name AS name, total_rev
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
 TRAIN_CATALOG = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
@@ -410,4 +639,10 @@ TRAIN_CATALOG = {
         SQL_Q22_DORMANT_VALUE_CUSTOMERS,
     ),
     "q17_small_qty_revenue": (q17_small_qty_revenue, SQL_Q17_SMALL_QTY_REVENUE),
+    "q4_priority_count": (q4_priority_count, SQL_Q4_PRIORITY_COUNT),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE),
+    "q7_nation_volume": (q7_nation_volume, SQL_Q7_NATION_VOLUME),
+    "q8_market_share": (q8_market_share, SQL_Q8_MARKET_SHARE),
+    "q13_order_histogram": (q13_order_histogram, SQL_Q13_ORDER_HISTOGRAM),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
 }
