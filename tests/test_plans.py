@@ -161,3 +161,40 @@ def test_chunk_documents_is_map_only(spark):
     # exchanges -- chunking at 100 TB must stay a map-only stage
     plan = plan_of(CATALOG["chunk_documents"][0](spark, SF), mode="simple")
     assert "Exchange" not in plan
+
+
+def test_q4_exists_is_hash_semi_join(spark):
+    # EXISTS with a cross-table inequality must stay a hash semi join
+    # (equi key probe + inequality as residual), never a nested loop
+    plan = plan_of(CATALOG["q4_priority_count"][0](spark, SF), mode="simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    plan = plan_of(CATALOG["q6_forecast_revenue"][0](spark, SF))
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed into the parquet scan"
+
+
+def test_catalog_registry_integrity(spark):
+    """Guard the gate machinery itself: every _GATE_TAIL name must
+    exist (a typo would silently shrink the tail and push entries out
+    of the driver's first-50 window), every entry is a (fn, sql) pair,
+    and the head holds exactly 50 entries."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog import (
+        _GATE_TAIL,
+    )
+
+    names = list(CATALOG)
+    missing = [n for n in _GATE_TAIL if n not in CATALOG]
+    assert not missing, f"_GATE_TAIL names not in CATALOG: {missing}"
+    assert len(names) - len(_GATE_TAIL) == 50, (
+        f"gate head is {len(names) - len(_GATE_TAIL)} entries, not 50 -- "
+        "rotate one stable entry into _GATE_TAIL per new entry added"
+    )
+    assert names[-len(_GATE_TAIL):] == list(_GATE_TAIL)
+    for name, (fn, sql) in CATALOG.items():
+        assert callable(fn), name
+        assert sql is None or isinstance(sql, str), name
