@@ -288,6 +288,89 @@ class ParquetTableStore:
         self._commit(name, v)
         return v
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        name: str,
+        zorder_cols: list[str] | None = None,
+        bits: int = 12,
+        writer_options: dict[str, str] | None = None,
+    ) -> int:
+        """Maintenance rewrite of a partitioned table -- the managed
+        store's ``OPTIMIZE [ZORDER BY]``: compacts each hash bucket's
+        accumulated merge generations into one freshly-written
+        directory, optionally laying rows out along the Z-curve of
+        ``zorder_cols`` WITHIN each bucket so row-group min-max
+        pruning works on those columns on top of the bucket pruning
+        the hash key already provides.
+
+        Cost: one full-table pass (off-peak maintenance, like
+        ``rebucket``); bucket membership is untouched, so merges and
+        pruned reads are unaffected.  Atomic via the version pointer.
+        """
+        spec = self.partition_spec(name)
+        if spec is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        key, B = spec
+        df = self.read(spark, name)
+        if zorder_cols:
+            from ..operators.zorder import morton_value, _scaled_position
+
+            stats = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in zorder_cols],
+                *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in zorder_cols],
+            )
+            df = (
+                df.crossJoin(F.broadcast(stats))
+                .withColumn(
+                    "__z",
+                    morton_value(
+                        [_scaled_position(c, bits) for c in zorder_cols], bits
+                    ),
+                )
+                .drop(
+                    *[f"__min_{c}" for c in zorder_cols],
+                    *[f"__max_{c}" for c in zorder_cols],
+                )
+            )
+        v = self.current_version(name) + 1
+        tdir = self._table_dir(name)
+        stage = f"w{v}-{uuid.uuid4().hex[:8]}"
+        stage_dir = os.path.join(tdir, stage)
+        out = df.repartition(B, self.bucket_expr(key, B).alias("__part"))
+        out = out.withColumn("__part", self.bucket_expr(key, B))
+        if zorder_cols:
+            # __part leads the sort so the dynamic-partition writer's
+            # required ordering is already satisfied -- otherwise it
+            # re-sorts each task by __part alone and scrambles __z
+            out = out.sortWithinPartitions("__part", "__z").drop("__z")
+        writer = out.write.partitionBy("__part")
+        # e.g. {"parquet.block.size": ...} to size row groups so the
+        # z-order materializes as many tight-stat groups per file --
+        # min-max pruning works at row-group granularity
+        for k_opt, v_opt in (writer_options or {}).items():
+            writer = writer.option(k_opt, v_opt)
+        writer.parquet(stage_dir)
+        schema_dir = f"{stage}-schema"
+        self.read(spark, name).limit(0).write.parquet(os.path.join(tdir, schema_dir))
+        partitions = {
+            entry.split("=", 1)[1]: f"{stage}/{entry}"
+            for entry in os.listdir(stage_dir)
+            if entry.startswith("__part=")
+        }
+        self._write_manifest(
+            name,
+            v,
+            {
+                "key": key,
+                "n_buckets": B,
+                "partitions": partitions,
+                "schema_dir": schema_dir,
+            },
+        )
+        self._commit(name, v)
+        return v
+
     def append(self, spark: SparkSession, name: str, rows: DataFrame) -> int:
         """Bucket-pruned APPEND into a partitioned table: like ``merge``
         but without the delete-by-key step, for index tables whose

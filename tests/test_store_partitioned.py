@@ -300,3 +300,59 @@ def test_append_keeps_same_key_rows(spark, tmp_path):
     m2 = store._read_manifest("idx", store.current_version("idx"))
     carried = [b for b, d in m2["partitions"].items() if m1["partitions"].get(b) == d]
     assert carried  # at least one bucket was not rewritten
+
+
+def test_optimize_zorder_preserves_rows_and_tightens_rowgroups(spark, tmp_path):
+    """optimize(zorder_cols=...) must keep exact table contents and
+    bucket membership while narrowing per-row-group min-max ranges on
+    the z-ordered column (the stat row-group pruning reads)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    # value deliberately anti-correlated with write order inside buckets
+    df = spark.range(40000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 40000).cast("double").alias("v"),
+    )
+    store.overwrite("t", df, partition_key="k", n_buckets=4)
+    before = {(r["k"], r["v"]) for r in store.read(spark, "t").collect()}
+    # small row groups so each file holds MANY groups -- min-max
+    # pruning operates at row-group granularity, which is where the
+    # within-bucket sort pays off
+    v = store.optimize(
+        spark, "t", zorder_cols=["v"], bits=12,
+        writer_options={"parquet.block.size": str(64 * 1024)},
+    )
+    after = {(r["k"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert after == before
+    assert store.partition_spec("t") == ("k", 4)
+    assert store.current_version("t") == v
+
+    # v-ranges inside each data file must be far narrower than the
+    # global span (sorted within bucket -> tight row groups)
+    m = store._read_manifest("t", v)
+    spans = []
+    for rel in m["partitions"].values():
+        for f in glob.glob(os.path.join(store.root, "t", rel, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == "v" and c.statistics is not None:
+                        spans.append(
+                            float(c.statistics.max) - float(c.statistics.min)
+                        )
+    assert len(spans) > 8  # many row groups per file, not one
+    # each bucket holds ~10k ids whose v values cover the full range
+    # pre-sort; post-optimize each row group is a contiguous v slice
+    assert max(spans) < 40000 * 0.5
+    # a later merge still works at the same buckets
+    ups = spark.createDataFrame([(1, 99999.0)], "k long, v double")
+    store.merge(spark, "t", ups, ups.select("k"))
+    assert store.read(spark, "t").filter(F.col("k") == 1).first()["v"] == 99999.0
