@@ -109,3 +109,65 @@ def test_merge_without_evolution_keeps_marker(spark, tmp_path):
     store.merge(spark, "t", ups, ups.select("id"))
     m2 = store._read_manifest("t", store.current_version("t"))
     assert m2["schema_dir"] == m1["schema_dir"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EXTRA_COLS = ["email", "phone", "score"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_EXTRA_COLS), unique=True, max_size=3),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 12),
+                    st.sampled_from(["I", "U", "D"]),
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_evolution_sequences_match_model(spark, batches):
+    """Randomized batch sequences where every batch ships its own
+    column set (adds AND soft-drops interleaved): after each apply, the
+    snapshot must equal a dict-model that unions schemas and NULL-fills
+    both directions."""
+    model: dict[int, dict] = {}
+    all_cols: set[str] = {"name"}
+    current = None
+    lsn = 0
+    for extra_cols, ops in batches:
+        cols = ["name"] + sorted(extra_cols)
+        all_cols.update(extra_cols)
+        rows, schema = [], "id long, " + ", ".join(
+            f"{c} string" for c in cols
+        ) + ", op string, lsn long"
+        for rid, op in ops:
+            lsn += 1
+            payload = {c: f"{c}{rid}b{lsn}" for c in cols}
+            if op == "D":
+                model.pop(rid, None)
+                rows.append((rid, *[None] * len(cols), "D", lsn))
+            else:
+                model[rid] = payload
+                rows.append((rid, *[payload[c] for c in cols], op, lsn))
+        changes = spark.createDataFrame(rows, schema)
+        current = apply_changes(current, changes, key="id")
+        got = {
+            r["id"]: {c: r[c] for c in current.columns if c != "id"}
+            for r in current.collect()
+        }
+        want = {
+            rid: {c: vals.get(c) for c in got[rid]} for rid, vals in model.items()
+        }
+        assert got == want
+        # union-schema invariant: every column ever seen is retained
+        assert set(current.columns) - {"id"} <= all_cols
