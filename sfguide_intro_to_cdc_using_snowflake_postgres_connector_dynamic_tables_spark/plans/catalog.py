@@ -550,46 +550,58 @@ def _register_extensions() -> None:
 
 
 #: The driver's CORRECTNESS gate hashes only the FIRST 50 ``queries()``
-#: entries (dict insertion order). Long-stable simple entries rotate to
-#: the tail so every complex / recently-changed operator -- the whole
-#: corpus-pipeline family, the window/join analytics -- sits inside the
-#: gated window. Tail entries stay fully oracle-checked every round by
-#: ``tests/test_catalog_oracle.py``, which runs ALL entries at sf0.001.
+#: entries (dict insertion order).  Rotation policy (round 5): the tail
+#: holds ONLY entries that earned a driver-green row in the immediately
+#: preceding round's gate; they sit out for at most two rounds and then
+#: rotate back in, so every entry re-earns a driver-green row at least
+#: every third round.  Entries ADDED OR MODIFIED in the current round
+#: must stay inside the first-50 window (never rotate out work the
+#: driver hasn't re-verified).  Tail entries remain fully oracle-checked
+#: every round by ``tests/test_catalog_oracle.py`` (ALL entries,
+#: sf0.001) and by ``tests/test_oracle_dtypes.py`` (schema audit).
+#:
+#: Round-5 tail = 34 of the 50 entries green in CORRECTNESS_r04.json,
+#: excluding the four touched this round (q12_priority_lines,
+#: minhash_near_dup, dup_components, purchase_summary -- all kept
+#: in-window).  The 34 entries that sat in the round-4 tail rotate back
+#: into the window, covering VERDICT r4 item 3's requested names
+#: (string_functions, corpus_filter, q3/q5/q10, simhash_dup,
+#: embedding_dup_pairs, percentiles, pivot/unpivot, dashboard paths).
 _GATE_TAIL: tuple[str, ...] = (
-    "filter_eq",
-    "range_filter",
-    "spend_bands",
-    "null_bands",
-    "semi_join",
-    "anti_join",
-    "distinct",
-    "band_zero_fill",
-    "top1_supplier",
-    "global_agg",
-    "string_functions",
-    "corpus_filter",
-    "pivot_status",
-    "frame_sample",
-    "fingerprint",
-    "sentiment",
-    "dedup_exact",
-    "similarity_topk",
-    "text_stats",
-    "token_counts",
-    "language_id",
-    "quality_score",
-    "sql_entry",
-    "multimodal_features",
-    "rollup_pricing",
-    "percentiles",
-    "dedup_keep_best",
-    "q3_top_orders",
-    "pricing_summary",
-    "q5_region_volume",
-    "q10_returned_revenue",
-    "unpivot_metrics",
-    "simhash_dup",
-    "embedding_dup_pairs",
+    "window_analytics",
+    "sessionize",
+    "asof_last_order",
+    "datetime_functions",
+    "set_ops",
+    "grouped_count_distinct",
+    "array_functions",
+    "skew_join_salted",
+    "grouping_sets",
+    "topk_per_group",
+    "range_band_join",
+    "cube_agg",
+    "interval_join",
+    "chunk_documents",
+    "corpus_split",
+    "mixture_sample",
+    "sequence_pack",
+    "token_budget",
+    "vocab_topk",
+    "stats_pack",
+    "repetition_stats",
+    "unigram_logprob",
+    "q4_priority_count",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_histogram",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_banded_revenue",
+    "q22_dormant_value_customers",
 )
 
 
