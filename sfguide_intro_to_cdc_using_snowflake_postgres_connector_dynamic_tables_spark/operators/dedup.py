@@ -480,12 +480,41 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def _cut_lineage(df: DataFrame, policy: str) -> DataFrame:
+    """Cut plan lineage between loop iterations (an iterative-join loop
+    otherwise compounds the logical plan exponentially).
+
+    - ``policy="local"``: ``localCheckpoint`` -- blocks pinned to
+      executor storage.  Fast (no DFS round-trip) but NOT fault
+      tolerant: losing an executor loses the pinned blocks and the
+      job cannot recompute them (lineage was truncated).  Right for
+      ``local[*]`` and tests, wrong for a 1000-executor cluster.
+    - ``policy="reliable"``: ``checkpoint`` -- materializes to the
+      SparkContext checkpoint directory (HDFS/S3), surviving executor
+      loss.  The 100 TB default; callers must first do
+      ``spark.sparkContext.setCheckpointDir("hdfs://...")``.
+    """
+    if policy == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(...) to point at "
+                "fault-tolerant storage (HDFS/S3)"
+            )
+        return df.checkpoint(eager=True)
+    if policy == "local":
+        return df.localCheckpoint()
+    raise ValueError(f"unknown checkpoint policy {policy!r}")
+
+
 def connected_components(
     pairs: DataFrame,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iter: int = 25,
     method: str = "star",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components over a dup-pair edge list: label every node
     with the minimum id reachable from it, so each near-dup cluster gets
@@ -507,37 +536,42 @@ def connected_components(
       dup clusters (one groupBy per round instead of two) and as the
       differential-testing partner for the star variant.
 
-    Both cut plan lineage per round with ``localCheckpoint`` (an
-    iterative-join loop would otherwise compound the logical plan
-    exponentially) and raise if ``max_iter`` rounds don't converge
-    rather than returning wrong labels.
+    Both cut plan lineage per round via ``checkpoint`` policy
+    (``"local"`` = localCheckpoint for single-node runs, ``"reliable"``
+    = storage-backed checkpoint for clusters -- see ``_cut_lineage``)
+    and raise if ``max_iter`` rounds don't converge rather than
+    returning wrong labels.
     """
     if method == "star":
-        return _cc_star(pairs, col_a, col_b, max_iter)
+        return _cc_star(pairs, col_a, col_b, max_iter, checkpoint)
     if method != "propagation":
         raise ValueError(f"unknown connected-components method {method!r}")
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
-    ).localCheckpoint()
+    edges = _cut_lineage(
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        checkpoint,
+    )
+    labels = _cut_lineage(
+        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v")),
+        checkpoint,
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["v"])
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = _cut_lineage(
             labels.join(nbr_min, labels["v"] == nbr_min["nv"], "left")
             .select(
                 labels["v"],
                 F.least(
                     labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint,
         )
         changed = (
             new_labels.alias("n")
@@ -554,7 +588,8 @@ def connected_components(
 
 
 def _cc_star(
-    pairs: DataFrame, col_a: str, col_b: str, max_iter: int
+    pairs: DataFrame, col_a: str, col_b: str, max_iter: int,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Small-star/large-star alternation (Kiveris et al., SoCC'14).
 
@@ -570,23 +605,23 @@ def _cc_star(
     Each half-round is one shuffle (groupBy u) plus one join; rounds are
     O(log n), so the whole operator is O(log n) shuffles independent of
     graph diameter.  Edge multiplicity is re-``distinct``-ed per round
-    and lineage cut with ``localCheckpoint``.
+    and lineage cut per the ``checkpoint`` policy (see ``_cut_lineage``).
     """
     e0 = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
     # node universe BEFORE dropping self-loops: a node appearing only as
     # (x, x) is a legitimate singleton component, not a missing row.
-    nodes = (
+    nodes = _cut_lineage(
         e0.select(F.col("a").alias("v"))
         .union(e0.select(F.col("b").alias("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     e = e0.filter(F.col("a") != F.col("b"))
     # canonical high -> low orientation
-    edges = (
+    edges = _cut_lineage(
         e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     if edges.isEmpty():
         return nodes.select(
@@ -612,12 +647,12 @@ def _cc_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         hooked = large.join(mins2, "u")
-        small = (
+        small = _cut_lineage(
             hooked.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(hooked.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            checkpoint,
         )
         converged = (
             small.count() == edges.count()

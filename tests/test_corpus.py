@@ -211,6 +211,47 @@ def test_connected_components_star_empty_and_self_loops(spark):
     assert out == {3: 3, 4: 4, 5: 4}
 
 
+def test_connected_components_checkpoint_policies(spark, tmp_path):
+    """checkpoint='reliable' (storage-backed, survives executor loss)
+    must label identically to the default localCheckpoint path, and
+    must refuse to run without a checkpoint dir configured."""
+    import pytest as _pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with _pytest.raises(RuntimeError, match="setCheckpointDir"):
+        connected_components(pairs, checkpoint="reliable").collect()
+    with _pytest.raises(ValueError, match="checkpoint policy"):
+        connected_components(pairs, checkpoint="bogus").collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        for method in ("star", "propagation"):
+            local = {
+                r["doc_id"]: r["component"]
+                for r in connected_components(
+                    pairs, method=method, checkpoint="local"
+                ).collect()
+            }
+            reliable = {
+                r["doc_id"]: r["component"]
+                for r in connected_components(
+                    pairs, method=method, checkpoint="reliable"
+                ).collect()
+            }
+            assert local == reliable
+            assert {local[v] for v in (1, 2, 3, 4)} == {1}
+    finally:
+        # conftest's session is shared; restore the no-dir default
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
 def test_repetition_stats_planted(spark):
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
         repetition_stats,
