@@ -37,17 +37,55 @@ CUSTOMER_PURCHASE_SUMMARY_SQL = """
 """
 
 
+#: Dim frames whose optimizer-estimated size exceeds this are joined
+#: unhinted (AQE picks the strategy) instead of force-broadcast.
+#: Matches the session's raised auto-broadcast ceiling (session.py).
+DIM_BROADCAST_BYTES = 64 << 20
+
+
+def _gated_broadcast(df: DataFrame, broadcast_dims: bool | None) -> DataFrame:
+    """Size-gate the dim-side broadcast hint.
+
+    ``True`` forces the hint (reference domain: 14 merchants / 12
+    products -- always safe there), ``False`` never hints, ``None``
+    (default) hints only when Catalyst's plan statistics say the dim
+    fits ``DIM_BROADCAST_BYTES``.  Unknown statistics (Spark reports
+    Long.Max-ish sentinels) count as too big: a wrong "no hint" costs
+    one AQE-recoverable shuffle, a wrong "hint" OOMs the driver at
+    100 TB when this function serves as the IVM view definition.
+    """
+    if broadcast_dims is True:
+        return F.broadcast(df)
+    if broadcast_dims is False:
+        return df
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala.math.BigInt to int when it fits; huge
+        # unknown-stats sentinels may surface as a JavaObject instead
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return df
+    return F.broadcast(df) if 0 <= size <= DIM_BROADCAST_BYTES else df
+
+
 def customer_purchase_summary(
     transactions: DataFrame,
     customers: DataFrame,
     products: DataFrame,
     merchants: DataFrame,
+    broadcast_dims: bool | None = None,
 ) -> DataFrame:
     """Build the ``customer_purchase_summary`` view (reference-domain).
 
     Inner joins drop orphan transactions (955/1000 of the reference
     seed -- SURVEY.md section 1.3); that row loss is load-bearing
     behavior, not a bug.
+
+    ``broadcast_dims`` is the driver-OOM guard for the IVM path: this
+    same function is the view definition DynamicTableManager refreshes,
+    so a user pointing it at a large dim must not inherit a forced
+    broadcast.  Default ``None`` = size-gated per dim (see
+    ``_gated_broadcast``).
     """
     t, c, p, m = (
         transactions.alias("t"),
@@ -55,11 +93,12 @@ def customer_purchase_summary(
         products.alias("p"),
         merchants.alias("m"),
     )
+    bc = lambda df: _gated_broadcast(df, broadcast_dims)  # noqa: E731
     joined = (
-        t.join(F.broadcast(c), F.col("t.customer_id") == F.col("c.customer_id"), "inner")
-        .join(F.broadcast(p), F.col("t.product_id") == F.col("p.product_id"), "inner")
+        t.join(bc(c), F.col("t.customer_id") == F.col("c.customer_id"), "inner")
+        .join(bc(p), F.col("t.product_id") == F.col("p.product_id"), "inner")
         .join(
-            F.broadcast(m),
+            bc(m),
             (F.col("t.merchant_id") == F.col("m.merchant_id"))
             & (F.col("m.merchant_category") == F.col("p.product_category")),
             "inner",

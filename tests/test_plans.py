@@ -198,3 +198,62 @@ def test_catalog_registry_integrity(spark):
     for name, (fn, sql) in CATALOG.items():
         assert callable(fn), name
         assert sql is None or isinstance(sql, str), name
+
+
+def test_purchase_summary_broadcast_is_size_gated(spark):
+    """The IVM view definition must not force-broadcast a large dim
+    (VERDICT r4 item 5): parquet-backed small dims get the hint, frames
+    with oversized or unknown statistics fall back to AQE's choice, and
+    True/False override in both directions."""
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
+        DIM_BROADCAST_BYTES,
+        _gated_broadcast,
+        customer_purchase_summary,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+        load_table,
+    )
+
+    # parquet-backed small table: stats known and tiny -> hinted
+    nation = load_table(spark, SF, "nation")
+    hinted = _gated_broadcast(nation, None)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    # oversized estimate -> returned unhinted (AQE decides at runtime)
+    big = spark.range(0, DIM_BROADCAST_BYTES).select(
+        F.col("id").alias("merchant_id"),
+        F.lit("food").alias("merchant_category"),
+        F.lit("m").alias("merchant_name"),
+    )
+    assert _gated_broadcast(big, None) is big
+
+    tx = spark.createDataFrame(
+        [(1, 10, 20, 30, "2024-01-01", "12:00", 2, 9.0, "visa", "food")],
+        "transaction_id long, customer_id long, product_id long, merchant_id long,"
+        " transaction_date string, transaction_time string, quantity long,"
+        " total_price double, transaction_card string, transaction_category string",
+    )
+    cust = spark.createDataFrame([(10, 33)], "customer_id long, age long")
+    prod = spark.createDataFrame(
+        [(20, "apple", "food", 4.5)],
+        "product_id long, product_name string, product_category string, price double",
+    )
+    small_merch = spark.createDataFrame(
+        [(30, "bob's", "food")],
+        "merchant_id long, merchant_name string, merchant_category string",
+    )
+
+    # RDD-backed frames report unknown stats: the auto gate must stay
+    # conservative (no forced hint anywhere in the optimized plan)
+    auto = customer_purchase_summary(tx, cust, prod, small_merch)
+    assert "ResolvedHint" not in auto._jdf.queryExecution().optimizedPlan().toString()
+    assert auto.count() == 1  # and still correct
+
+    # broadcast_dims=True restores the reference-domain forced plan
+    forced = customer_purchase_summary(tx, cust, prod, small_merch, broadcast_dims=True)
+    assert plan_of(forced, mode="simple").count("BroadcastHashJoin") == 3
+
+    # broadcast_dims=False never hints, even for tiny parquet dims
+    assert _gated_broadcast(nation, False) is nation
