@@ -314,25 +314,9 @@ class ParquetTableStore:
         key, B = spec
         df = self.read(spark, name)
         if zorder_cols:
-            from ..operators.zorder import morton_value, _scaled_position
+            from ..operators.zorder import with_morton
 
-            stats = df.agg(
-                *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in zorder_cols],
-                *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in zorder_cols],
-            )
-            df = (
-                df.crossJoin(F.broadcast(stats))
-                .withColumn(
-                    "__z",
-                    morton_value(
-                        [_scaled_position(c, bits) for c in zorder_cols], bits
-                    ),
-                )
-                .drop(
-                    *[f"__min_{c}" for c in zorder_cols],
-                    *[f"__max_{c}" for c in zorder_cols],
-                )
-            )
+            df = with_morton(df, zorder_cols, bits)
         v = self.current_version(name) + 1
         tdir = self._table_dir(name)
         stage = f"w{v}-{uuid.uuid4().hex[:8]}"
@@ -418,6 +402,19 @@ class ParquetTableStore:
             }
             partitions = dict(m["partitions"])
             partitions.update(written)
+            # schema evolution: mirror merge() -- if appended rows
+            # introduced columns the zero-row marker lacks, stamp a
+            # fresh union-schema marker so empty/fully-pruned reads
+            # see the evolved column set (ADVICE r4)
+            schema_dir = m["schema_dir"]
+            marker = spark.read.parquet(os.path.join(tdir, schema_dir))
+            if set(rows.columns) - set(marker.columns):
+                schema_dir = f"{stage}-schema"
+                (
+                    marker.limit(0)
+                    .unionByName(rows.limit(0), allowMissingColumns=True)
+                    .write.parquet(os.path.join(tdir, schema_dir))
+                )
             self._write_manifest(
                 name,
                 nv,
@@ -425,7 +422,7 @@ class ParquetTableStore:
                     "key": key,
                     "n_buckets": B,
                     "partitions": partitions,
-                    "schema_dir": m["schema_dir"],
+                    "schema_dir": schema_dir,
                 },
             )
             self._commit(name, nv)

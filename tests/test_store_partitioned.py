@@ -302,6 +302,42 @@ def test_append_keeps_same_key_rows(spark, tmp_path):
     assert carried  # at least one bucket was not rewritten
 
 
+def test_append_restamps_schema_marker_on_evolution(spark, tmp_path):
+    """A schema-evolving append must re-stamp the zero-row schema
+    marker like merge() does (ADVICE r4): after appending rows with a
+    new column, an empty or fully-pruned read must see the evolved
+    column set, not the stale pre-evolution one."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [("band-x", 1), ("band-y", 3)], "band string, doc_id long"
+    )
+    store.overwrite("idx", base, partition_key="band", n_buckets=4)
+    evolved = spark.createDataFrame(
+        [("band-x", 9, 0.5)], "band string, doc_id long, score double"
+    )
+    store.append(spark, "idx", evolved)
+    # full read: evolved column present, old rows NULL-filled
+    got = store.read(spark, "idx")
+    assert set(got.columns) == {"band", "doc_id", "score"}
+    # fully-pruned read: only the schema marker contributes columns
+    pruned = store.read_buckets(spark, "idx", [])
+    assert set(pruned.columns) == {"band", "doc_id", "score"}
+    assert pruned.count() == 0
+    # non-evolving append does NOT churn the marker
+    m_before = store._read_manifest("idx", store.current_version("idx"))
+    store.append(
+        spark,
+        "idx",
+        spark.createDataFrame([("band-z", 7, 1.0)], "band string, doc_id long, score double"),
+    )
+    m_after = store._read_manifest("idx", store.current_version("idx"))
+    assert m_after["schema_dir"] == m_before["schema_dir"]
+
+
 def test_optimize_zorder_preserves_rows_and_tightens_rowgroups(spark, tmp_path):
     """optimize(zorder_cols=...) must keep exact table contents and
     bucket membership while narrowing per-row-group min-max ranges on

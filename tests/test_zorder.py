@@ -94,3 +94,56 @@ def test_zorder_validates_args(spark):
         zorder_dataframe(ev, [])
     with _pytest.raises(ValueError):
         zorder_dataframe(ev, ["user_id", "value"], bits=32)
+
+
+def test_zorder_string_column_clusters_not_nulls(spark, tmp_path):
+    """Strings must map to an order-preserving numeric position, not
+    silently cast to NULL/0 (ADVICE r4): the string dimension's
+    per-file byte-prefix ranges must be narrow after z-ordering."""
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.zorder import (
+        _numeric_projection,
+        zorder_write,
+    )
+
+    # order preservation of the projection itself
+    words = ["", "a", "ab", "abc", "b", "ba", "zz", "Z", "0", "~~~~~~~~"]
+    proj = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", _numeric_projection("w", "string").alias("p"))
+        .collect()
+    )
+    by_word = sorted(proj, key=lambda r: r["w"])
+    by_proj = sorted(proj, key=lambda r: r["p"])
+    assert [r["w"] for r in by_word] == [r["w"] for r in by_proj]
+
+    # end-to-end: 26 alphabet buckets x 40 rows, z-ordered by the
+    # string key alone -> each of 8 files must span few letters
+    rows = [(f"{c}{i:03d}", i) for c in _string.ascii_lowercase for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    path = str(tmp_path / "zs")
+    zorder_write(df, path, ["k"], n_files=8, bits=12)
+    got = spark.read.parquet(path)
+    assert got.count() == len(rows)
+    spans = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.countDistinct(F.substring("k", 1, 1)).alias("letters"))
+        .collect()
+    )
+    assert len(spans) == 8
+    # 26 letters over 8 files: perfect clustering = ~4 letters/file;
+    # the old NULL-cast bug would put all 26 in every file
+    assert max(r["letters"] for r in spans) <= 6
+
+    # unsupported types raise instead of silently degenerating
+    arr = spark.createDataFrame([([1, 2],)], "a array<int>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported type"):
+        zorder_write(arr, str(tmp_path / "bad"), ["a"])
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        zorder_write(df, str(tmp_path / "bad2"), ["nope"])
