@@ -15,7 +15,7 @@ What matters at scale is HOW the table is split across executors:
 - numeric/temporal keys: range predicates from bounds -- Spark's
   native partitionColumn path, one executor per contiguous key range;
 - text/uuid keys (no usable bounds): hash-mod predicates
-  (``mod(abs(hash(key)), N) = i``) so every executor streams a
+  (``mod(mod(hash(key), N) + N, N) = i``) so every executor streams a
   statistically even 1/N of the table regardless of key distribution;
 - both predicate generators are pure functions, property-tested for
   the invariant that matters: every row matches EXACTLY one predicate
@@ -60,15 +60,20 @@ def range_partition_predicates(
 
 
 def hash_partition_predicates(
-    col: str, n: int, hash_fn: str = "abs(hash({col}))"
+    col: str, n: int, hash_fn: str = "hash({col})"
 ) -> list[str]:
     """N hash-mod predicates for keys without usable numeric bounds
     (uuid/text PKs): partition i takes rows where
-    ``mod(<hash>, n) = i``, plus NULLs in partition 0.
+    ``mod(mod(<hash>, n) + n, n) = i``, plus NULLs in partition 0.
+
+    The double-mod folds negative hash values into [0, n) without
+    ``abs()`` -- Postgres ``abs(hashtext(...))`` errors when hashtext
+    returns INT_MIN (abs(-2147483648) overflows int4), aborting one
+    partition's snapshot on unlucky key sets (ADVICE r4).
 
     ``hash_fn`` is the dialect's stable hash spelled with a ``{col}``
-    placeholder -- e.g. ``abs(hashtext({col}::text))`` on Postgres,
-    ``abs(hash({col}))`` on DuckDB (the test dialect).  Evenness comes
+    placeholder -- e.g. ``hashtext({col}::text)`` on Postgres,
+    ``hash({col})`` on DuckDB (the test dialect).  Evenness comes
     from the hash, so a skewed key distribution (hot tenant, zipfian
     ids) still splits ~1/N per executor -- the property range splits
     lose on skew.
@@ -81,8 +86,9 @@ def hash_partition_predicates(
     # every non-zero arm excludes NULL explicitly: some dialects hash
     # NULL to a non-NULL value (DuckDB), which would double-assign NULL
     # rows to arm 0's IS NULL clause AND their hash arm
-    preds = [f"(mod({h}, {n}) = 0 AND {col} IS NOT NULL) OR {col} IS NULL"]
-    preds += [f"mod({h}, {n}) = {i} AND {col} IS NOT NULL" for i in range(1, n)]
+    m = f"mod(mod({h}, {n}) + {n}, {n})"
+    preds = [f"({m} = 0 AND {col} IS NOT NULL) OR {col} IS NULL"]
+    preds += [f"{m} = {i} AND {col} IS NOT NULL" for i in range(1, n)]
     return preds
 
 
@@ -95,7 +101,7 @@ def read_jdbc_snapshot(
     lower: int | None = None,
     upper: int | None = None,
     num_partitions: int = 16,
-    hash_fn: str = "abs(hashtext({col}::text))",
+    hash_fn: str = "hashtext({col}::text)",
 ) -> DataFrame:
     """Partitioned snapshot read of one table over JDBC.
 

