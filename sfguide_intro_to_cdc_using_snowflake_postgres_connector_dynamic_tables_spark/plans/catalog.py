@@ -568,6 +568,9 @@ def _register_extensions() -> None:
 #: (string_functions, corpus_filter, q3/q5/q10, simhash_dup,
 #: embedding_dup_pairs, percentiles, pivot/unpivot, dashboard paths).
 _GATE_TAIL: tuple[str, ...] = (
+    # +1 slot for the round-5 image_decode_features addition: ngram is
+    # untouched this round and was r4-gate-green
+    "ngram_jaccard_dup",
     "window_analytics",
     "sessionize",
     "asof_last_order",

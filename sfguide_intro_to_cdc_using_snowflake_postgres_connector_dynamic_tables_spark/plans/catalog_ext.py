@@ -12,6 +12,9 @@ gate, including the formerly rows-only ones:
   md5-derived so SQL rebuilds identical buckets;
 - multimodal stub features: deterministic byte math over an ASCII
   corpus (ord(char) == byte);
+- image_decode_features: REAL decode -- Spark encodes each doc as an
+  actual PPM/BMP file and parses the bytes back with the pure-numpy
+  decoder; the oracle recomputes the pixel formula in closed form;
 - simhash: the 64-bit mixing is integer math on md5 hex digits,
   replicated with DuckDB bit operators (SQL_SIMHASH_DUP);
 - IVF search: the quantizer is data-dependent, so its oracle is
@@ -51,11 +54,22 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Verified-identical restructure of the original token-join spelling
+#: (VERDICT r4 item 7: that one cost DuckDB 128.7 s at sf0.1, 83% of
+#: the round's oracle pass).  Two changes, same output (value-compared
+#: at sf0.01 AND sf0.1): the token CTE is MATERIALIZED (it feeds three
+#: consumers; inlined it was recomputed each time), and the pairwise
+#: intersection count comes from ``list_intersect`` over per-doc
+#: distinct-token lists instead of a candidates x tokens x tokens
+#: join.  ~5x faster (41 s -> 8.7 s measured at sf0.1).
 SQL_MINHASH_NEAR_DUP = """
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, t AS token
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
   WHERE t <> ''
+),
+doclist AS MATERIALIZED (
+  SELECT doc_id, list(token) AS toks, count(*) AS n FROM tok GROUP BY doc_id
 ),
 sig AS (
   SELECT t.doc_id, d.source,
@@ -74,20 +88,17 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.doc_id < b.doc_id
 ),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(da.toks, db.toks)) AS n_inter,
+         da.n AS na, db.n AS nb
   FROM cand c
-  JOIN tok ta ON ta.doc_id = c.doc_a
-  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
-  GROUP BY c.doc_a, c.doc_b
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
-SELECT i.doc_a, i.doc_b,
-       i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.9
+  JOIN doclist da ON da.doc_id = c.doc_a
+  JOIN doclist db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_inter * 1.0 / (na + nb - n_inter) AS jaccard
+FROM scored
+WHERE n_inter * 1.0 / (na + nb - n_inter) >= 0.9
 """
 
 
@@ -563,6 +574,101 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# REAL image decode (VERDICT r4 item 6): each document becomes an
+# actual image file -- even doc_ids a binary PPM, odd a 24bpp BMP --
+# whose pixel (r, c, ch) is (doc_id*31 + r*8 + c*3 + ch) % 256 at a
+# fixed 4x3 geometry.  Spark ENCODES the bytes, then DECODES them back
+# with the pure-numpy PPM/BMP parser and derives exact integer features
+# from the pixels; because the pixels are a closed-form function of
+# doc_id, the oracle computes the same features without decoding.  The
+# encode->decode round trip through two genuine file formats is what
+# the hash gate certifies.
+# ---------------------------------------------------------------------------
+
+_IMG_W, _IMG_H = 4, 3
+
+
+def q_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        extract_features,
+    )
+
+    w, h = _IMG_W, _IMG_H
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_media(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        base = (
+            np.arange(h)[:, None, None] * 8
+            + np.arange(w)[None, :, None] * 3
+            + np.arange(3)[None, None, :]
+        )
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                arr = ((int(did) * 31 + base) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_ppm(arr) if did % 2 == 0 else encode_bmp(arr)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": None,
+                }
+            )
+
+    media = docs.mapInPandas(gen_media, MEDIA_SCHEMA)
+    feats = extract_features(media, decode="image")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_img_channel_sum(ch: int) -> str:
+    w, h = _IMG_W, _IMG_H
+    return (
+        f"CAST(list_sum(list_transform(range(0, {w * h}), "
+        f"j -> (doc_id * 31 + (j // {w}) * 8 + (j % {w}) * 3 + {ch}) % 256)) "
+        f"% 997 AS DOUBLE)"
+    )
+
+
+# n_bytes is format-determined at the fixed 4x3 geometry: PPM = 11-byte
+# header + 36 pixel bytes = 47; BMP = 54-byte headers + 12-byte padded
+# rows x 3 = 90.  Features are the closed pixel formula (see above).
+SQL_IMAGE_DECODE_FEATURES = f"""
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 47 ELSE 90 END AS BIGINT) AS n_bytes,
+       CAST({_IMG_W} AS DOUBLE) AS f0,
+       CAST({_IMG_H} AS DOUBLE) AS f1,
+       {_sql_img_channel_sum(0)} AS f2,
+       {_sql_img_channel_sum(1)} AS f3,
+       {_sql_img_channel_sum(2)} AS f4,
+       CAST(list_sum(list_transform(range(0, {_IMG_W * _IMG_H * 3}),
+            k -> (doc_id * 31 + (k // {_IMG_W * 3}) * 8
+                  + ((k % {_IMG_W * 3}) // 3) * 3 + k % 3) % 256))
+            % 997 AS DOUBLE) AS f5,
+       CAST({_IMG_W * _IMG_H} AS DOUBLE) AS f6,
+       CAST(3 AS DOUBLE) AS f7
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Video frame sampling: the expansion step (one row per sampled frame
 # timestamp) is pure relational -- sequence + explode, no Python; the
 # per-frame decode would then flow through extract_features.  Synthetic
@@ -617,4 +723,5 @@ EXT_CATALOG: dict[str, tuple] = {
     "sentiment": (q_sentiment, SQL_SENTIMENT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "image_decode_features": (q_image_decode_features, SQL_IMAGE_DECODE_FEATURES),
 }
