@@ -111,11 +111,13 @@ def read_jdbc_snapshot(
     neither: single-partition read (small dims only -- at 100 TB every
     fact-sized table must pass a partition column).
 
-    This is the bootstrap half of snapshot-then-tail: run it while the
-    replication slot (or envelope feed) buffers concurrent changes,
-    then apply the tail from the slot's LSN -- the same contract
-    ``streaming/changefeed.py::bootstrap_then_tail`` drives with file
-    feeds in tests.
+    This is the bootstrap half of snapshot-then-tail: create the
+    replication slot first, record its consistent point, run this read
+    under the slot's exported snapshot, then hand both to
+    ``streaming.changefeed.CDCPipeline.bootstrap_then_tail`` -- the
+    pipeline drops any replayed change with lsn <= the recorded point
+    (tests/test_jdbc_integration.py drives the full handoff against a
+    DuckDB-faked database).
     """
     if partition_col is None:
         return spark.read.jdbc(url, table, properties=properties)

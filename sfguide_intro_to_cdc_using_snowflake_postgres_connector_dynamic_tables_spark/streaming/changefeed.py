@@ -103,11 +103,43 @@ class CDCPipeline:
         self.store = store
         self.partition_spec = partition_spec or {}
         self._on_batch_applied: list = []  # hooks: fn(batch_id, deltas dict)
+        # offset handoff contract (see bootstrap_then_tail): changes with
+        # lsn <= snapshot_lsn are already reflected in the snapshot and
+        # MUST be skipped on apply, or a replayed/overlapping tail would
+        # regress newer snapshot values under latest-wins
+        self.snapshot_lsn: int = self._read_offset()
+
+    # -- snapshot-LSN offset persistence ------------------------------------
+
+    def _offset_path(self) -> str:
+        return os.path.join(self.store.root, "_cdc_offset.json")
+
+    def _read_offset(self) -> int:
+        try:
+            with open(self._offset_path()) as f:
+                return int(json.load(f)["snapshot_lsn"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _write_offset(self, snapshot_lsn: int) -> None:
+        tmp = self._offset_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_lsn": snapshot_lsn}, f)
+        os.replace(tmp, self._offset_path())
 
     # -- bootstrap (C2) ------------------------------------------------------
 
-    def bootstrap(self, seed: dict[str, DataFrame]) -> None:
-        """Initial snapshot load (SCHEMA_INTROSPECTION + SNAPSHOT phase)."""
+    def bootstrap(
+        self, seed: dict[str, DataFrame], snapshot_lsn: int | None = None
+    ) -> None:
+        """Initial snapshot load (SCHEMA_INTROSPECTION + SNAPSHOT phase).
+
+        ``snapshot_lsn``: the WAL position at which the snapshot is
+        consistent (Postgres: the replication slot's ``consistent_point``
+        from ``CREATE_REPLICATION_SLOT``, captured BEFORE the snapshot
+        read).  Persisted next to the store so a restarted pipeline
+        keeps the same skip-below watermark.
+        """
         for table, df in seed.items():
             if table in self.partition_spec:
                 self.store.overwrite(
@@ -118,6 +150,39 @@ class CDCPipeline:
                 )
             else:
                 self.store.overwrite(table, df)
+        if snapshot_lsn is not None:
+            self.snapshot_lsn = snapshot_lsn
+            self._write_offset(snapshot_lsn)
+
+    def bootstrap_then_tail(
+        self,
+        snapshot: dict[str, DataFrame],
+        snapshot_lsn: int,
+        feed_dir: str,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+    ):
+        """Snapshot-then-tail with the exact offset handoff contract
+        (the production seam ``sources/jdbc_source.py`` documents;
+        README "Connecting a real Postgres" walks the full recipe).
+
+        Contract:
+        1. create the replication slot FIRST; record its consistent
+           point as ``snapshot_lsn`` (so no change between snapshot
+           and slot creation can be lost);
+        2. snapshot every table (``jdbc_source.read_jdbc_snapshot``)
+           under a transaction pinned at that point (Postgres: the
+           slot's exported snapshot);
+        3. hand both to this method.  The tail may replay changes with
+           ``lsn <= snapshot_lsn`` (slots resend after unclean
+           shutdown); the pipeline drops them -- they are already in
+           the snapshot -- so the handoff is idempotent, not
+           at-least-once-visible.
+
+        Returns the started StreamingQuery.
+        """
+        self.bootstrap(snapshot, snapshot_lsn=snapshot_lsn)
+        return self.start_stream(feed_dir, checkpoint_dir, trigger)
 
     # -- batch apply (C3), shared by streaming + tests ----------------------
 
@@ -128,7 +193,14 @@ class CDCPipeline:
         a dim row + a fact row referencing it lands consistently
         (SURVEY.md section 4.2).  Returns per-table typed deltas for
         downstream incremental view maintenance.
+
+        Changes at or below the persisted ``snapshot_lsn`` watermark
+        are dropped (already reflected in the bootstrap snapshot --
+        see ``bootstrap_then_tail``); the filter compiles to a codegen
+        comparison, zero cost when no watermark is set.
         """
+        if self.snapshot_lsn >= 0:
+            envelope = envelope.filter(F.col("lsn") > F.lit(self.snapshot_lsn))
         envelope = envelope.cache()
         deltas: dict[str, DataFrame] = {}
         try:
