@@ -120,10 +120,161 @@ def _bench_cdc(
         return time.perf_counter() - t0
 
 
+def _soak_cdc(
+    spark,
+    batches: int = 50,
+    rows_per_batch: int = 2000,
+    n_customers: int = 2000,
+    base_transactions: int = 20000,
+    buckets: int = 64,
+) -> dict:
+    """10x-volume CDC soak (VERDICT r4 item 8): drive ``batches`` x
+    ``rows_per_batch`` change batches through the partitioned store +
+    incremental view refresh, and *measure* (not assert) the
+    O(delta-buckets) write claim: bytes written per refresh is the
+    file-set delta of the store directory across each batch, so a
+    full-rewrite regression shows up as per-refresh bytes ~= total
+    store bytes instead of ~= delta-bucket bytes.
+
+    Returns sustained rows/min, per-batch lag percentiles and the
+    write-amplification ratio (bytes written per refresh / live store
+    bytes)."""
+    import json as _json
+    import os as _os
+    import statistics
+    import tempfile
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
+        customer_purchase_summary,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+        fixtures,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+        CUSTOMERS_SCHEMA,
+        MERCHANTS_SCHEMA,
+        PRODUCTS_SCHEMA,
+        TRANSACTIONS_SCHEMA,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+        CDCPipeline,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        DynamicTable,
+        DynamicTableManager,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    def _snapshot_files(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for f in files:
+                p = _os.path.join(dirpath, f)
+                try:
+                    out[p] = _os.path.getsize(p)
+                except OSError:
+                    pass
+        return out
+
+    customers = fixtures.make_customers(n_customers, seed=42)
+    merchants = fixtures.make_merchants(seed=42)
+    products = fixtures.make_products(seed=42)
+    transactions = fixtures.make_transactions(
+        customers, products, merchants, n=base_transactions, seed=42
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/store"
+        store = ParquetTableStore(root)
+        p = CDCPipeline(spark, store, partition_spec={"transactions": buckets})
+        p.bootstrap(
+            {
+                "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+                "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+                "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+                "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
+            }
+        )
+        mgr = DynamicTableManager(spark, store)
+        mgr.create(
+            DynamicTable(
+                "customer_purchase_summary",
+                lambda t: customer_purchase_summary(
+                    t["transactions"], t["customers"], t["products"], t["merchants"]
+                ),
+                "transactions",
+                "transaction_id",
+                "transaction_id",
+                {
+                    "customers": ("customer_id", "customer_id"),
+                    "products": ("product_id", "product_id"),
+                    "merchants": ("merchant_id", "merchant_id"),
+                },
+                partition_buckets=buckets,
+            )
+        )
+        mgr.attach(p)
+        log = fixtures.change_log(
+            customers, products, merchants, batches=batches, rows_per_batch=rows_per_batch
+        )
+        envelopes = []
+        for batch in log:
+            rows = []
+            for table, changes in batch.items():
+                for op, lsn, row in changes:
+                    rows.append((op, lsn, None, table, _json.dumps(row, default=str)))
+            envelopes.append(spark.createDataFrame(rows, FEED_SCHEMA))
+
+        lags: list[float] = []
+        bytes_per_refresh: list[int] = []
+        before = _snapshot_files(root)
+        t0 = time.perf_counter()
+        for i, env in enumerate(envelopes):
+            tb = time.perf_counter()
+            p.apply_envelope_batch(env, batch_id=i)
+            lags.append(time.perf_counter() - tb)
+            after = _snapshot_files(root)
+            bytes_per_refresh.append(
+                sum(sz for path, sz in after.items() if path not in before)
+            )
+            before = after
+        elapsed = time.perf_counter() - t0
+        live_bytes = sum(before.values())
+        n_rows = batches * rows_per_batch
+        lags_sorted = sorted(lags)
+        return {
+            "batches": batches,
+            "rows_per_batch": rows_per_batch,
+            "buckets": buckets,
+            "elapsed_sec": round(elapsed, 2),
+            "rows_per_min": round(n_rows / elapsed * 60.0),
+            "lag_p50_sec": round(statistics.median(lags), 2),
+            "lag_p95_sec": round(lags_sorted[int(0.95 * (len(lags) - 1))], 2),
+            "lag_max_sec": round(max(lags), 2),
+            "bytes_per_refresh_avg": int(sum(bytes_per_refresh) / len(bytes_per_refresh)),
+            "bytes_per_refresh_max": max(bytes_per_refresh),
+            "live_store_bytes": live_bytes,
+            "write_amp_vs_store": round(
+                sum(bytes_per_refresh) / len(bytes_per_refresh) / max(live_bytes, 1), 4
+            ),
+        }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench", conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--soak" in sys.argv or os.environ.get("SPARK_GRAFT_SOAK"):
+        # 10x-volume CDC soak (not part of the default per-round bench:
+        # it adds minutes of wall time; run explicitly, results recorded
+        # in SCALE.md "CDC soak" section)
+        print(json.dumps({"metric": "cdc_soak", **_soak_cdc(spark)}))
+        spark.stop()
+        return
 
     # warm up the JVM + parquet footers so q1 doesn't pay session startup
     CATALOG["global_agg"][0](spark, sf_dir).collect()

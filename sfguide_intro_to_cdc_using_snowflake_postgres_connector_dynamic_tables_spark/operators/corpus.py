@@ -105,3 +105,160 @@ def decontaminate(
     return train_ids.join(shared, "doc_id", "left").select(
         "doc_id", F.coalesce("n_shared", F.lit(0)).alias("n_shared")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination -- the constant-memory scale path.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # m: 1M bits = 32768 32-bit words (~128 KB)
+BLOOM_K = 3  # probes per gram
+
+
+def _bloom_pos(gram: Column, probe: int) -> Column:
+    """Deterministic bit position in [0, BLOOM_BITS) for ``gram`` under
+    probe ``probe``: the first five hex nibbles of
+    ``md5('<probe>:' || gram)``.  md5-derived so the DuckDB oracle can
+    rebuild the identical position with strpos nibble arithmetic (the
+    same trick as ``hash_bucket``)."""
+    h = F.md5(F.concat_ws(":", F.lit(str(probe)), gram))
+    return F.conv(F.substring(h, 1, 5), 16, 10).cast("long")
+
+
+def bloom_build(grams: DataFrame, gram_col: str = "gram") -> DataFrame:
+    """Fold a gram set into a Bloom bitmap TABLE ``(word_idx, word)``:
+    BLOOM_K md5-derived positions per gram, OR-ed into 32-bit words (shift stays < 32, inside every SQL dialect's signed-shift range).
+
+    The bitmap is <= BLOOM_BITS/32 rows (32768) REGARDLESS of how many
+    grams went in -- that is the scale contract: ``decontaminate``
+    broadcasts the exact benchmark gram set (fine for one eval suite),
+    this variant stays ~128 KB even when the benchmark battery has
+    hundreds of millions of grams, at the cost of a bounded false-flag
+    rate (~0.2% at 5M grams, k=3).
+    """
+    probes = F.array(
+        *[_bloom_pos(F.col(gram_col), i) for i in range(BLOOM_K)]
+    )
+    return (
+        grams.select(F.explode(probes).alias("pos"))
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            # shiftleft's amount must be a column here, so spell it in SQL
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter over the test
+    split's ``n``-grams: for every train document, count distinct grams
+    the filter FLAGS (a superset of the exact shared count --
+    ``n_flagged >= decontaminate().n_shared`` row-for-row, verified in
+    tests/test_corpus.py).  Conservative by construction: a false
+    positive drops a clean document, never keeps a contaminated one.
+
+    Plan shape: bitmap build is one explode + groupBy over the (small)
+    benchmark split; the bitmap table (<=32768 rows, ~128 KB) is
+    auto-broadcast, so the probe is BLOOM_K broadcast-hash lookups per
+    train gram with NO shuffle on the train side except the final
+    per-doc count -- same shuffle count as ``decontaminate``, but the
+    broadcast payload is constant in benchmark size.
+    """
+    from .text import tokens
+
+    split = assign_split(docs, id_col=id_col)
+    grams = _word_grams(tokens(F.col(text_col)), n)
+    exploded = split.select(
+        F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
+    )
+    bloom = bloom_build(
+        exploded.filter(F.col("split") == "test").select("gram").distinct()
+    )
+    train = exploded.filter(F.col("split") == "train")
+    # one row per (doc, gram, probe); a gram is flagged iff every probe
+    # finds its bit set -> count(set probes) == BLOOM_K
+    probes = train.select(
+        "doc_id",
+        "gram",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("long") == F.col("word_idx"),
+        )
+        .filter(
+            F.expr("word & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))") != 0
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_flagged"))
+    )
+    train_ids = split.filter(F.col("split") == "train").select(
+        F.col(id_col).alias("doc_id")
+    )
+    return train_ids.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection: grams repeated across many documents.
+# ---------------------------------------------------------------------------
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    distinct ``n``-grams that recur in >= ``min_docs`` distinct
+    documents (site templates, headers, license banners -- spans a
+    pretraining pipeline strips or downweights).
+
+    Plan shape: one explode, one groupBy on gram (distinct-doc count),
+    one shuffle join back on gram, one per-doc agg.  The gram-frequency
+    table is corpus-sized, so the join is a real shuffle join keyed on
+    gram -- correctly partitioned at any scale, never collected or
+    broadcast.  Hot grams (the boilerplate itself) are exactly the
+    skewed keys; AQE skew-join splitting handles them (session default)
+    because the join is a plain equi-join.
+    """
+    from .text import tokens
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_grams(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_frac"),
+        )
+    )

@@ -571,6 +571,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 image_decode_features addition: ngram is
     # untouched this round and was r4-gate-green
     "ngram_jaccard_dup",
+    # +2 slots for the round-5 bloom_decontaminate / boilerplate_ratio
+    # additions: left_join and json_extract are untouched this round
+    # and r4-gate-green
+    "left_join",
+    "json_extract",
     "window_analytics",
     "sessionize",
     "asof_last_order",

@@ -474,6 +474,107 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination -- the constant-memory variant of
+# `decontaminate`.  The oracle rebuilds the identical ~128 KB bitmap in
+# SQL: the same md5-derived 20-bit positions (5 hex nibbles, parsed with
+# strpos arithmetic), the same 32-bit-word bit_or fold, the same
+# all-K-probes-set membership test -- so the false-positive set matches
+# byte-for-byte, not just statistically.
+# ---------------------------------------------------------------------------
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.bloom_decontaminate(docs)
+
+
+def _hex5_sql(h: str) -> str:
+    """DuckDB expression: int value of the first five hex nibbles of
+    md5 expression ``h`` (mirrors Spark's conv(substr(md5,1,5),16,10))."""
+    nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    weights = [65536, 4096, 256, 16, 1]
+    return " + ".join(
+        f"({nib.format(h=h, i=i + 1)}) * {w}" if w > 1 else f"({nib.format(h=h, i=i + 1)})"
+        for i, w in enumerate(weights)
+    )
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH b AS (SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents),
+s AS (SELECT doc_id, text,
+             CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 231 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b),
+toks AS (SELECT doc_id, split,
+                list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         FROM s),
+grams AS (
+  SELECT DISTINCT doc_id, split, g
+  FROM (SELECT doc_id, split,
+               unnest(list_transform(range(1, len(tk) - 6),
+                      i -> array_to_string(list_slice(tk, i, i + 7), '_'))) AS g
+        FROM toks) u),
+bench_pos AS (
+  SELECT DISTINCT unnest([
+    {_hex5_sql("md5('0:' || g)")},
+    {_hex5_sql("md5('1:' || g)")},
+    {_hex5_sql("md5('2:' || g)")}]) AS pos
+  FROM (SELECT DISTINCT g FROM grams WHERE split = 'test')),
+bloom AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM bench_pos GROUP BY 1),
+train_probes AS (
+  SELECT doc_id, g, unnest([
+    {_hex5_sql("md5('0:' || g)")},
+    {_hex5_sql("md5('1:' || g)")},
+    {_hex5_sql("md5('2:' || g)")}]) AS pos
+  FROM grams WHERE split = 'train'),
+hits AS (
+  SELECT doc_id, g
+  FROM train_probes JOIN bloom
+    ON CAST(pos // 32 AS BIGINT) = word_idx
+   AND (word & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0
+  GROUP BY doc_id, g
+  HAVING count(*) = 3),
+flagged AS (SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY 1)
+SELECT s.doc_id, CAST(COALESCE(flagged.n_flagged, 0) AS BIGINT) AS n_flagged
+FROM s LEFT JOIN flagged ON s.doc_id = flagged.doc_id
+WHERE s.split = 'train'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection: the share of each document's distinct 3-grams
+# that recur in >= 5 distinct documents (templates, banners, headers).
+# ---------------------------------------------------------------------------
+
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.boilerplate_ratio(docs)
+
+
+SQL_BOILERPLATE_RATIO = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> array_to_string(list_slice(tk, i, i + 2), '_'))) AS g
+        FROM toks) u),
+freq AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN n_docs >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(CAST(sum(CASE WHEN n_docs >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS boiler_frac
+FROM grams JOIN freq USING (g)
+GROUP BY doc_id
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
@@ -489,4 +590,6 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
+    "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
 }
