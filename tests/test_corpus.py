@@ -348,3 +348,54 @@ def test_bucketed_range_join_matches_naive(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "NestedLoop" not in plan
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom flags are a per-document superset of exact shared counts
+    (false positives only inflate, never miss), and the planted
+    contamination from the exact test is still caught."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    exact = {r["doc_id"]: r["n_shared"] for r in corpus.decontaminate(docs).collect()}
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in corpus.bloom_decontaminate(docs).collect()
+    }
+    assert set(exact) == set(bloom)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # at this corpus size the false-positive rate is ~0: totals agree
+    # within a small slack rather than exploding
+    assert sum(bloom.values()) <= sum(exact.values()) + 5
+
+
+def test_bloom_bitmap_bounded_and_broadcast(spark):
+    """The bitmap table never exceeds BLOOM_BITS/32 rows no matter how
+    many grams go in, and the probe joins it via broadcast (the scale
+    contract: constant-size broadcast payload)."""
+    grams = spark.range(0, 50_000).select(
+        F.concat(F.lit("g"), F.col("id")).alias("gram")
+    )
+    bloom = corpus.bloom_build(grams)
+    assert bloom.count() <= corpus.BLOOM_BITS // 32
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = corpus.bloom_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_ratio_planted(spark):
+    """Six docs share a 3-token header; unique tails are not flagged at
+    min_docs=5."""
+    header = "terms of service"
+    rows = [(i, f"{header} unique{i} tail{i} end{i}") for i in range(6)]
+    rows.append((99, "completely different text here now"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.boilerplate_ratio(docs).collect()}
+    for i in range(6):
+        # each doc has 4 distinct 3-grams; exactly the header gram is
+        # shared by all 6 docs (>= min_docs=5)
+        assert out[i]["n_grams"] == 4
+        assert out[i]["n_boiler"] == 1
+        assert abs(out[i]["boiler_frac"] - 0.25) < 1e-9
+    assert out[99]["n_boiler"] == 0
