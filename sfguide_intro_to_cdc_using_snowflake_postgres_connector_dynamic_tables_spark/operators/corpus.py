@@ -182,29 +182,40 @@ def bloom_decontaminate(
         exploded.filter(F.col("split") == "test").select("gram").distinct()
     )
     train = exploded.filter(F.col("split") == "train")
-    # one row per (doc, gram, probe); a gram is flagged iff every probe
-    # finds its bit set -> count(set probes) == BLOOM_K
-    probes = train.select(
-        "doc_id",
-        "gram",
-        F.explode(
-            F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
-        ).alias("pos"),
-    )
-    hits = (
-        probes.join(
-            F.broadcast(bloom),
-            (F.col("pos") / 32).cast("long") == F.col("word_idx"),
+    # a gram is flagged iff every probe finds its bit set.  One
+    # broadcast-hash lookup per probe (BLOOM_K narrow joins, no
+    # shuffle, no row expansion) beats the explode-then-count
+    # formulation by two shuffles; the gram stream stays map-side
+    # until the final per-doc count.
+    hits = train
+    for i in range(BLOOM_K):
+        b = bloom.select(
+            F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}")
         )
-        .filter(
-            F.expr("word & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))") != 0
+        pos = _bloom_pos(F.col("gram"), i)
+        hits = (
+            hits.withColumn(f"pos{i}", pos)
+            .join(
+                F.broadcast(b),
+                (F.col(f"pos{i}") / 32).cast("long") == F.col(f"wi{i}"),
+                "left",
+            )
+            .filter(
+                F.expr(
+                    f"w{i} & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))"
+                ).isNotNull()
+                & (
+                    F.expr(
+                        f"w{i} & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))"
+                    )
+                    != 0
+                )
+            )
         )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("n_set"))
-        .filter(F.col("n_set") == BLOOM_K)
-        .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_flagged"))
-    )
+    # (doc, gram) is unique entering the probes (array_distinct per
+    # doc) and every join is 1:1 on word_idx, so a plain count IS the
+    # distinct flagged-gram count -- no dedup pass needed
+    hits = hits.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
     train_ids = split.filter(F.col("split") == "train").select(
         F.col(id_col).alias("doc_id")
     )
@@ -229,26 +240,31 @@ def boilerplate_ratio(
     documents (site templates, headers, license banners -- spans a
     pretraining pipeline strips or downweights).
 
-    Plan shape: one explode, one groupBy on gram (distinct-doc count),
-    one shuffle join back on gram, one per-doc agg.  The gram-frequency
-    table is corpus-sized, so the join is a real shuffle join keyed on
-    gram -- correctly partitioned at any scale, never collected or
-    broadcast.  Hot grams (the boilerplate itself) are exactly the
-    skewed keys; AQE skew-join splitting handles them (session default)
-    because the join is a plain equi-join.
+    Plan shape: one explode, one gram-partitioned window count (grams
+    are already distinct per doc, so count(*) over the gram partition
+    IS the distinct-doc frequency), one per-doc agg -- two shuffles
+    total, no corpus-sized join and nothing collected or broadcast.
+    Hot grams (the boilerplate itself) are the skewed partitions; a
+    window count only streams each partition once, so skew costs one
+    straggler task at worst, and the alternative groupBy+join shape is
+    available if a corpus's skew demands AQE splitting.
     """
     from .text import tokens
+
+    from pyspark.sql import Window
 
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_grams(tokens(F.col(text_col)), n)).alias("gram"),
     )
-    freq = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # grams are distinct per doc (_word_grams distincts), so the
+    # distinct-doc frequency is a plain count over the gram partition:
+    # one shuffle instead of groupBy + shuffle-join-back
+    freq = grams.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("gram"))
     )
     return (
-        grams.join(freq, "gram")
-        .groupBy("doc_id")
+        freq.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0))
