@@ -576,6 +576,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # and r4-gate-green
     "left_join",
     "json_extract",
+    # +2 slots for the round-5 funnel / cohort_retention additions:
+    # grouped_count and latest_per_key are untouched this round and
+    # r4-gate-green
+    "grouped_count",
+    "latest_per_key",
     "window_analytics",
     "sessionize",
     "asof_last_order",

@@ -721,6 +721,62 @@ SELECT segment, orderkey, totalprice, rk FROM r WHERE rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered-step funnel (view -> click -> purchase): users counted at
+# step k iff they performed it at-or-after their earliest completion
+# of step k-1.  operators/funnel.py for the plan-shape notes.
+# ---------------------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+SELECT 'view' AS step, 1 AS step_order, (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 'click', 2, (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 'purchase', 3, (SELECT count(*) FROM s3)::BIGINT
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention triangle over the events stream.
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+cohorts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM e GROUP BY 1),
+activity AS (SELECT DISTINCT user_id,
+                    CAST(date_trunc('week', ts) AS DATE) AS activity_week
+             FROM e)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7 AS INT) AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -742,4 +798,6 @@ MORE_CATALOG: dict[str, tuple] = {
     "skew_join_salted": (q_skew_join_salted, SQL_SKEW_JOIN_SALTED),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }

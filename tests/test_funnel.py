@@ -1,0 +1,101 @@
+"""Funnel / cohort-retention semantics on planted event sequences.
+
+The sf* events table is dense (every user completes every step), so
+the catalog oracle can't distinguish ordered-funnel semantics from a
+plain per-type distinct count -- these planted cases can.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+    cohort_retention,
+    funnel_counts,
+    funnel_users,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id int, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_order_matters(spark):
+    ev = _events(
+        spark,
+        [
+            # u1: full ordered funnel
+            (1, 0, "view"), (1, 5, "click"), (1, 10, "purchase"),
+            # u2: clicked BEFORE ever viewing -> stops at depth 1
+            (2, 0, "click"), (2, 5, "view"),
+            # u3: view then purchase but never clicked -> depth 1
+            (3, 0, "view"), (3, 5, "purchase"),
+            # u4: purchase only -> not in the funnel at all
+            (4, 0, "purchase"),
+            # u5: view, click, purchase -- but purchase precedes click
+            (5, 0, "view"), (5, 10, "click"), (5, 5, "purchase"),
+        ],
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_users_depth_and_timestamp(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 5, "click"), (1, 10, "purchase"),
+            (2, 0, "click"), (2, 5, "view"),
+        ],
+    )
+    rows = {
+        r["user_id"]: r for r in funnel_users(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert rows[1]["depth"] == 3
+    assert rows[1]["t_last"] == T0 + dt.timedelta(minutes=10)
+    assert rows[2]["depth"] == 1
+    assert rows[2]["t_last"] == T0 + dt.timedelta(minutes=5)
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # at-or-after: a click at the exact view timestamp advances
+    ev = _events(spark, [(1, 0, "view"), (1, 0, "click")])
+    out = {r["step"]: r["n_users"] for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_funnel_zero_fills_unreached_steps(spark):
+    ev = _events(spark, [(1, 0, "view")])
+    out = funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    by_step = {r["step"]: r["n_users"] for r in out}
+    assert len(out) == 3
+    assert by_step == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_cohort_retention_planted(spark):
+    # u1 first seen week 0, active weeks 0 and 2; u2 first seen week 1
+    ev = _events(
+        spark,
+        [
+            (1, 0, "view"),
+            (1, 14 * 24 * 60, "view"),  # +2 weeks
+            (2, 7 * 24 * 60, "view"),  # first seen +1 week
+        ],
+    )
+    out = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
