@@ -38,16 +38,33 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds (or already committed) the target version.
+
+    The caller should re-read ``current_version`` and retry its whole
+    operation against the new snapshot -- the standard optimistic-
+    concurrency loop (what Delta/Iceberg surface as
+    ConcurrentModificationException)."""
+
+
 class ParquetTableStore:
-    def __init__(self, root: str, keep_versions: int = 2) -> None:
+    def __init__(
+        self, root: str, keep_versions: int = 2, claim_ttl_sec: float = 600.0
+    ) -> None:
+        """``claim_ttl_sec``: a version claim older than this whose
+        version never committed is treated as a crashed writer's
+        leftover and stolen; live writers finish far sooner, crashed
+        ones never do."""
         self.root = root
         self.keep_versions = keep_versions
+        self.claim_ttl_sec = claim_ttl_sec
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -82,6 +99,57 @@ class ParquetTableStore:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(name, version))
 
+    def _claim_path(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"commit-claim-v{version}")
+
+    def _claim_version(self, name: str, version: int, _retry: bool = True) -> None:
+        """Exclusively claim ``version`` before writing its manifest.
+
+        Two writers that both computed ``current + 1`` would otherwise
+        overwrite each other's manifest and the last pointer swap would
+        silently drop the first commit (lost update).  ``O_EXCL``
+        creation of the claim marker makes exactly one of them proceed;
+        the loser gets ConcurrentWriteError and must re-read + retry.
+        A marker whose version never committed within ``claim_ttl_sec``
+        is a crashed writer's leftover: it is stolen via rename (itself
+        atomic -- only one stealer's rename succeeds).
+        """
+        marker = self._claim_path(name, version)
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(f"{uuid.uuid4().hex} {time.time()}")
+            return
+        except FileExistsError:
+            pass
+        cur = self.current_version(name)
+        if cur is not None and cur >= version:
+            raise ConcurrentWriteError(
+                f"{name} v{version} was already committed by another writer; "
+                f"current is v{cur} -- re-read and retry"
+            )
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except OSError:
+            # claim vanished between create-attempt and stat (committer
+            # GC'd it, or a stealer won): try once more, then give up
+            if _retry:
+                return self._claim_version(name, version, _retry=False)
+            raise ConcurrentWriteError(f"claim on {name} v{version} is contended")
+        if age > self.claim_ttl_sec:
+            try:
+                os.rename(marker, f"{marker}.stale-{uuid.uuid4().hex[:8]}")
+            except OSError as e:
+                raise ConcurrentWriteError(
+                    f"stale claim on {name} v{version} was stolen by another writer"
+                ) from e
+            if _retry:
+                return self._claim_version(name, version, _retry=False)
+        raise ConcurrentWriteError(
+            f"another writer holds a live claim on {name} v{version} "
+            f"(age {age:.0f}s < ttl {self.claim_ttl_sec:.0f}s)"
+        )
+
     def _commit(self, name: str, version: int) -> None:
         vf = self._version_file(name)
         fd, tmp = tempfile.mkstemp(dir=self._table_dir(name), prefix="_VERSION.")
@@ -112,6 +180,19 @@ class ParquetTableStore:
                 v = int(entry[len("manifest-v"):-len(".json")])
                 if v <= floor:
                     os.unlink(path)
+            elif entry.startswith("commit-claim-"):
+                # a committed version KEEPS its claim marker while the
+                # version is retained: a writer that computed its target
+                # from a stale pointer read then hits FileExistsError ->
+                # "already committed" instead of silently reclaiming.
+                # Only markers below the retention floor (and spent
+                # stolen markers) are removed.
+                if ".stale-" in entry:
+                    os.unlink(path)
+                else:
+                    cv = int(entry[len("commit-claim-v"):])
+                    if cv <= floor:
+                        os.unlink(path)
             elif entry.startswith("w") and "-" in entry and kept_any_manifest:
                 # stage dir: drop if no kept manifest references it (old
                 # versions and crash orphans alike)
@@ -252,6 +333,7 @@ class ParquetTableStore:
         v = (self.current_version(name) or 0) + 1
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
+        self._claim_version(name, v)
         spec = self.partition_spec(name)
         if partition_key is None and spec is not None:
             partition_key, n_buckets = spec
@@ -318,6 +400,7 @@ class ParquetTableStore:
 
             df = with_morton(df, zorder_cols, bits)
         v = self.current_version(name) + 1
+        self._claim_version(name, v)
         tdir = self._table_dir(name)
         stage = f"w{v}-{uuid.uuid4().hex[:8]}"
         stage_dir = os.path.join(tdir, stage)
@@ -388,6 +471,7 @@ class ParquetTableStore:
             else:
                 new_rows = rows
             nv = v + 1
+            self._claim_version(name, nv)
             stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
             stage_dir = os.path.join(tdir, stage)
             (
@@ -452,6 +536,7 @@ class ParquetTableStore:
             return self.current_version(name)
         df = self.read(spark, name)
         v = self.current_version(name) + 1
+        self._claim_version(name, v)
         tdir = self._table_dir(name)
         stage = f"w{v}-{uuid.uuid4().hex[:8]}"
         stage_dir = os.path.join(tdir, stage)
@@ -530,6 +615,7 @@ class ParquetTableStore:
                 new_rows = upserts
 
             nv = v + 1
+            self._claim_version(name, nv)
             stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
             stage_dir = os.path.join(tdir, stage)
             (

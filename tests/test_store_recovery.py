@@ -103,3 +103,94 @@ def test_time_travel_partitioned_table(spark, tmp_path):
     assert old.count() == 100 and new.count() == 101
     assert old.filter("k = 5").first()["val"] == 10
     assert new.filter("k = 5").first()["val"] == 999
+
+
+def test_concurrent_writers_lose_update_is_prevented(spark, tmp_path):
+    """Two writers racing for the same next version: the second claim
+    fails loudly instead of silently overwriting the first commit."""
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "s")
+    a = ParquetTableStore(root)
+    b = ParquetTableStore(root)
+    a.overwrite("t", spark.range(10))
+
+    # writer B claims v2 (as its overwrite would) but hasn't committed;
+    # writer A's overwrite must refuse rather than clobber
+    b._claim_version("t", 2)
+    with pytest.raises(ConcurrentWriteError, match="live claim"):
+        a.overwrite("t", spark.range(20))
+    assert a.current_version("t") == 1
+    assert a.read(spark, "t").count() == 10
+
+
+def test_committed_version_claim_says_retry(spark, tmp_path):
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "s")
+    a = ParquetTableStore(root)
+    b = ParquetTableStore(root)
+    a.overwrite("t", spark.range(10))
+    a.overwrite("t", spark.range(20))  # now at v2
+    # B stalely believes current is v1 and tries to claim v2
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        b._claim_version("t", 2)
+
+
+def test_stale_claim_from_crashed_writer_is_stolen(spark, tmp_path):
+    """A claim whose writer crashed (older than the TTL, version never
+    committed) must not wedge the table forever."""
+    root = str(tmp_path / "s")
+    a = ParquetTableStore(root, claim_ttl_sec=1.0)
+    b = ParquetTableStore(root)
+    a.overwrite("t", spark.range(10))
+    b._claim_version("t", 2)  # crashed writer's leftover
+    marker = b._claim_path("t", 2)
+    old = os.path.getmtime(marker) - 3600
+    os.utime(marker, (old, old))
+    a.overwrite("t", spark.range(20))  # steals and commits
+    assert a.current_version("t") == 2
+    assert a.read(spark, "t").count() == 20
+
+
+def test_claim_markers_follow_version_retention(spark, tmp_path):
+    """Committed versions keep their claim markers while retained (a
+    stale writer re-targeting them must see 'already committed', not a
+    fresh claim); markers below the retention floor are GC'd."""
+    root = str(tmp_path / "s")
+    store = ParquetTableStore(root, keep_versions=2)
+    for i in range(4):
+        store.overwrite("t", spark.range(i + 1))
+    markers = sorted(
+        e for e in os.listdir(str(tmp_path / "s" / "t"))
+        if e.startswith("commit-claim-")
+    )
+    assert markers == ["commit-claim-v3", "commit-claim-v4"]
+
+
+def test_concurrent_merge_is_guarded(spark, tmp_path):
+    """The bucket-pruned merge path goes through the same claim gate."""
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "s")
+    a = ParquetTableStore(root)
+    b = ParquetTableStore(root)
+    df = spark.range(100).withColumn("k", F.col("id").cast("string"))
+    a.overwrite("t", df, partition_key="k", n_buckets=4)
+    b._claim_version("t", 2)
+    ups = spark.range(3).withColumn("k", F.col("id").cast("string"))
+    with pytest.raises(ConcurrentWriteError):
+        a.merge(spark, "t", ups, ups.select("k"))
+    assert a.current_version("t") == 1
