@@ -278,3 +278,70 @@ def boilerplate_ratio(
             F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / quota filters for corpus curation.
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), chosen deterministically: rank by
+    ``md5(cast(id as string))`` within the stratum and keep the first
+    n.  Unlike ``df.sampleBy`` (approximate fractions, seed- and
+    partitioning-dependent) the selection is a pure function of ids --
+    reruns, backfills, and engine changes pick the identical sample.
+
+    Plan shape: one window rank per stratum partition + a filter; the
+    md5 order is uniform within any stratum, so this IS uniform random
+    sampling with the hash as the fixed randomness source.  Hot
+    strata stream through a single partition's window -- at extreme
+    stratum skew switch to the two-level trick (pre-aggregate a random
+    bucket, then rank) before this becomes the straggler.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def quality_top_fraction(
+    docs: DataFrame,
+    fraction: float,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``fraction`` of documents per stratum by heuristic
+    quality score (operators/text.py) -- the per-language quota filter
+    that prevents a quality threshold tuned on English from emptying
+    low-resource languages.
+
+    percent_rank (deterministic doc_id tiebreak) rather than a global
+    score cutoff: the kept fraction is exact per stratum regardless of
+    score distribution drift between crawls.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    scored = docs.join(quality_score(docs, text_col, id_col), id_col)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= fraction)
+        .select(id_col, stratum_col, "quality")
+    )

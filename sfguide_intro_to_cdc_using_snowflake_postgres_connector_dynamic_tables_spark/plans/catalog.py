@@ -581,6 +581,11 @@ _GATE_TAIL: tuple[str, ...] = (
     # r4-gate-green
     "grouped_count",
     "latest_per_key",
+    # +2 slots for the round-5 stratified_sample / quality_topfrac
+    # additions: scalar_functions and distinct are untouched this
+    # round and r4-gate-green
+    "scalar_functions",
+    "distinct",
     "window_analytics",
     "sessionize",
     "asof_last_order",

@@ -575,6 +575,60 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic exact-n stratified sample: 30 docs per language, chosen
+# by md5 rank within the stratum -- rerun/backfill stable, unlike
+# sampleBy's seed+partitioning-dependent approximate fractions.
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(docs, "lang", 30).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-language top-quality quota: keep the best 25% of each language by
+# heuristic quality score (exact per-stratum fraction via percent_rank,
+# immune to cross-language score-scale differences).
+# ---------------------------------------------------------------------------
+
+def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.quality_top_fraction(docs, 0.25)
+
+
+SQL_QUALITY_TOPFRAC = """
+WITH t AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         least(n_chars / 500.0, 1.0) * 0.4
+         + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.4
+         + least(len(list_filter(toks,
+               x -> x IN ('the','a','an','and','of','to','in','is'))) / 5.0, 1.0) * 0.2
+           AS quality
+  FROM t),
+r AS (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS pr
+  FROM q)
+SELECT doc_id, lang, quality FROM r WHERE pr <= 0.25
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
@@ -592,4 +646,6 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
     "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "quality_topfrac": (q_quality_topfrac, SQL_QUALITY_TOPFRAC),
 }

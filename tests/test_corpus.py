@@ -399,3 +399,44 @@ def test_boilerplate_ratio_planted(spark):
         assert out[i]["n_boiler"] == 1
         assert abs(out[i]["boiler_frac"] - 0.25) < 1e-9
     assert out[99]["n_boiler"] == 0
+
+
+def test_stratified_sample_exact_and_order_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", f"text {i}") for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    out = corpus.stratified_sample(docs, "lang", 20)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"en": 20, "fr": 20}
+    # identical selection regardless of input ordering/partitioning
+    shuffled = docs.orderBy(F.col("doc_id").desc()).repartition(7)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in corpus.stratified_sample(shuffled, "lang", 20).collect())
+    assert a == b
+    # stratum smaller than n: keeps all of it
+    tiny = corpus.stratified_sample(docs.filter("lang = 'fr'").limit(5), "lang", 20)
+    assert tiny.count() == 5
+
+
+def test_quality_top_fraction_exact_quota(spark):
+    rows = [
+        (i, "en", "the a of to in is " + " ".join(f"w{i}x{j}" for j in range(i + 2)))
+        for i in range(40)
+    ] + [(100 + i, "fr", "petit texte " + "mot " * (i + 1)) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = corpus.quality_top_fraction(docs, 0.25)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # percent_rank <= 0.25 keeps floor(0.25*(n-1))+1 rows per stratum
+    assert sizes["en"] == 10   # n=40 -> ranks 0..9/39 <= 0.25
+    assert sizes["fr"] == 2    # n=8  -> ranks 0/7, 1/7 <= 0.25
+    # kept docs beat dropped docs within their stratum
+    kept_q = {r["doc_id"]: r["quality"] for r in out.collect()}
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
+        quality_score,
+    )
+    all_q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    for lang, pref in (("en", range(0, 40)), ("fr", range(100, 108))):
+        kept = [d for d in pref if d in kept_q]
+        dropped = [d for d in pref if d not in kept_q]
+        assert min(all_q[d] for d in kept) >= max(all_q[d] for d in dropped) - 1e-12
