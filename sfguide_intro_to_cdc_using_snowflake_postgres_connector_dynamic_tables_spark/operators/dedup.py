@@ -670,3 +670,74 @@ def _cc_star(
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_iter} rounds"
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated token spans: every position whose ``n``-gram
+    occurs >= ``min_count`` times ANYWHERE in the corpus (cross-doc or
+    within-doc), with overlapping/adjacent flagged positions merged
+    into maximal per-document spans -- the span-level (substring)
+    deduplication primitive of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL'22), which removes
+    repeated spans rather than whole near-dup documents.
+
+    Returns (doc_id, span_id, start_pos, end_pos, n_grams): token
+    positions 0-based, ``end_pos`` exclusive, span_id 1-based per doc
+    in position order.
+
+    Plan shape: positional explode (non-distinct -- within-doc repeats
+    count), one gram-partitioned window count, one per-doc
+    gaps-and-islands window (merge when the next flagged position
+    starts within n tokens), one span aggregation -- three shuffles,
+    all keyed; the heavy one (gram partition) is the same shape the
+    suffix-array approach shards by prefix, here left to hash
+    partitioning.  No broadcast, no collect, no UDF.
+    """
+    from .text import tokens
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram")
+    )
+    flagged = (
+        pos_grams.withColumn(
+            "n_occ", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    island = F.sum(
+        F.when(F.col("pos") - prev <= n, 0).otherwise(1)
+    ).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        flagged.withColumn("span_id", island)
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") + n).cast("long").alias("end_pos"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("long").alias("span_id"),
+            "start_pos",
+            "end_pos",
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )

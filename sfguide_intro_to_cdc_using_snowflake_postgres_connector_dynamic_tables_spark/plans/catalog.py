@@ -586,6 +586,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # round and r4-gate-green
     "scalar_functions",
     "distinct",
+    # +1 slot for the round-5 repeated_spans addition: spend_bands is
+    # untouched this round and r4-gate-green
+    "spend_bands",
     "window_analytics",
     "sessionize",
     "asof_last_order",

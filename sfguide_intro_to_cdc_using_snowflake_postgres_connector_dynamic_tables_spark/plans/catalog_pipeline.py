@@ -629,6 +629,46 @@ SELECT doc_id, lang, quality FROM r WHERE pr <= 0.25
 """
 
 
+# ---------------------------------------------------------------------------
+# Span-level (substring) dedup: maximal repeated 5-gram spans across
+# the corpus (Lee et al. ACL'22 shape), gaps-and-islands merge.
+# ---------------------------------------------------------------------------
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(docs, n=5, min_count=2)
+
+
+SQL_REPEATED_SPANS = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents),
+pg AS (SELECT doc_id, u.pos, u.g FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(tk) - 3),
+                       i -> struct_pack(pos := i - 1,
+                                        g := array_to_string(list_slice(tk, i, i + 4), '_')))) AS u
+         FROM toks)),
+f AS (SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS n_occ FROM pg)
+      WHERE n_occ >= 2),
+i AS (SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM f))
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) + 5 AS BIGINT) AS end_pos,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM i GROUP BY doc_id, span_id
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
@@ -648,4 +688,5 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quality_topfrac": (q_quality_topfrac, SQL_QUALITY_TOPFRAC),
+    "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
 }

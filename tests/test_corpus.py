@@ -440,3 +440,34 @@ def test_quality_top_fraction_exact_quota(spark):
         kept = [d for d in pref if d in kept_q]
         dropped = [d for d in pref if d not in kept_q]
         assert min(all_q[d] for d in kept) >= max(all_q[d] for d in dropped) - 1e-12
+
+
+def test_repeated_spans_merge_and_positions(spark):
+    """Two docs share a 6-token run; with n=5 that flags positions 0
+    and 1, which must merge into ONE maximal span [0, 6). A third doc
+    with unique text yields no span; a doc repeating its own 5-gram
+    twice is flagged from within-doc counts alone."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared + " unique1a unique1b"),
+        (2, shared + " unique2a unique2b"),
+        (3, "totally different words here now indeed truly"),
+        (4, "p q r s t junk1 junk2 junk3 p q r s t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in repeated_spans(docs, n=5, min_count=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_id"], r["start_pos"], r["end_pos"], r["n_grams"])
+        )
+    # docs 1 and 2: grams at pos 0 ('alpha..epsilon') and 1 ('beta..zeta')
+    # merge into [0, 6)
+    assert out[1] == [(1, 0, 6, 2)]
+    assert out[2] == [(1, 0, 6, 2)]
+    assert 3 not in out
+    # doc 4: 'p q r s t' at pos 0 and pos 8 -- 8 - 0 > 5, two spans
+    assert sorted(out[4]) == [(1, 0, 5, 1), (2, 8, 13, 1)]
