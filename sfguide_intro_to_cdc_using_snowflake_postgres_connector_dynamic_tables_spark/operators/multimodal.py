@@ -199,14 +199,22 @@ def _decode_features(
     """Feature kernel dispatch.
 
     ``decode="image"``: real PPM/BMP decode (raises on non-image
-    bytes); ``"stub"``: deterministic byte math (JPEG/PNG-class codecs
-    are not in this container); ``"auto"``: try real, fall back.
+    bytes); ``decode="audio"``: real RIFF/WAVE PCM-16 decode (raises
+    on non-WAV bytes); ``"stub"``: deterministic byte math
+    (JPEG/PNG/MP3-class codecs are not in this container); ``"auto"``:
+    try the real decoders, fall back to the stub.
     """
     if decode in ("image", "auto"):
         try:
             return _image_features(decode_image(payload), dim)
         except ValueError:
             if decode == "image":
+                raise
+    if decode in ("audio", "auto"):
+        try:
+            return _audio_features(*decode_wav(payload), dim)
+        except ValueError:
+            if decode == "audio":
                 raise
     if payload is None:
         return [0.0] * dim
@@ -283,3 +291,95 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE PCM-16 (the container-free audio format
+# whose byte layout needs no external codec -- same tier as PPM/BMP on
+# the image side).
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy WAV decode -> (samples int16 [n, channels], sample
+    rate, n_channels).
+
+    Parses the real RIFF container: ``RIFF<size>WAVE``, then chunks;
+    requires a ``fmt `` chunk declaring PCM (audio format 1) at 16
+    bits per sample, and takes samples from the ``data`` chunk.
+    Unknown chunks are skipped by their declared size (real WAV
+    writers emit LIST/INFO etc).  Raises ``ValueError`` on anything
+    else -- compressed formats, 8/24/32-bit PCM, truncated chunks.
+    """
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported (format={audio_format}, bits={bits})")
+    if n_channels < 1:
+        raise ValueError("channel count must be >= 1")
+    samples = np.frombuffer(data, dtype="<i2")
+    if samples.size % n_channels:
+        raise ValueError("data chunk not a whole number of frames")
+    return samples.reshape(-1, n_channels), sample_rate, n_channels
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) int16 -> WAV bytes (PCM-16, little-endian) -- the
+    decoder's round-trip partner and the deterministic payload
+    generator for the gated ``audio_decode_features`` entry."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _audio_features(
+    samples: np.ndarray, sample_rate: int, n_channels: int, dim: int = 8
+) -> list[float]:
+    """Exact integer features from decoded PCM (all small-integer-valued
+    floats so any oracle agrees bit-for-bit): rate, channels, frames,
+    duration_ms, sum(|x|) mod 997, zero-crossing count, max, min --
+    the real shapes (energy/ZCR/peak) with exact arithmetic."""
+    mono = samples[:, 0].astype(np.int64)
+    crossings = int(((mono[1:] < 0) != (mono[:-1] < 0)).sum()) if mono.size > 1 else 0
+    out = [
+        float(sample_rate),
+        float(n_channels),
+        float(samples.shape[0]),
+        float(samples.shape[0] * 1000 // sample_rate),
+        float(np.abs(mono).sum() % 997),
+        float(crossings),
+        float(mono.max() if mono.size else 0),
+        float(mono.min() if mono.size else 0),
+    ]
+    return out[:dim] + [0.0] * max(0, dim - len(out))

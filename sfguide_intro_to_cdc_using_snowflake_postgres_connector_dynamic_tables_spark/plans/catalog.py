@@ -589,6 +589,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 repeated_spans addition: spend_bands is
     # untouched this round and r4-gate-green
     "spend_bands",
+    # +1 slot for the round-5 audio_decode_features addition:
+    # null_bands is untouched this round and r4-gate-green
+    "null_bands",
     "window_analytics",
     "sessionize",
     "asof_last_order",

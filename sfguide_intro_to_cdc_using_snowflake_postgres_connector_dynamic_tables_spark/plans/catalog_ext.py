@@ -669,6 +669,87 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# REAL audio decode: each document becomes an actual RIFF/WAVE PCM-16
+# file -- 40 mono frames at 8 kHz with sample j =
+# ((doc_id*37 + j*17) % 19997) - 9998.  Spark ENCODES the WAV bytes,
+# DECODES them back with the pure-numpy RIFF parser, and derives exact
+# integer features (rate/channels/frames/duration/energy/ZCR/peaks);
+# the oracle computes the same features from the closed-form samples
+# without touching bytes.  The encode->decode round trip through the
+# genuine container is what the hash gate certifies.
+# ---------------------------------------------------------------------------
+
+_WAV_N, _WAV_RATE = 40, 8000
+
+
+def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = _WAV_N
+
+    def gen_media(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        j = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_wav(
+                    (((int(did) * 37 + j * 17) % 19997) - 9998).astype(np.int16),
+                    _WAV_RATE,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": None,
+                }
+            )
+
+    media = docs.mapInPandas(gen_media, MEDIA_SCHEMA)
+    feats = extract_features(media, decode="audio")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+_WAV_S = "((doc_id * 37 + {j} * 17) % 19997) - 9998"
+
+# n_bytes: 12 (RIFF/WAVE) + 24 (fmt chunk) + 8 (data header) + 80
+# (40 frames x 2 bytes) = 124.
+SQL_AUDIO_DECODE_FEATURES = f"""
+SELECT doc_id AS media_id,
+       CAST(124 AS BIGINT) AS n_bytes,
+       CAST({_WAV_RATE} AS DOUBLE) AS f0,
+       CAST(1 AS DOUBLE) AS f1,
+       CAST({_WAV_N} AS DOUBLE) AS f2,
+       CAST({_WAV_N} * 1000 // {_WAV_RATE} AS DOUBLE) AS f3,
+       CAST(list_sum(list_transform(range(0, {_WAV_N}),
+            j -> abs({_WAV_S.format(j="j")}))) % 997 AS DOUBLE) AS f4,
+       CAST(list_sum(list_transform(range(1, {_WAV_N}),
+            j -> CASE WHEN (({_WAV_S.format(j="(j - 1)")}) < 0)
+                       <> (({_WAV_S.format(j="j")}) < 0)
+                 THEN 1 ELSE 0 END)) AS DOUBLE) AS f5,
+       CAST(list_max(list_transform(range(0, {_WAV_N}),
+            j -> {_WAV_S.format(j="j")})) AS DOUBLE) AS f6,
+       CAST(list_min(list_transform(range(0, {_WAV_N}),
+            j -> {_WAV_S.format(j="j")})) AS DOUBLE) AS f7
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Video frame sampling: the expansion step (one row per sampled frame
 # timestamp) is pure relational -- sequence + explode, no Python; the
 # per-frame decode would then flow through extract_features.  Synthetic
@@ -724,4 +805,5 @@ EXT_CATALOG: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "image_decode_features": (q_image_decode_features, SQL_IMAGE_DECODE_FEATURES),
+    "audio_decode_features": (q_audio_decode_features, SQL_AUDIO_DECODE_FEATURES),
 }

@@ -234,3 +234,55 @@ def test_extract_features_real_decode_and_auto_fallback(spark):
     with _pytest.raises(Exception):
         # strict mode surfaces the decode error instead of falling back
         extract_features(media, decode="image").collect()
+
+
+def test_wav_decoder_roundtrip_exact():
+    """encode_wav -> decode_wav is the identity on samples/rate/channels,
+    including stereo, and the parser skips unknown RIFF chunks the way
+    real WAV writers emit them (LIST/INFO)."""
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = (np.arange(50, dtype=np.int64) * 1313 % 19997 - 9998).astype(np.int16)
+    samples, rate, ch = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(samples[:, 0], mono)
+
+    stereo = np.stack([mono, -mono]).T.astype(np.int16)
+    samples, rate, ch = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and ch == 2
+    assert np.array_equal(samples, stereo)
+
+    # unknown chunk (word-aligned odd size) between fmt and data is skipped
+    raw = encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + (5).to_bytes(4, "little") + b"junk5" + b"\x00"
+    patched = raw[:fmt_end] + junk + raw[fmt_end:]
+    patched = b"RIFF" + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    samples, rate, ch = decode_wav(patched)
+    assert np.array_equal(samples[:, 0], mono)
+
+
+def test_wav_decoder_rejects_bad_bytes():
+    import numpy as np
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav")
+    with pytest.raises(ValueError):
+        decode_wav(None)
+    raw = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+    raw[20] = 3  # audio format IEEE float, not PCM
+    with pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(bytes(raw))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(encode_wav(np.zeros(4, dtype=np.int16), 8000)[:-3])
