@@ -592,6 +592,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 audio_decode_features addition:
     # null_bands is untouched this round and r4-gate-green
     "null_bands",
+    # +1 slot for the round-5 window_frames addition: semi_join is
+    # untouched this round and r4-gate-green
+    "semi_join",
     "window_analytics",
     "sessionize",
     "asof_last_order",

@@ -777,6 +777,47 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Window frame pack: ntile / cume_dist / first_value / last_value /
+# nth_value with explicit ROWS frames -- the frame-sensitive half of
+# the window family (window_analytics covers lag/lead/row_number/
+# running sum).  Still one Exchange on the partition key.
+# ---------------------------------------------------------------------------
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    trailing = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("value").over(full).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 2).over(full).alias("second_v"),
+        F.avg("value").over(trailing).alias("trailing_avg3"),
+    )
+
+
+SQL_WINDOW_FRAMES = """
+SELECT user_id, event_id, value,
+       ntile(4) OVER w AS quartile,
+       cume_dist() OVER w AS cdist,
+       first_value(value) OVER wf AS first_v,
+       last_value(value) OVER wf AS last_v,
+       nth_value(value, 2) OVER wf AS second_v,
+       avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS trailing_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+       wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -800,4 +841,5 @@ MORE_CATALOG: dict[str, tuple] = {
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
 }

@@ -99,3 +99,58 @@ def test_cohort_retention_planted(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_funnel_matches_python_model_on_random_events(spark):
+    """Differential test: funnel_counts vs an executable Python spec on
+    randomized event sets (ordering semantics are easy to get subtly
+    wrong -- e.g. counting any-order step presence)."""
+    import random
+
+    rng = random.Random(20240814)
+    steps = ["view", "click", "purchase"]
+    for trial in range(5):
+        rows = []
+        for u in range(30):
+            for _ in range(rng.randint(0, 12)):
+                rows.append(
+                    (
+                        u,
+                        T0 + dt.timedelta(minutes=rng.randint(0, 500)),
+                        rng.choice(steps + ["error", "signup"]),
+                    )
+                )
+        if not rows:
+            continue
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_type string"
+        )
+
+        # python model: greedy earliest-completion chaining
+        def model_depth(user_rows):
+            t_prev = None
+            depth = 0
+            for step in steps:
+                cands = [
+                    ts for ts, typ in user_rows
+                    if typ == step and (t_prev is None or ts >= t_prev)
+                ]
+                if not cands:
+                    break
+                t_prev = min(cands)
+                depth += 1
+            return depth
+
+        per_user = {}
+        for u, ts, typ in rows:
+            per_user.setdefault(u, []).append((ts, typ))
+        expected = {i + 1: 0 for i in range(len(steps))}
+        for u, urows in per_user.items():
+            d = model_depth(urows)
+            for k in range(1, d + 1):
+                expected[k] += 1
+
+        got = {
+            r["step_order"]: r["n_users"] for r in funnel_counts(ev, steps).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
