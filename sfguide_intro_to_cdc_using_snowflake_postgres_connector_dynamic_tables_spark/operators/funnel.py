@@ -33,32 +33,44 @@ def funnel_counts(
     Returns one row per step: (step, step_order, n_users), n_users
     non-increasing by construction.
 
-    Plan shape: entirely derived from ``funnel_users`` (k filtered
-    per-user min-ts aggregations chained on the same ``user_id``
-    partitioning): users who reached depth d count toward every step
-    <= d via a cumulative sum over the k-row depth histogram -- one
-    distributed job, no per-step driver actions.
+    Plan shape: k filtered per-user min-ts frontier aggregations
+    chained on one ``user_id`` partitioning; ``|frontier_k|`` already
+    IS the step-k user count (a frontier row exists iff the user
+    reached step k), so each step contributes one global count --
+    no per-user dedup window, no zero-fill join (a global aggregate
+    over an empty frontier yields the 0 row itself).  Catalyst's
+    exchange reuse dedupes the shared frontier subplans across the
+    union branches.
     """
-    from pyspark.sql import Window
-
-    depths = funnel_users(events, steps, user_col, ts_col, type_col)
-    hist = depths.groupBy("depth").agg(F.count("*").alias("n_at_depth"))
-    # zero-fill unreached steps so the funnel always has k rows, then
-    # cumulative-sum from the deepest step backwards
-    spark = events.sparkSession
-    steps_df = spark.createDataFrame(
-        [(s, i + 1) for i, s in enumerate(steps)], "step string, step_order int"
+    ts = F.col(ts_col)
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t"))
     )
-    w = Window.orderBy(F.col("step_order").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    out = frontier.agg(
+        F.lit(steps[0]).alias("step"),
+        F.lit(1).alias("step_order"),
+        F.count("*").alias("n_users"),
     )
-    return (
-        steps_df.join(hist, steps_df.step_order == hist.depth, "left")
-        .withColumn(
-            "n_users", F.sum(F.coalesce("n_at_depth", F.lit(0))).over(w)
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, ts.alias("ts_next")
         )
-        .select("step", "step_order", F.col("n_users").cast("long").alias("n_users"))
-    )
+        frontier = (
+            nxt.join(frontier, user_col)
+            .filter(F.col("ts_next") >= F.col("t"))
+            .groupBy(user_col)
+            .agg(F.min("ts_next").alias("t"))
+        )
+        out = out.unionByName(
+            frontier.agg(
+                F.lit(step).alias("step"),
+                F.lit(i).alias("step_order"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    return out
 
 
 def funnel_users(
