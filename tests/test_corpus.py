@@ -471,3 +471,56 @@ def test_repeated_spans_merge_and_positions(spark):
     assert 3 not in out
     # doc 4: 'p q r s t' at pos 0 and pos 8 -- 8 - 0 > 5, two spans
     assert sorted(out[4]) == [(1, 0, 5, 1), (2, 8, 13, 1)]
+
+
+def test_repeated_spans_matches_python_model_on_random_corpora(spark):
+    """Differential test vs an executable Python spec on random small
+    corpora with a tiny vocabulary (forces cross-doc and within-doc
+    gram collisions)."""
+    import random
+
+    rng = random.Random(99)
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    n, min_count = 4, 2
+    for trial in range(4):
+        vocab = [f"w{i}" for i in range(6)]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for d in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # python model
+        gram_count: dict[tuple, int] = {}
+        doc_positions: dict[int, list] = {}
+        for d, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            doc_positions[d] = grams
+            for g in grams:
+                gram_count[g] = gram_count.get(g, 0) + 1
+        expected = []
+        for d, grams in doc_positions.items():
+            flagged = [i for i, g in enumerate(grams) if gram_count[g] >= min_count]
+            span_id = 0
+            prev = None
+            spans: list[list] = []
+            for p in flagged:
+                if prev is None or p - prev > n:
+                    span_id += 1
+                    spans.append([span_id, p, p + n, 1])
+                else:
+                    spans[-1][2] = p + n
+                    spans[-1][3] += 1
+                prev = p
+            for s in spans:
+                expected.append((d, *s))
+
+        got = sorted(
+            (r["doc_id"], r["span_id"], r["start_pos"], r["end_pos"], r["n_grams"])
+            for r in repeated_spans(df, n=n, min_count=min_count).collect()
+        )
+        assert got == sorted(expected), f"trial {trial}"
