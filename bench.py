@@ -263,10 +263,66 @@ def _soak_cdc(
         }
 
 
+def _bench_scaling(spark, sf_dir: str, factors=(1, 2, 4, 8)) -> dict:
+    """Scaling curve: replicate the documents/events tables Nx (new ids,
+    same content) and measure wall time of the corpus/event operators
+    whose OUTPUT stays linear in input (so the measurement is engine
+    scaling, not data-dependent result blowup).  Near-linear growth
+    here is the local[32] evidence for the shuffle-bounded plan shapes
+    claimed in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+        corpus,
+        dedup,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        funnel_counts,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs0 = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    events0 = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    out: dict[str, dict[str, float]] = {}
+    for k in factors:
+        reps = spark.range(k).withColumnRenamed("id", "rep")
+        docs = docs0.crossJoin(reps).select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"), "lang", "text"
+        )
+        events = events0.crossJoin(reps).select(
+            (F.col("user_id") * k + F.col("rep")).alias("user_id"), "ts", "event_type"
+        )
+        docs.write.format("noop").mode("overwrite").save()  # materialize once, warm
+        ops = {
+            "dedup_exact": lambda: dedup.dedup_exact(docs),
+            "bloom_decontaminate": lambda: corpus.bloom_decontaminate(docs),
+            "boilerplate_ratio": lambda: corpus.boilerplate_ratio(docs),
+            "repeated_spans": lambda: dedup.repeated_spans(docs),
+            "funnel": lambda: funnel_counts(events, ["view", "click", "purchase"]),
+        }
+        row: dict[str, float] = {}
+        for name, build in ops.items():
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            row[name] = round(time.perf_counter() - t0, 2)
+        out[f"x{k}"] = row
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench", conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--scaling" in sys.argv:
+        print(json.dumps({"metric": "scaling_curve", "sf_dir": sf_dir,
+                          **_bench_scaling(spark, sf_dir)}))
+        spark.stop()
+        return
 
     if "--soak" in sys.argv or os.environ.get("SPARK_GRAFT_SOAK"):
         # 10x-volume CDC soak (not part of the default per-round bench:
