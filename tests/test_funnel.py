@@ -154,3 +154,34 @@ def test_funnel_matches_python_model_on_random_events(spark):
             r["step_order"]: r["n_users"] for r in funnel_counts(ev, steps).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_cohort_retention_matches_python_model(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (u, T0 + dt.timedelta(days=rng.randint(0, 35)), "view")
+        for u in range(40)
+        for _ in range(rng.randint(1, 6))
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+
+    def week_of(ts):
+        d = ts.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    first = {}
+    for u, ts, _t in rows:
+        if u not in first or ts < first[u]:
+            first[u] = ts
+    expected: dict[tuple, set] = {}
+    for u, ts, _t in rows:
+        cw = week_of(first[u])
+        off = (week_of(ts) - cw).days // 7
+        expected.setdefault((cw, off), set()).add(u)
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {k: len(v) for k, v in expected.items()}
