@@ -345,3 +345,47 @@ def quality_top_fraction(
         .filter(F.col("__pr") <= fraction)
         .select(id_col, stratum_col, "quality")
     )
+
+
+def hashing_embed(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") bag-of-words embedding: token
+    t increments lane ``md5(t)[:4] % dim``; the output is an exact
+    integer count vector per document -- the model-free way to put a
+    text corpus into the engine's vector operators (similarity.py
+    top-k / IVF, dedup.py embedding-LSH) without an external
+    embedding model, and the classic Vowpal-Wabbit-style featurizer.
+
+    Integer counts (not tf-idf floats) by design: the vector is a pure
+    function of the document, so backfills/reruns are byte-stable and
+    a SQL oracle reproduces it exactly.
+
+    Plan shape: one explode + one per-doc aggregation (dim conditional
+    sums, codegen) -- a single shuffle keyed on the document id; lane
+    assignment is map-side md5.  At 100 TB this is the cheapest
+    corpus-wide featurizer that exists: no vocabulary build, no second
+    pass, no driver state.
+    """
+    from .text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("int") % dim
+    return (
+        toks.withColumn("b", bucket)
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("embedding")
+        )
+    )

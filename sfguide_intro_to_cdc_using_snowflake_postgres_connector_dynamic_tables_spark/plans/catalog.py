@@ -595,6 +595,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 window_frames addition: semi_join is
     # untouched this round and r4-gate-green
     "semi_join",
+    # +1 slot for the round-5 text_embed addition: tfidf is untouched
+    # this round and r4-gate-green
+    "tfidf",
     "window_analytics",
     "sessionize",
     "asof_last_order",

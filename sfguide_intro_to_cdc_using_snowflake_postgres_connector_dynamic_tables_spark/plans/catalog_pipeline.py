@@ -669,6 +669,38 @@ FROM i GROUP BY doc_id, span_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Feature-hashing embedding: exact integer count vectors (md5-lane
+# hashing trick), the model-free bridge from text to the vector ops.
+# ---------------------------------------------------------------------------
+
+def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.hashing_embed(docs, dim=16)
+
+
+def _hex4_sql(h: str) -> str:
+    nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    weights = [4096, 256, 16, 1]
+    return " + ".join(
+        f"({nib.format(h=h, i=i + 1)}) * {w}" if w > 1 else f"({nib.format(h=h, i=i + 1)})"
+        for i, w in enumerate(weights)
+    )
+
+
+SQL_TEXT_EMBED = f"""
+WITH tok AS (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM documents) u
+  WHERE t <> ''),
+b AS (SELECT doc_id, ({_hex4_sql("md5(t)")}) % 16 AS bucket FROM tok)
+SELECT doc_id,
+       list_value({", ".join(f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(16))})
+         AS embedding
+FROM b GROUP BY doc_id
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
@@ -689,4 +721,5 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quality_topfrac": (q_quality_topfrac, SQL_QUALITY_TOPFRAC),
     "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
+    "text_embed": (q_text_embed, SQL_TEXT_EMBED),
 }

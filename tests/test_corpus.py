@@ -524,3 +524,19 @@ def test_repeated_spans_matches_python_model_on_random_corpora(spark):
             for r in repeated_spans(df, n=n, min_count=min_count).collect()
         )
         assert got == sorted(expected), f"trial {trial}"
+
+
+def test_hashing_embed_preserves_token_mass(spark):
+    """Every token lands in exactly one lane: per-doc lane sums equal
+    the token count, and the vector is a pure function of the text
+    (identical docs -> identical vectors)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a a a"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in corpus.hashing_embed(docs, dim=8).collect()}
+    assert sum(out[1]) == 5
+    assert out[1] == out[2]
+    assert sum(out[3]) == 3
+    assert max(out[3]) == 3  # same token -> same lane
+    assert 4 not in out  # no tokens -> no row (empty doc has no vector)
