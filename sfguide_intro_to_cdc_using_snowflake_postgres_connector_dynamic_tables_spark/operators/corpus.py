@@ -201,15 +201,12 @@ def bloom_decontaminate(
                 "left",
             )
             .filter(
+                # NULL w{i} (unmatched left join) compares NULL -> row
+                # dropped by Filter, so != 0 alone covers the miss case
                 F.expr(
                     f"w{i} & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))"
-                ).isNotNull()
-                & (
-                    F.expr(
-                        f"w{i} & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))"
-                    )
-                    != 0
                 )
+                != 0
             )
         )
     # (doc, gram) is unique entering the probes (array_distinct per

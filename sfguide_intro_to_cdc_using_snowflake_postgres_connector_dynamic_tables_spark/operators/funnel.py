@@ -42,6 +42,8 @@ def funnel_counts(
     exchange reuse dedupes the shared frontier subplans across the
     union branches.
     """
+    if not steps:
+        raise ValueError("steps must be non-empty")
     ts = F.col(ts_col)
     frontier = (
         events.filter(F.col(type_col) == steps[0])

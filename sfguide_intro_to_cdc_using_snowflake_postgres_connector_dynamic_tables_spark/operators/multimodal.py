@@ -104,6 +104,10 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
             raise ValueError("truncated PPM header")
         fields.append(payload[start:pos])
     w, h, maxval = (int(f) for f in fields)
+    if w < 1 or h < 1:
+        # negative dims would make the h*w*3 size check pass and
+        # reshape infer garbage geometry instead of raising
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
     pos += 1  # exactly one whitespace byte after maxval
@@ -336,6 +340,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError(f"only PCM-16 supported (format={audio_format}, bits={bits})")
     if n_channels < 1:
         raise ValueError("channel count must be >= 1")
+    if sample_rate < 1:
+        raise ValueError(f"sample rate must be >= 1, got {sample_rate}")
     samples = np.frombuffer(data, dtype="<i2")
     if samples.size % n_channels:
         raise ValueError("data chunk not a whole number of frames")

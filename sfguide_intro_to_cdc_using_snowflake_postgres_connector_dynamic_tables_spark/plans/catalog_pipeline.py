@@ -488,15 +488,19 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bloom_decontaminate(docs)
 
 
-def _hex5_sql(h: str) -> str:
-    """DuckDB expression: int value of the first five hex nibbles of
-    md5 expression ``h`` (mirrors Spark's conv(substr(md5,1,5),16,10))."""
+def _hex_sql(h: str, nibbles: int) -> str:
+    """DuckDB expression: int value of the first ``nibbles`` hex digits
+    of md5 expression ``h`` (mirrors Spark's
+    conv(substr(md5, 1, nibbles), 16, 10))."""
     nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
-    weights = [65536, 4096, 256, 16, 1]
     return " + ".join(
         f"({nib.format(h=h, i=i + 1)}) * {w}" if w > 1 else f"({nib.format(h=h, i=i + 1)})"
-        for i, w in enumerate(weights)
+        for i, w in enumerate(16 ** (nibbles - 1 - i) for i in range(nibbles))
     )
+
+
+def _hex5_sql(h: str) -> str:
+    return _hex_sql(h, 5)
 
 
 SQL_BLOOM_DECONTAMINATE = f"""
@@ -680,12 +684,7 @@ def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hex4_sql(h: str) -> str:
-    nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
-    weights = [4096, 256, 16, 1]
-    return " + ".join(
-        f"({nib.format(h=h, i=i + 1)}) * {w}" if w > 1 else f"({nib.format(h=h, i=i + 1)})"
-        for i, w in enumerate(weights)
-    )
+    return _hex_sql(h, 4)
 
 
 SQL_TEXT_EMBED = f"""

@@ -153,6 +153,16 @@ class CDCPipeline:
         if snapshot_lsn is not None:
             self.snapshot_lsn = snapshot_lsn
             self._write_offset(snapshot_lsn)
+        else:
+            # a re-seed WITHOUT an offset invalidates any previously
+            # persisted watermark: the new feed's LSNs may restart from
+            # 0, and a stale high watermark would silently drop every
+            # subsequent tail change
+            self.snapshot_lsn = -1
+            try:
+                os.unlink(self._offset_path())
+            except OSError:
+                pass
 
     def bootstrap_then_tail(
         self,

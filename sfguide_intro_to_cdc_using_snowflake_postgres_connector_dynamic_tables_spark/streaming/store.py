@@ -34,6 +34,7 @@ SURVEY.md section 4.2 requires without a table-format dependency.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -149,6 +150,26 @@ class ParquetTableStore:
             f"another writer holds a live claim on {name} v{version} "
             f"(age {age:.0f}s < ttl {self.claim_ttl_sec:.0f}s)"
         )
+
+    def _release_claim(self, name: str, version: int) -> None:
+        try:
+            os.unlink(self._claim_path(name, version))
+        except OSError:
+            pass
+
+    @contextlib.contextmanager
+    def _claimed(self, name: str, version: int):
+        """Claim ``version`` for the duration of a write.  On failure
+        the claim is RELEASED so the caller's retry loop is not wedged
+        behind its own dead marker for claim_ttl_sec; on success the
+        marker stays (committed versions keep their marker while
+        retained -- see _gc)."""
+        self._claim_version(name, version)
+        try:
+            yield
+        except BaseException:
+            self._release_claim(name, version)
+            raise
 
     def _commit(self, name: str, version: int) -> None:
         vf = self._version_file(name)
@@ -333,42 +354,42 @@ class ParquetTableStore:
         v = (self.current_version(name) or 0) + 1
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
-        self._claim_version(name, v)
-        spec = self.partition_spec(name)
-        if partition_key is None and spec is not None:
-            partition_key, n_buckets = spec
-        if partition_key is None:
-            path = os.path.join(tdir, f"v{v}")
-            shutil.rmtree(path, ignore_errors=True)  # orphan from a crashed commit
-            df.write.mode("overwrite").parquet(path)
+        with self._claimed(name, v):
+            spec = self.partition_spec(name)
+            if partition_key is None and spec is not None:
+                partition_key, n_buckets = spec
+            if partition_key is None:
+                path = os.path.join(tdir, f"v{v}")
+                shutil.rmtree(path, ignore_errors=True)  # orphan from a crashed commit
+                df.write.mode("overwrite").parquet(path)
+                self._commit(name, v)
+                return v
+            stage = f"w{v}-{uuid.uuid4().hex[:8]}"
+            stage_dir = os.path.join(tdir, stage)
+            (
+                df.withColumn("__part", self.bucket_expr(partition_key, n_buckets))
+                .write.partitionBy("__part")
+                .parquet(stage_dir)
+            )
+            schema_dir = f"{stage}-schema"
+            df.limit(0).write.parquet(os.path.join(tdir, schema_dir))
+            partitions = {
+                entry.split("=", 1)[1]: f"{stage}/{entry}"
+                for entry in os.listdir(stage_dir)
+                if entry.startswith("__part=")
+            }
+            self._write_manifest(
+                name,
+                v,
+                {
+                    "key": partition_key,
+                    "n_buckets": n_buckets,
+                    "partitions": partitions,
+                    "schema_dir": schema_dir,
+                },
+            )
             self._commit(name, v)
             return v
-        stage = f"w{v}-{uuid.uuid4().hex[:8]}"
-        stage_dir = os.path.join(tdir, stage)
-        (
-            df.withColumn("__part", self.bucket_expr(partition_key, n_buckets))
-            .write.partitionBy("__part")
-            .parquet(stage_dir)
-        )
-        schema_dir = f"{stage}-schema"
-        df.limit(0).write.parquet(os.path.join(tdir, schema_dir))
-        partitions = {
-            entry.split("=", 1)[1]: f"{stage}/{entry}"
-            for entry in os.listdir(stage_dir)
-            if entry.startswith("__part=")
-        }
-        self._write_manifest(
-            name,
-            v,
-            {
-                "key": partition_key,
-                "n_buckets": n_buckets,
-                "partitions": partitions,
-                "schema_dir": schema_dir,
-            },
-        )
-        self._commit(name, v)
-        return v
 
     def optimize(
         self,
@@ -400,43 +421,43 @@ class ParquetTableStore:
 
             df = with_morton(df, zorder_cols, bits)
         v = self.current_version(name) + 1
-        self._claim_version(name, v)
-        tdir = self._table_dir(name)
-        stage = f"w{v}-{uuid.uuid4().hex[:8]}"
-        stage_dir = os.path.join(tdir, stage)
-        out = df.repartition(B, self.bucket_expr(key, B).alias("__part"))
-        out = out.withColumn("__part", self.bucket_expr(key, B))
-        if zorder_cols:
-            # __part leads the sort so the dynamic-partition writer's
-            # required ordering is already satisfied -- otherwise it
-            # re-sorts each task by __part alone and scrambles __z
-            out = out.sortWithinPartitions("__part", "__z").drop("__z")
-        writer = out.write.partitionBy("__part")
-        # e.g. {"parquet.block.size": ...} to size row groups so the
-        # z-order materializes as many tight-stat groups per file --
-        # min-max pruning works at row-group granularity
-        for k_opt, v_opt in (writer_options or {}).items():
-            writer = writer.option(k_opt, v_opt)
-        writer.parquet(stage_dir)
-        schema_dir = f"{stage}-schema"
-        self.read(spark, name).limit(0).write.parquet(os.path.join(tdir, schema_dir))
-        partitions = {
-            entry.split("=", 1)[1]: f"{stage}/{entry}"
-            for entry in os.listdir(stage_dir)
-            if entry.startswith("__part=")
-        }
-        self._write_manifest(
-            name,
-            v,
-            {
-                "key": key,
-                "n_buckets": B,
-                "partitions": partitions,
-                "schema_dir": schema_dir,
-            },
-        )
-        self._commit(name, v)
-        return v
+        with self._claimed(name, v):
+            tdir = self._table_dir(name)
+            stage = f"w{v}-{uuid.uuid4().hex[:8]}"
+            stage_dir = os.path.join(tdir, stage)
+            out = df.repartition(B, self.bucket_expr(key, B).alias("__part"))
+            out = out.withColumn("__part", self.bucket_expr(key, B))
+            if zorder_cols:
+                # __part leads the sort so the dynamic-partition writer's
+                # required ordering is already satisfied -- otherwise it
+                # re-sorts each task by __part alone and scrambles __z
+                out = out.sortWithinPartitions("__part", "__z").drop("__z")
+            writer = out.write.partitionBy("__part")
+            # e.g. {"parquet.block.size": ...} to size row groups so the
+            # z-order materializes as many tight-stat groups per file --
+            # min-max pruning works at row-group granularity
+            for k_opt, v_opt in (writer_options or {}).items():
+                writer = writer.option(k_opt, v_opt)
+            writer.parquet(stage_dir)
+            schema_dir = f"{stage}-schema"
+            self.read(spark, name).limit(0).write.parquet(os.path.join(tdir, schema_dir))
+            partitions = {
+                entry.split("=", 1)[1]: f"{stage}/{entry}"
+                for entry in os.listdir(stage_dir)
+                if entry.startswith("__part=")
+            }
+            self._write_manifest(
+                name,
+                v,
+                {
+                    "key": key,
+                    "n_buckets": B,
+                    "partitions": partitions,
+                    "schema_dir": schema_dir,
+                },
+            )
+            self._commit(name, v)
+            return v
 
     def append(self, spark: SparkSession, name: str, rows: DataFrame) -> int:
         """Bucket-pruned APPEND into a partitioned table: like ``merge``
@@ -471,46 +492,46 @@ class ParquetTableStore:
             else:
                 new_rows = rows
             nv = v + 1
-            self._claim_version(name, nv)
-            stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
-            stage_dir = os.path.join(tdir, stage)
-            (
-                new_rows.withColumn("__part", self.bucket_expr(key, B))
-                .write.partitionBy("__part")
-                .parquet(stage_dir)
-            )
-            written = {
-                entry.split("=", 1)[1]: f"{stage}/{entry}"
-                for entry in os.listdir(stage_dir)
-                if entry.startswith("__part=")
-            }
-            partitions = dict(m["partitions"])
-            partitions.update(written)
-            # schema evolution: mirror merge() -- if appended rows
-            # introduced columns the zero-row marker lacks, stamp a
-            # fresh union-schema marker so empty/fully-pruned reads
-            # see the evolved column set (ADVICE r4)
-            schema_dir = m["schema_dir"]
-            marker = spark.read.parquet(os.path.join(tdir, schema_dir))
-            if set(rows.columns) - set(marker.columns):
-                schema_dir = f"{stage}-schema"
+            with self._claimed(name, nv):
+                stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
+                stage_dir = os.path.join(tdir, stage)
                 (
-                    marker.limit(0)
-                    .unionByName(rows.limit(0), allowMissingColumns=True)
-                    .write.parquet(os.path.join(tdir, schema_dir))
+                    new_rows.withColumn("__part", self.bucket_expr(key, B))
+                    .write.partitionBy("__part")
+                    .parquet(stage_dir)
                 )
-            self._write_manifest(
-                name,
-                nv,
-                {
-                    "key": key,
-                    "n_buckets": B,
-                    "partitions": partitions,
-                    "schema_dir": schema_dir,
-                },
-            )
-            self._commit(name, nv)
-            return nv
+                written = {
+                    entry.split("=", 1)[1]: f"{stage}/{entry}"
+                    for entry in os.listdir(stage_dir)
+                    if entry.startswith("__part=")
+                }
+                partitions = dict(m["partitions"])
+                partitions.update(written)
+                # schema evolution: mirror merge() -- if appended rows
+                # introduced columns the zero-row marker lacks, stamp a
+                # fresh union-schema marker so empty/fully-pruned reads
+                # see the evolved column set (ADVICE r4)
+                schema_dir = m["schema_dir"]
+                marker = spark.read.parquet(os.path.join(tdir, schema_dir))
+                if set(rows.columns) - set(marker.columns):
+                    schema_dir = f"{stage}-schema"
+                    (
+                        marker.limit(0)
+                        .unionByName(rows.limit(0), allowMissingColumns=True)
+                        .write.parquet(os.path.join(tdir, schema_dir))
+                    )
+                self._write_manifest(
+                    name,
+                    nv,
+                    {
+                        "key": key,
+                        "n_buckets": B,
+                        "partitions": partitions,
+                        "schema_dir": schema_dir,
+                    },
+                )
+                self._commit(name, nv)
+                return nv
         finally:
             keys.unpersist()
 
@@ -536,34 +557,34 @@ class ParquetTableStore:
             return self.current_version(name)
         df = self.read(spark, name)
         v = self.current_version(name) + 1
-        self._claim_version(name, v)
-        tdir = self._table_dir(name)
-        stage = f"w{v}-{uuid.uuid4().hex[:8]}"
-        stage_dir = os.path.join(tdir, stage)
-        (
-            df.withColumn("__part", self.bucket_expr(key, n_buckets))
-            .write.partitionBy("__part")
-            .parquet(stage_dir)
-        )
-        schema_dir = f"{stage}-schema"
-        df.limit(0).write.parquet(os.path.join(tdir, schema_dir))
-        partitions = {
-            entry.split("=", 1)[1]: f"{stage}/{entry}"
-            for entry in os.listdir(stage_dir)
-            if entry.startswith("__part=")
-        }
-        self._write_manifest(
-            name,
-            v,
-            {
-                "key": key,
-                "n_buckets": n_buckets,
-                "partitions": partitions,
-                "schema_dir": schema_dir,
-            },
-        )
-        self._commit(name, v)
-        return v
+        with self._claimed(name, v):
+            tdir = self._table_dir(name)
+            stage = f"w{v}-{uuid.uuid4().hex[:8]}"
+            stage_dir = os.path.join(tdir, stage)
+            (
+                df.withColumn("__part", self.bucket_expr(key, n_buckets))
+                .write.partitionBy("__part")
+                .parquet(stage_dir)
+            )
+            schema_dir = f"{stage}-schema"
+            df.limit(0).write.parquet(os.path.join(tdir, schema_dir))
+            partitions = {
+                entry.split("=", 1)[1]: f"{stage}/{entry}"
+                for entry in os.listdir(stage_dir)
+                if entry.startswith("__part=")
+            }
+            self._write_manifest(
+                name,
+                v,
+                {
+                    "key": key,
+                    "n_buckets": n_buckets,
+                    "partitions": partitions,
+                    "schema_dir": schema_dir,
+                },
+            )
+            self._commit(name, v)
+            return v
 
     def merge(
         self,
@@ -615,48 +636,48 @@ class ParquetTableStore:
                 new_rows = upserts
 
             nv = v + 1
-            self._claim_version(name, nv)
-            stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
-            stage_dir = os.path.join(tdir, stage)
-            (
-                new_rows.withColumn("__part", self.bucket_expr(key, B))
-                .write.partitionBy("__part")
-                .parquet(stage_dir)
-            )
-            written = {
-                entry.split("=", 1)[1]: f"{stage}/{entry}"
-                for entry in os.listdir(stage_dir)
-                if entry.startswith("__part=")
-            }
-            partitions = dict(m["partitions"])
-            for b in touched:
-                partitions.pop(str(b), None)  # bucket may have emptied
-            partitions.update(written)
-            # schema evolution: if this merge introduced columns the
-            # zero-row schema marker lacks, stamp a fresh marker with
-            # the union schema so empty/pruned reads see the evolved
-            # table (untouched-version markers stay for time travel)
-            schema_dir = m["schema_dir"]
-            marker_path = os.path.join(tdir, schema_dir)
-            marker = spark.read.parquet(marker_path)
-            if set(new_rows.columns) - set(marker.columns):
-                schema_dir = f"{stage}-schema"
+            with self._claimed(name, nv):
+                stage = f"w{nv}-{uuid.uuid4().hex[:8]}"
+                stage_dir = os.path.join(tdir, stage)
                 (
-                    marker.limit(0)
-                    .unionByName(new_rows.limit(0), allowMissingColumns=True)
-                    .write.parquet(os.path.join(tdir, schema_dir))
+                    new_rows.withColumn("__part", self.bucket_expr(key, B))
+                    .write.partitionBy("__part")
+                    .parquet(stage_dir)
                 )
-            self._write_manifest(
-                name,
-                nv,
-                {
-                    "key": key,
-                    "n_buckets": B,
-                    "partitions": partitions,
-                    "schema_dir": schema_dir,
-                },
-            )
-            self._commit(name, nv)
-            return nv
+                written = {
+                    entry.split("=", 1)[1]: f"{stage}/{entry}"
+                    for entry in os.listdir(stage_dir)
+                    if entry.startswith("__part=")
+                }
+                partitions = dict(m["partitions"])
+                for b in touched:
+                    partitions.pop(str(b), None)  # bucket may have emptied
+                partitions.update(written)
+                # schema evolution: if this merge introduced columns the
+                # zero-row schema marker lacks, stamp a fresh marker with
+                # the union schema so empty/pruned reads see the evolved
+                # table (untouched-version markers stay for time travel)
+                schema_dir = m["schema_dir"]
+                marker_path = os.path.join(tdir, schema_dir)
+                marker = spark.read.parquet(marker_path)
+                if set(new_rows.columns) - set(marker.columns):
+                    schema_dir = f"{stage}-schema"
+                    (
+                        marker.limit(0)
+                        .unionByName(new_rows.limit(0), allowMissingColumns=True)
+                        .write.parquet(os.path.join(tdir, schema_dir))
+                    )
+                self._write_manifest(
+                    name,
+                    nv,
+                    {
+                        "key": key,
+                        "n_buckets": B,
+                        "partitions": partitions,
+                        "schema_dir": schema_dir,
+                    },
+                )
+                self._commit(name, nv)
+                return nv
         finally:
             keys.unpersist()

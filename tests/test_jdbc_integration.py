@@ -223,3 +223,39 @@ def test_snapshot_lsn_watermark_survives_restart(spark, tmp_path):
         store.read(spark, "customers").filter(f"customer_id = {c0[0]}").collect()[0]
     )
     assert row["firstname"] == c0[1]
+
+
+def test_reseed_without_offset_clears_stale_watermark(spark, tmp_path):
+    """bootstrap() without a snapshot_lsn is a re-seed: any previously
+    persisted watermark must be cleared, or a new feed whose LSNs
+    restart from 0 would be silently discarded."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+        fixtures,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+    )
+
+    customers = fixtures.make_customers(20, seed=3)
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store)
+    snap = {"customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA)}
+    p.bootstrap(snap, snapshot_lsn=9000)
+    assert p.snapshot_lsn == 9000
+
+    # re-seed from a new source whose feed restarts at low LSNs
+    p.bootstrap(snap)
+    assert p.snapshot_lsn == -1
+    assert CDCPipeline(spark, store).snapshot_lsn == -1  # persisted too
+
+    c0 = customers[0]
+    row = {
+        "customer_id": c0[0], "firstname": "NewFeed", "lastname": c0[2],
+        "age": c0[3], "email": c0[4], "phone_number": c0[5],
+    }
+    env = spark.createDataFrame(
+        [("U", 5, None, "customers", json.dumps(row, default=str))], FEED_SCHEMA
+    )
+    p.apply_envelope_batch(env, batch_id=0)
+    got = store.read(spark, "customers").filter(f"customer_id = {c0[0]}").collect()[0]
+    assert got["firstname"] == "NewFeed"

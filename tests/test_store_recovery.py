@@ -194,3 +194,27 @@ def test_concurrent_merge_is_guarded(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         a.merge(spark, "t", ups, ups.select("k"))
     assert a.current_version("t") == 1
+
+
+def test_failed_write_releases_claim_for_retry(spark, tmp_path):
+    """A write that fails AFTER claiming its version must release the
+    claim, or the caller's own retry loop is wedged behind its dead
+    marker for claim_ttl_sec."""
+    import pytest
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    store.overwrite("t", spark.range(10))
+
+    class Boom(RuntimeError):
+        pass
+
+    broken = spark.range(5).withColumn(
+        "x", F.udf(lambda: (_ for _ in ()).throw(ValueError("boom")))()
+    )
+    with pytest.raises(Exception):
+        store.overwrite("t", broken)  # write job fails mid-flight
+    assert not os.path.exists(store._claim_path("t", 2))
+    # immediate retry with a good frame succeeds -- no TTL wait
+    store.overwrite("t", spark.range(20))
+    assert store.current_version("t") == 2
+    assert store.read(spark, "t").count() == 20
