@@ -598,6 +598,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 text_embed addition: tfidf is untouched
     # this round and r4-gate-green
     "tfidf",
+    # +1 slot for the round-5 text_sim_topk addition: text_clean is
+    # untouched this round and r4-gate-green
+    "text_clean",
     "window_analytics",
     "sessionize",
     "asof_last_order",

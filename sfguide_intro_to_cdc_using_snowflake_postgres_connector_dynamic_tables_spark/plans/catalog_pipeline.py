@@ -700,6 +700,60 @@ FROM b GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Text similarity search end-to-end: hashing-trick embed + exact
+# cosine top-k against a fixed probe document -- the "text -> embed ->
+# ANN" path as one gated plan (no model, no driver collect; the probe
+# vector is computed in closed form from the probe string on both
+# engines).
+# ---------------------------------------------------------------------------
+
+_PROBE_TEXT = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+def _probe_vec(dim: int = 16) -> list[int]:
+    import hashlib
+
+    v = [0] * dim
+    for t in _PROBE_TEXT.split():
+        v[int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % dim] += 1
+    return v
+
+
+def q_text_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_cosine
+
+    emb = corpus.hashing_embed(_t(spark, sf_dir, "documents"), dim=16)
+    return topk_cosine(
+        emb,
+        [float(x) for x in _probe_vec()],
+        k=10,
+        vec_col="embedding",
+        id_col="doc_id",
+    )
+
+
+def _text_sim_topk_sql() -> str:
+    q = _probe_vec()
+    lanes = ", ".join(
+        f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}"
+        for i in range(16)
+    )
+    dot = " + ".join(f"s{i} * {float(q[i])!r}" for i in range(16))
+    nd = " + ".join(f"s{i} * s{i}" for i in range(16))
+    nq = " + ".join(f"{float(q[i])!r} * {float(q[i])!r}" for i in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM documents) u
+  WHERE t <> ''),
+b AS (SELECT doc_id, ({_hex4_sql("md5(t)")}) % 16 AS bucket FROM tok),
+e AS (SELECT doc_id, {lanes} FROM b GROUP BY doc_id)
+SELECT doc_id, ({dot}) / (sqrt({nd}) * sqrt({nq})) AS cosine
+FROM e ORDER BY cosine DESC, doc_id ASC LIMIT 10
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
@@ -721,4 +775,5 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "quality_topfrac": (q_quality_topfrac, SQL_QUALITY_TOPFRAC),
     "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
     "text_embed": (q_text_embed, SQL_TEXT_EMBED),
+    "text_sim_topk": (q_text_sim_topk, _text_sim_topk_sql()),
 }
