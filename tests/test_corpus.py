@@ -540,3 +540,57 @@ def test_hashing_embed_preserves_token_mass(spark):
     assert sum(out[3]) == 3
     assert max(out[3]) == 3  # same token -> same lane
     assert 4 not in out  # no tokens -> no row (empty doc has no vector)
+
+
+def test_bloom_decontaminate_matches_python_model(spark):
+    """Differential test of the Bloom bit math against a pure-Python
+    model (md5 positions, 32-bit words, all-K-probes membership) --
+    independent of the DuckDB oracle, so a shared spelling mistake in
+    both SQL dialects can't hide."""
+    import hashlib
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = 4
+
+    def bucket(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:2], 16)
+
+    def split_of(did):
+        b = bucket(did)
+        return "train" if b < 205 else ("val" if b < 231 else "test")
+
+    def grams_of(text):
+        toks = [t for t in text.split(" ") if t]
+        return {"_".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def positions(g):
+        return [
+            int(hashlib.md5(f"{i}:{g}".encode()).hexdigest()[:5], 16)
+            for i in range(3)
+        ]
+
+    bits = set()
+    for d, text in docs:
+        if split_of(d) == "test":
+            for g in grams_of(text):
+                bits.update(positions(g))
+    expected = {}
+    for d, text in docs:
+        if split_of(d) != "train":
+            continue
+        expected[d] = sum(
+            1 for g in grams_of(text) if all(p in bits for p in positions(g))
+        )
+
+    got = {
+        r["doc_id"]: r["n_flagged"]
+        for r in corpus.bloom_decontaminate(df, n=n).collect()
+    }
+    assert got == expected
