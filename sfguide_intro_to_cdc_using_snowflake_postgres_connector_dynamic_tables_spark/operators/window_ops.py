@@ -52,10 +52,13 @@ def sessionize(
     ts_col: str = "ts",
     order_tiebreak: str = "event_id",
     gap_seconds: int = 1800,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to
     the previous event exceeds ``gap_seconds``.  Gap math is integer
-    microseconds (``unix_micros``) so every engine agrees exactly."""
+    microseconds (``unix_micros``) so every engine agrees exactly.
+    ``keep``: extra columns carried through the window projection, so
+    downstream session aggregates need no join back to the source."""
     w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col(ts_col))
@@ -67,6 +70,7 @@ def sessionize(
         key,
         order_tiebreak,
         F.col(ts_col),
+        *keep,
         F.sum(new_session).over(run).alias("session_seq"),
     )
 

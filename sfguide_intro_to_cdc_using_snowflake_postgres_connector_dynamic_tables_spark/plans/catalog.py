@@ -601,6 +601,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 text_sim_topk addition: text_clean is
     # untouched this round and r4-gate-green
     "text_clean",
+    # +1 slot for the round-5 session_stats addition: pii_scrub is
+    # untouched this round and r4-gate-green
+    "pii_scrub",
     "window_analytics",
     "sessionize",
     "asof_last_order",

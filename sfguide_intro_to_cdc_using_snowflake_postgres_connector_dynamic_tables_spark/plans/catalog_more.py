@@ -818,6 +818,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
 """
 
 
+# ---------------------------------------------------------------------------
+# Session analytics: the aggregate layer over sessionize -- duration,
+# event count, and value sum per (user, session); the downstream half
+# of every session-based dashboard.  Window shuffle + one agg on the
+# same key prefix.
+# ---------------------------------------------------------------------------
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        sessionize(e, gap_seconds=1800, keep=("value",))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("duration_sec"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+SQL_SESSION_STATS = """
+WITH g AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+       sum(value) AS total_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -842,4 +888,5 @@ MORE_CATALOG: dict[str, tuple] = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
 }
