@@ -550,23 +550,25 @@ def _register_extensions() -> None:
 
 
 #: The driver's CORRECTNESS gate hashes only the FIRST 50 ``queries()``
-#: entries (dict insertion order).  Rotation policy (round 5): the tail
-#: holds ONLY entries that earned a driver-green row in the immediately
-#: preceding round's gate; they sit out for at most two rounds and then
-#: rotate back in, so every entry re-earns a driver-green row at least
-#: every third round.  Entries ADDED OR MODIFIED in the current round
-#: must stay inside the first-50 window (never rotate out work the
-#: driver hasn't re-verified).  Tail entries remain fully oracle-checked
-#: every round by ``tests/test_catalog_oracle.py`` (ALL entries,
-#: sf0.001) and by ``tests/test_oracle_dtypes.py`` (schema audit).
+#: entries (dict insertion order).  Rotation policy (round 5): every
+#: tail entry earned a driver-green row in one of the TWO preceding
+#: rounds' gates (r4 or r3 -- with 97 entries and a 50-entry window, a
+#: two-round rotation cycle is the tightest possible), sits out at most
+#: two rounds, and then rotates back in, so every entry re-earns a
+#: driver-green row at least every third round.  Entries ADDED OR
+#: MODIFIED in the current round must stay inside the first-50 window
+#: (never rotate out work the driver hasn't re-verified).  Tail entries
+#: remain fully oracle-checked every round by
+#: ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and by
+#: ``tests/test_oracle_dtypes.py`` (schema audit).
 #:
-#: Round-5 tail = 34 of the 50 entries green in CORRECTNESS_r04.json,
-#: excluding the four touched this round (q12_priority_lines,
-#: minhash_near_dup, dup_components, purchase_summary -- all kept
-#: in-window).  The 34 entries that sat in the round-4 tail rotate back
-#: into the window, covering VERDICT r4 item 3's requested names
-#: (string_functions, corpus_filter, q3/q5/q10, simhash_dup,
-#: embedding_dup_pairs, percentiles, pivot/unpivot, dashboard paths).
+#: Round-5 tail composition, verified by tests/test_gate_policy.py:
+#: 43 entries green in CORRECTNESS_r04.json plus 4 green in
+#: CORRECTNESS_r03.json (distinct, spend_bands, null_bands, semi_join
+#: -- displaced by this round's 14 additions; tail in r4, so round 6
+#: MUST rotate them back into the window).  All 14 new entries and
+#: everything touched this round (q12_priority_lines, minhash_near_dup,
+#: dup_components, purchase_summary, sessionize) sit in-window.
 _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 image_decode_features addition: ngram is
     # untouched this round and was r4-gate-green
@@ -605,7 +607,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # untouched this round and r4-gate-green
     "pii_scrub",
     "window_analytics",
-    "sessionize",
+    # sessionize was touched this round (keep-columns parameter) ->
+    # in-window; decontaminate (r4-green, untouched) takes its slot
+    "decontaminate",
     "asof_last_order",
     "datetime_functions",
     "set_ops",
