@@ -606,6 +606,9 @@ _GATE_TAIL: tuple[str, ...] = (
     # +1 slot for the round-5 session_stats addition: pii_scrub is
     # untouched this round and r4-gate-green
     "pii_scrub",
+    # +1 slot for the round-5 attribution addition: similarity_topk_ivf
+    # is untouched this round and r4-gate-green
+    "similarity_topk_ivf",
     "window_analytics",
     # sessionize was touched this round (keep-columns parameter) ->
     # in-window; decontaminate (r4-green, untouched) takes its slot

@@ -864,6 +864,70 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase credited to the user's most
+# recent preceding view/click (ties at the same timestamp go to the
+# touch, matching the as-of <= contract); purchases with no preceding
+# touch are 'direct'.  Engine = the union-trick as-of join; oracle =
+# DuckDB's native ASOF JOIN -- independent formulations.
+# ---------------------------------------------------------------------------
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # dedupe touches on (user, ts): keep the winner by (type desc,
+    # event_id desc) so <=-ties are deterministic on both engines
+    touches = e.filter(F.col("event_type").isin("view", "click"))
+    w = Window.partitionBy("user_id", "ts").orderBy(
+        F.desc("event_type"), F.desc("event_id")
+    )
+    td = (
+        touches.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("ts").alias("touch_ts"), F.col("event_type").alias("touch_type"))
+    )
+    attributed = asof_join(
+        purchases,
+        td,
+        key="user_id",
+        left_ts="ts",
+        right_ts="touch_ts",
+        value="touch_type",
+        out_col="last_touch",
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("last_touch", F.lit("direct")).alias("last_touch")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("value").alias("attributed_value"),
+        )
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS touch_ts, event_type AS touch_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                            ORDER BY event_type DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('view', 'click') QUALIFY rn = 1),
+a AS (
+  SELECT p.event_id, p.value, t.touch_type
+  FROM p ASOF LEFT JOIN t
+    ON p.user_id = t.user_id AND p.ts >= t.touch_ts)
+SELECT coalesce(touch_type, 'direct') AS last_touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       sum(value) AS attributed_value
+FROM a GROUP BY 1
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -889,4 +953,5 @@ MORE_CATALOG: dict[str, tuple] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
 }

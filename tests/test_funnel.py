@@ -185,3 +185,39 @@ def test_cohort_retention_matches_python_model(spark):
         for r in cohort_retention(ev).collect()
     }
     assert got == {k: len(v) for k, v in expected.items()}
+
+
+def test_attribution_planted(spark):
+    """Last-touch semantics: purchase credited to the latest preceding
+    view/click; same-timestamp touch wins (as-of <=); no touch =>
+    'direct'."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_more import (
+        q_attribution,
+    )
+    import sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_more as cm
+
+    rows = [
+        # u1: view @0, click @5, purchase @10 -> click
+        (1, 1, 0, "view", 1.0), (2, 1, 5, "click", 1.0), (3, 1, 10, "purchase", 10.0),
+        # u2: purchase with no touches -> direct
+        (4, 2, 0, "purchase", 5.0),
+        # u3: view at the same instant as purchase -> view (<= contract)
+        (5, 3, 7, "view", 1.0), (6, 3, 7, "purchase", 20.0),
+        # u4: click AFTER the purchase only -> direct
+        (7, 4, 9, "purchase", 2.0), (8, 4, 12, "click", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (eid, u, T0 + dt.timedelta(minutes=m), t, v)
+            for eid, u, m, t, v in rows
+        ],
+        "event_id int, user_id int, ts timestamp, event_type string, value double",
+    )
+    orig = cm._t
+    cm._t = lambda spark, sf_dir, name: ev
+    try:
+        out = {r["last_touch"]: (r["n_purchases"], r["attributed_value"])
+               for r in q_attribution(spark, "unused").collect()}
+    finally:
+        cm._t = orig
+    assert out == {"click": (1, 10.0), "direct": (2, 7.0), "view": (1, 20.0)}
