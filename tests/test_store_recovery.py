@@ -218,3 +218,49 @@ def test_failed_write_releases_claim_for_retry(spark, tmp_path):
     store.overwrite("t", spark.range(20))
     assert store.current_version("t") == 2
     assert store.read(spark, "t").count() == 20
+
+
+def test_two_writer_retry_loops_converge(spark, tmp_path):
+    """Two writers interleave upserts through the documented
+    optimistic-retry loop; every batch must land exactly once and the
+    final table must equal the sequential fold of all applied batches
+    (no lost updates, no double-applies, no deadlocks)."""
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ConcurrentWriteError,
+    )
+
+    rng = random.Random(11)
+    root = str(tmp_path / "s")
+    writers = [ParquetTableStore(root), ParquetTableStore(root)]
+    base = spark.range(40).withColumnRenamed("id", "k").withColumn(
+        "val", F.col("k") * 10
+    )
+    writers[0].overwrite("t", base, partition_key="k", n_buckets=4)
+
+    model = {i: i * 10 for i in range(40)}
+    batches = []
+    for _ in range(8):
+        ups = {rng.randrange(60): rng.randrange(1000) for _ in range(rng.randint(1, 5))}
+        batches.append(ups)
+
+    # interleave: each batch picks a random writer; claims race because
+    # both writers cache nothing and re-read current_version per try
+    for ups in batches:
+        w = writers[rng.randrange(2)]
+        df = spark.createDataFrame(list(ups.items()), "k long, val long")
+        for attempt in range(5):
+            try:
+                w.merge(spark, "t", df, df.select("k"))
+                break
+            except ConcurrentWriteError:
+                continue
+        else:
+            raise AssertionError("retry loop did not converge")
+        model.update(ups)
+
+    final = {
+        r["k"]: r["val"] for r in writers[0].read(spark, "t").collect()
+    }
+    assert final == model
