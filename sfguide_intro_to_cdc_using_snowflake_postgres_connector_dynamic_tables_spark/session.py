@@ -37,6 +37,14 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet filter pushdown is on by default; pin it so a config drift
     # can't silently turn scans into full reads.
     "spark.sql.parquet.filterPushdown": "true",
+    # Local mode runs all 32 task threads inside the driver JVM, whose
+    # default heap is 1g -- a long query session degrades into GC
+    # thrash (measured: the same plan 3x slower 40 queries into a
+    # bench).  Size the heap like an executor would be sized on a
+    # cluster; on a real deployment spark-submit overrides this.
+    # Only effective when this process launches the JVM (ignored on
+    # getOrCreate against a live session, like every JVM-side conf).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
