@@ -159,3 +159,94 @@ def cohort_retention(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    end_label: str = "(end)",
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream: for every event, which event the same user performs
+    next (``end_label`` when there is none), counted per
+    (event, next) pair with the per-source transition probability --
+    the "what do users do after X" layer of a product-analytics
+    engine, and the path-analysis complement of ``funnel_counts``
+    (a funnel fixes the path; this measures all of them).
+
+    Returns (event_type, next_event, n_transitions long, p double),
+    ``p`` summing to 1 per event_type, rounded to 6dp.  Ordering ties
+    at the same timestamp break by ``id_col`` so reruns and engines
+    agree.
+
+    Plan shape: one user-keyed window (lead) over the stream, then a
+    two-key count; the probability window runs over the
+    O(|event types|^2) aggregate, not the events.  Nothing is
+    collected or broadcast; both shuffles are keyed.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("event_type"),
+        F.coalesce(F.lead(type_col).over(w), F.lit(end_label)).alias("next_event"),
+    )
+    counts = pairs.groupBy("event_type", "next_event").agg(
+        F.count("*").alias("n_transitions")
+    )
+    total = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_event",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(total), 6
+        ).alias("p"),
+    )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    min_periods: int = 2,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection on daily event
+    volume: each day's event count scored against the mean/stddev of
+    the previous ``window_days`` days (current day excluded, so a
+    spike can't mask itself).  ``z`` is NULL until ``min_periods``
+    trailing days exist or when the trailing stddev is 0 -- undefined,
+    not "anomalous".
+
+    Returns (day date, n_events long, trail_avg, trail_std, z), avg /
+    std rounded to 6dp and z to 4dp so two engines computing stddev by
+    different algorithms canonicalize identically.
+
+    Plan shape: one keyed day-count aggregation over the stream, then
+    an unpartitioned window over the O(days) daily frame -- the
+    single-task window sees days, never events, so this is
+    dashboard-sized at any volume (partition by a coarser key, e.g.
+    region, if the daily frame itself ever grows large).
+    """
+    from pyspark.sql import Window
+
+    day = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-window_days, -1)
+    trail_n = F.count("n_events").over(w)
+    avg = F.avg("n_events").over(w)
+    std = F.stddev_samp("n_events").over(w)
+    return day.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(avg, 6).alias("trail_avg"),
+        F.round(std, 6).alias("trail_std"),
+        F.when(
+            (trail_n >= min_periods) & (std > 0),
+            F.round((F.col("n_events") - avg) / std, 4),
+        ).alias("z"),
+    )

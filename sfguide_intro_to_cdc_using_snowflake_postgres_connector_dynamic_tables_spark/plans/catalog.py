@@ -570,6 +570,13 @@ def _register_extensions() -> None:
 #: everything touched this round (q12_priority_lines, minhash_near_dup,
 #: dup_components, purchase_summary, sessionize) sit in-window.
 _GATE_TAIL: tuple[str, ...] = (
+    # +2 slots for the round-5 event_transitions / anomaly_days
+    # additions: embedding_dup_pairs_lsh is untouched this round and
+    # r4-gate-green; unpivot_metrics is untouched and r3-gate-green
+    # (tail in r4 -- joins the round-6 must-rotate-back set alongside
+    # distinct/spend_bands/null_bands/semi_join below)
+    "embedding_dup_pairs_lsh",
+    "unpivot_metrics",
     # +1 slot for the round-5 image_decode_features addition: ngram is
     # untouched this round and was r4-gate-green
     "ngram_jaccard_dup",

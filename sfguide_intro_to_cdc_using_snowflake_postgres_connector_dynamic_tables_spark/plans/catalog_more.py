@@ -928,6 +928,61 @@ FROM a GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Path analysis: the first-order Markov transition matrix over each
+# user's event stream -- the "what happens after X" view that
+# complements the fixed-path funnel.  One user-keyed lead window +
+# a tiny pair count; the probability normalizes within each source
+# event over the O(types^2) aggregate.
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type,
+         coalesce(lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                  '(end)') AS next_event
+  FROM events),
+c AS (SELECT event_type, next_event, count(*) AS n FROM p GROUP BY 1, 2)
+SELECT event_type, next_event, CAST(n AS BIGINT) AS n_transitions,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume anomaly detection: trailing 7-day z-score per day,
+# current day excluded from its own baseline.  The window runs over
+# the O(days) daily aggregate, never the event stream.
+# ---------------------------------------------------------------------------
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import daily_anomalies
+
+    return daily_anomalies(_t(spark, sf_dir, "events"))
+
+
+SQL_ANOMALY_DAYS = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1)
+SELECT day, CAST(n AS BIGINT) AS n_events,
+       round(avg(n) OVER w, 6) AS trail_avg,
+       round(stddev_samp(n) OVER w, 6) AS trail_std,
+       CASE WHEN count(n) OVER w >= 2 AND stddev_samp(n) OVER w > 0
+            THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4)
+       END AS z
+FROM d
+WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -954,4 +1009,6 @@ MORE_CATALOG: dict[str, tuple] = {
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
 }

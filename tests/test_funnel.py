@@ -221,3 +221,108 @@ def test_attribution_planted(spark):
     finally:
         cm._t = orig
     assert out == {"click": (1, 10.0), "direct": (2, 7.0), "view": (1, 20.0)}
+
+
+def _events_with_ids(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(minutes=m), t) for i, (u, m, t) in enumerate(rows)],
+        "event_id int, user_id int, ts timestamp, event_type string",
+    )
+
+
+def test_event_transitions_order_end_and_probability(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    ev = _events_with_ids(
+        spark,
+        [
+            # u1: view -> click -> view -> (end)
+            (1, 0, "view"), (1, 5, "click"), (1, 10, "view"),
+            # u2: view -> (end); transitions never cross users
+            (2, 0, "view"),
+            # u3: same-timestamp tie broken by event_id (insertion
+            # order): click(id) < view(id) -> click -> view -> (end)
+            (3, 0, "click"), (3, 0, "view"),
+        ],
+    )
+    out = {
+        (r["event_type"], r["next_event"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    assert out == {
+        ("view", "click"): (1, 0.25),
+        ("view", "(end)"): (3, 0.75),
+        ("click", "view"): (2, 1.0),
+    }
+
+
+def test_event_transitions_probability_sums_to_one_per_source(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    ev = _events_with_ids(
+        spark,
+        [(u, m, t) for u in range(5) for m, t in
+         enumerate(["view", "click", "purchase", "view", "click"])],
+    )
+    import collections
+
+    sums = collections.defaultdict(float)
+    for r in event_transitions(ev).collect():
+        sums[r["event_type"]] += r["p"]
+    for src, s in sums.items():
+        assert abs(s - 1.0) < 1e-6, (src, s)
+
+
+def test_daily_anomalies_trailing_window_and_min_periods(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        daily_anomalies,
+    )
+
+    # 5 quiet days of 10 events, then a 100-event spike
+    rows = []
+    for d in range(5):
+        rows += [(1, d * 24 * 60 + i, "view") for i in range(10)]
+    rows += [(1, 5 * 24 * 60 + i, "view") for i in range(100)]
+    ev = _events_with_ids(spark, rows)
+    out = {str(r["day"]): r for r in daily_anomalies(ev).collect()}
+    assert len(out) == 6
+    # day 1: empty trailing window -> everything NULL
+    d0 = out["2024-01-01"]
+    assert d0["n_events"] == 10 and d0["trail_avg"] is None and d0["z"] is None
+    # day 2: one trailing day -> avg defined, stddev/z still NULL
+    d1 = out["2024-01-02"]
+    assert d1["trail_avg"] == 10.0 and d1["trail_std"] is None and d1["z"] is None
+    # day 3+: flat history -> stddev 0 -> z stays NULL (undefined, not anomalous)
+    assert out["2024-01-03"]["trail_std"] == 0.0 and out["2024-01-03"]["z"] is None
+    # spike day: baseline mean 10, std 0 over flat days -> still NULL...
+    # make sure the guard held, then check a non-degenerate z below
+    assert out["2024-01-06"]["n_events"] == 100 and out["2024-01-06"]["z"] is None
+
+
+def test_daily_anomalies_z_matches_python_model(spark):
+    import statistics
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        daily_anomalies,
+    )
+
+    # varying daily volumes -> non-degenerate stddev; mirror the
+    # trailing-7-exclusive window in plain Python
+    counts = [12, 7, 19, 4, 15, 9, 22, 11, 30, 5]
+    rows = []
+    for d, n in enumerate(counts):
+        rows += [(1, d * 24 * 60 + i, "view") for i in range(n)]
+    ev = _events_with_ids(spark, rows)
+    got = {str(r["day"]): r["z"] for r in daily_anomalies(ev).collect()}
+    for d, n in enumerate(counts):
+        trail = counts[max(0, d - 7) : d]
+        day = f"2024-01-{d + 1:02d}"
+        if len(trail) < 2 or statistics.stdev(trail) == 0:
+            assert got[day] is None, day
+        else:
+            want = round((n - statistics.mean(trail)) / statistics.stdev(trail), 4)
+            assert got[day] == want, (day, got[day], want)
