@@ -9,6 +9,8 @@ in one session, each a pure DataFrame plan:
     events -> sessionize (30-min inactivity gap)   -> session lengths
            -> funnel view -> click -> purchase     -> step conversion
            -> weekly cohort retention triangle     -> retention matrix
+           -> transition matrix (after X, what?)   -> path analysis
+           -> trailing z-score per day             -> anomaly days
 
 Run: python examples/event_analytics.py [sf_dir]
 """
@@ -24,6 +26,8 @@ from pyspark.sql import functions as F
 
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
     cohort_retention,
+    daily_anomalies,
+    event_transitions,
     funnel_counts,
     funnel_users,
 )
@@ -65,6 +69,13 @@ def main() -> None:
         .orderBy("cohort_week", "week_offset")
         .show(20)
     )
+
+    print("== event transition matrix (top paths) ==")
+    event_transitions(events).orderBy(F.desc("n_transitions")).show(10)
+
+    print("== daily volume anomalies (|z| >= 2) ==")
+    anomalies = daily_anomalies(events)
+    anomalies.filter(F.abs(F.col("z")) >= 2).orderBy("day").show()
     spark.stop()
 
 
