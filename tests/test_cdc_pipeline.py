@@ -261,3 +261,52 @@ def test_topk_view_maintained_through_live_pipeline(spark, pipeline):
             mgr.read("top_txn").select("customer_id", "transaction_id", "total_price")
         )
         assert got == oracle(), f"batch {i}: top-k view diverged from recompute"
+
+
+def test_crash_mid_batch_then_replay_converges(spark, pipeline):
+    """Partial-apply crash: dims of a batch land, the fact write dies
+    before the view-refresh hooks ever run.  Redelivering the same
+    envelope must drive base tables AND the maintained view to exactly
+    the state of a never-crashed run (latest-wins merges + keyed view
+    MERGE are idempotent, and incremental refresh re-derives
+    dim-affected rows from current snapshots, so the half-applied dim
+    state cannot double-count)."""
+    p, store, (customers, merchants, products) = pipeline
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(SUMMARY_VIEW)
+    mgr.attach(p)
+
+    log = fixtures.change_log(customers, products, merchants, batches=2, rows_per_batch=30)
+    p.apply_envelope_batch(_envelope_df(spark, log[0]), batch_id=0)
+    view_before = _sorted_rows(mgr.read("customer_purchase_summary"))
+
+    orig_overwrite = store.overwrite
+
+    def crashing_overwrite(table, df, *a, **k):
+        if table == "transactions":
+            raise RuntimeError("injected crash before fact write")
+        return orig_overwrite(table, df, *a, **k)
+
+    store.overwrite = crashing_overwrite
+    env = _envelope_df(spark, log[1])
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            p.apply_envelope_batch(env, batch_id=1)
+    finally:
+        store.overwrite = orig_overwrite
+
+    # the crash died before any hook: the view must still be at batch-0
+    assert _sorted_rows(mgr.read("customer_purchase_summary")) == view_before
+
+    # redelivery (same envelope, same batch id)
+    p.apply_envelope_batch(env, batch_id=1)
+    incremental = _sorted_rows(mgr.read("customer_purchase_summary"))
+    full = _sorted_rows(
+        customer_purchase_summary(
+            store.read(spark, "transactions"),
+            store.read(spark, "customers"),
+            store.read(spark, "products"),
+            store.read(spark, "merchants"),
+        )
+    )
+    assert incremental == full
