@@ -257,3 +257,23 @@ def test_purchase_summary_broadcast_is_size_gated(spark):
 
     # broadcast_dims=False never hints, even for tiny parquet dims
     assert _gated_broadcast(nation, False) is nation
+
+
+def test_event_transitions_two_keyed_exchanges(spark):
+    plan = plan_of(CATALOG["event_transitions"][0](spark, SF), mode="simple")
+    # user-keyed window shuffle + pair-count shuffle; the probability
+    # window runs over the O(types^2) aggregate, never the event stream
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final pair count
+
+
+def test_anomaly_days_window_over_days_not_events(spark):
+    plan = plan_of(CATALOG["anomaly_days"][0](spark, SF), mode="simple")
+    # the day count aggregates BEFORE the unpartitioned window, so the
+    # single-partition exchange carries O(days) rows, not events
+    lines = plan.splitlines()
+    sp = next(i for i, l in enumerate(lines) if "Exchange SinglePartition" in l)
+    agg_below = any("HashAggregate" in l for l in lines[sp:])
+    assert agg_below, "daily aggregation must run below the global window"
+    assert plan.count("Exchange SinglePartition") == 1
