@@ -55,3 +55,86 @@ def approx_percentiles_by(
             value_col, F.array(*[F.lit(p) for p in percentiles]), accuracy
         ).alias("approx_percentiles"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Approximate heavy hitters (frequent items) via per-partition
+    Misra-Gries summaries -- the constant-memory sibling of the exact
+    ``vocab_topk`` groupBy, for when the distinct-value universe (e.g.
+    a 100 TB corpus vocabulary) is too large to shuffle.
+
+    Each partition keeps at most ``capacity`` counters (MG update:
+    increment if tracked, adopt if a slot is free, else decrement all);
+    summaries merge by summing per-value counts, and every decrement
+    sweep is counted exactly.  Returns the top ``k`` by merged estimate
+    with the sketch's error certificate:
+
+    - ``est_count`` never overcounts: ``est_count <= true count``;
+    - undercount is bounded: ``true count <= est_count +
+      max_undercount`` where ``max_undercount`` = total decrement
+      sweeps across partitions (<= n/capacity);
+    - completeness: any value with true count > ``max_undercount``
+      survives at least one partition's summary, so true heavy
+      hitters cannot be missed entirely.
+
+    Plan shape: one Arrow ``mapInPandas`` pass (state = ``capacity``
+    counters per task, constant in data size), a tiny hash agg over
+    O(partitions * capacity) summary rows, a TakeOrdered top-k, and a
+    1-row broadcast of the error bound -- nothing proportional to the
+    distinct-value count ever shuffles.  The per-partition undercount
+    certificate rides the same summary rows (value=NULL sentinel), so
+    the whole sketch is a single job.
+    """
+    import pandas as pd
+
+    if k <= 0 or capacity <= 0:
+        raise ValueError("k and capacity must be positive")
+
+    def summarize(batches):
+        counters: dict = {}
+        sweeps = 0
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all sweep: every counter loses 1, one
+                    # unit of every value's count may be lost
+                    sweeps += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [sweeps],
+            }
+        )
+
+    summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
+        summarize, "value string, cnt long"
+    )
+    est = (
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("value"))
+        .limit(k)
+    )
+    bound = summaries.filter(F.col("value").isNull()).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("max_undercount")
+    )
+    return est.crossJoin(F.broadcast(bound))

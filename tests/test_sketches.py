@@ -65,3 +65,54 @@ def test_sketch_aggs_are_partial_plus_final(spark):
     # property that bounds shuffle volume to O(groups * sketch_size)
     assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_heavy_hitters_error_certificate(spark):
+    """MG contract on a skewed stream: no overcount, bounded
+    undercount, and no true heavy hitter missing."""
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rng = random.Random(42)
+    # zipf-ish: few hot values over a long uniform tail
+    rows = (
+        [("hot_%d" % i,) for i in range(5) for _ in range(2000 - 300 * i)]
+        + [("cold_%d" % rng.randrange(5000),) for _ in range(8000)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+
+    out = heavy_hitters(df, "v", k=10, capacity=64).collect()
+    assert out, "sketch returned nothing"
+    bound = out[0]["max_undercount"]
+    assert bound >= 0
+    for r in out:
+        true = exact[r["value"]]
+        assert r["est_count"] <= true, (r["value"], r["est_count"], true)
+        assert true <= r["est_count"] + bound, (r["value"], r["est_count"], true, bound)
+    # completeness: every value with true count > bound must be present
+    present = {r["value"] for r in out}
+    required = {v for v, c in exact.items() if c > bound}
+    # required values must at least survive the sketch; top-k keeps the
+    # hottest, so check against the k hottest required values
+    hottest = sorted(required, key=lambda v: -exact[v])[:10]
+    missing = [v for v in hottest if v not in present]
+    assert missing == [], (missing, bound)
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark):
+    """With capacity >= distinct values, MG never sweeps: estimates
+    are exact and the certificate collapses to zero."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [(v,) for v in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    df = spark.createDataFrame(rows, "v string").repartition(3)
+    out = {r["value"]: r for r in heavy_hitters(df, "v", k=3, capacity=16).collect()}
+    assert {v: r["est_count"] for v, r in out.items()} == {"a": 5, "b": 3, "c": 2}
+    assert all(r["max_undercount"] == 0 for r in out.values())
