@@ -180,7 +180,10 @@ def event_transitions(
     Returns (event_type, next_event, n_transitions long, p double),
     ``p`` summing to 1 per event_type, rounded to 6dp.  Ordering ties
     at the same timestamp break by ``id_col`` so reruns and engines
-    agree.
+    agree.  End-of-stream is detected by a constant-marker lead (not
+    by the lead of ``type_col`` being NULL), so a following event
+    whose type IS NULL stays a NULL-type transition instead of being
+    miscounted as an exit.
 
     Plan shape: one user-keyed window (lead) over the stream, then a
     two-key count; the probability window runs over the
@@ -190,9 +193,12 @@ def event_transitions(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    at_end = F.lead(F.lit(1)).over(w).isNull()
     pairs = events.select(
         F.col(type_col).alias("event_type"),
-        F.coalesce(F.lead(type_col).over(w), F.lit(end_label)).alias("next_event"),
+        F.when(at_end, F.lit(end_label))
+        .otherwise(F.lead(type_col).over(w))
+        .alias("next_event"),
     )
     counts = pairs.groupBy("event_type", "next_event").agg(
         F.count("*").alias("n_transitions")
@@ -216,25 +222,40 @@ def daily_anomalies(
 ) -> DataFrame:
     """Trailing-window z-score anomaly detection on daily event
     volume: each day's event count scored against the mean/stddev of
-    the previous ``window_days`` days (current day excluded, so a
-    spike can't mask itself).  ``z`` is NULL until ``min_periods``
-    trailing days exist or when the trailing stddev is 0 -- undefined,
-    not "anomalous".
+    the previous ``window_days`` CALENDAR days (current day excluded,
+    so a spike can't mask itself).  The daily frame is zero-filled
+    over a complete date spine from the first to the last observed
+    day, so (a) a calendar gap cannot silently stretch the baseline
+    to older data, and (b) zero-volume days -- the classic outage
+    anomaly -- get rows and z-scores instead of vanishing.  ``z`` is
+    NULL until ``min_periods`` trailing days exist or when the
+    trailing stddev is 0 -- undefined, not "anomalous".
 
     Returns (day date, n_events long, trail_avg, trail_std, z), avg /
     std rounded to 6dp and z to 4dp so two engines computing stddev by
     different algorithms canonicalize identically.
 
-    Plan shape: one keyed day-count aggregation over the stream, then
-    an unpartitioned window over the O(days) daily frame -- the
-    single-task window sees days, never events, so this is
+    Plan shape: one keyed day-count aggregation over the stream (its
+    exchange is reused between the spine's min/max bounds and the
+    zero-fill join -- Catalyst ReusedExchange, the stream is scanned
+    once), then an unpartitioned window over the O(days) daily frame
+    -- the single-task window sees days, never events, so this is
     dashboard-sized at any volume (partition by a coarser key, e.g.
     region, if the daily frame itself ever grows large).
     """
     from pyspark.sql import Window
 
-    day = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+    observed = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
         F.count("*").alias("n_events")
+    )
+    bounds = observed.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    day = spine.join(observed, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
     w = Window.orderBy("day").rowsBetween(-window_days, -1)
     trail_n = F.count("n_events").over(w)

@@ -82,15 +82,23 @@ def heavy_hitters(
       survives at least one partition's summary, so true heavy
       hitters cannot be missed entirely.
 
+    ``value`` is returned as a STRING (the input column is cast before
+    sketching so any primitive type hashes consistently through the
+    Arrow boundary); cast back before joining to the source column.
+
     Plan shape: one Arrow ``mapInPandas`` pass (state = ``capacity``
     counters per task, constant in data size), a tiny hash agg over
-    O(partitions * capacity) summary rows, a TakeOrdered top-k, and a
-    1-row broadcast of the error bound -- nothing proportional to the
-    distinct-value count ever shuffles.  The per-partition undercount
-    certificate rides the same summary rows (value=NULL sentinel), so
-    the whole sketch is a single job.
+    the O(partitions * capacity) summary rows, and one single-partition
+    window over that same bounded frame to attach the error bound --
+    nothing proportional to the distinct-value count ever shuffles.
+    The per-partition undercount certificate rides the same summary
+    rows (value=NULL sentinel) through the same single execution, so
+    ``est_count`` and ``max_undercount`` always describe the SAME
+    sketch pass -- branching the plan into two jobs would re-run the
+    sketch and let the certificate drift from the counts it bounds.
     """
     import pandas as pd
+    from pyspark.sql import Window
 
     if k <= 0 or capacity <= 0:
         raise ValueError("k and capacity must be positive")
@@ -127,14 +135,22 @@ def heavy_hitters(
     summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
         summarize, "value string, cnt long"
     )
-    est = (
-        summaries.filter(F.col("value").isNotNull())
-        .groupBy("value")
-        .agg(F.sum("cnt").alias("est_count"))
+    # one aggregation over the bounded summary rows (sentinel included),
+    # then a global window over that SAME aggregated frame (<=
+    # partitions * (capacity + 1) rows by construction) pins counts and
+    # certificate to one sketch execution
+    merged = summaries.groupBy("value").agg(F.sum("cnt").alias("cnt"))
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bound = F.coalesce(
+        F.max(F.when(F.col("value").isNull(), F.col("cnt"))).over(everything),
+        F.lit(0),
+    )
+    return (
+        merged.withColumn("max_undercount", bound)
+        .filter(F.col("value").isNotNull())
+        .select("value", F.col("cnt").alias("est_count"), "max_undercount")
         .orderBy(F.desc("est_count"), F.asc("value"))
         .limit(k)
     )
-    bound = summaries.filter(F.col("value").isNull()).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("max_undercount")
-    )
-    return est.crossJoin(F.broadcast(bound))

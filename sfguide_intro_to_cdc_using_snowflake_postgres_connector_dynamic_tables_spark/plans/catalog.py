@@ -552,7 +552,7 @@ def _register_extensions() -> None:
 #: The driver's CORRECTNESS gate hashes only the FIRST 50 ``queries()``
 #: entries (dict insertion order).  Rotation policy (round 5): every
 #: tail entry earned a driver-green row in one of the TWO preceding
-#: rounds' gates (r4 or r3 -- with 97 entries and a 50-entry window, a
+#: rounds' gates (r4 or r3 -- with 100 entries and a 50-entry window, a
 #: two-round rotation cycle is the tightest possible), sits out at most
 #: two rounds, and then rotates back in, so every entry re-earns a
 #: driver-green row at least every third round.  Entries ADDED OR
@@ -562,13 +562,14 @@ def _register_extensions() -> None:
 #: ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and by
 #: ``tests/test_oracle_dtypes.py`` (schema audit).
 #:
-#: Round-5 tail composition, verified by tests/test_gate_policy.py:
-#: 43 entries green in CORRECTNESS_r04.json plus 4 green in
-#: CORRECTNESS_r03.json (distinct, spend_bands, null_bands, semi_join
-#: -- displaced by this round's 14 additions; tail in r4, so round 6
-#: MUST rotate them back into the window).  All 14 new entries and
-#: everything touched this round (q12_priority_lines, minhash_near_dup,
-#: dup_components, purchase_summary, sessionize) sit in-window.
+#: Round-5 tail composition (100 entries, 50-entry tail), verified by
+#: tests/test_gate_policy.py: 45 entries green in CORRECTNESS_r04.json
+#: plus 5 green in CORRECTNESS_r03.json (distinct, spend_bands,
+#: null_bands, semi_join, unpivot_metrics -- all tail in r4/r5, so
+#: round 6 MUST rotate these five back into the window).  All 16 new
+#: entries and everything touched this round (q12_priority_lines,
+#: minhash_near_dup, dup_components, purchase_summary, sessionize)
+#: sit in-window.
 _GATE_TAIL: tuple[str, ...] = (
     # +2 slots for the round-5 event_transitions / anomaly_days
     # additions: embedding_dup_pairs_lsh is untouched this round and

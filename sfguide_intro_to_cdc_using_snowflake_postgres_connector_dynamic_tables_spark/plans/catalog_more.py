@@ -945,10 +945,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENT_TRANSITIONS = """
 WITH p AS (
   SELECT event_type,
-         coalesce(lead(event_type) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id),
-                  '(end)') AS next_event
-  FROM events),
+         CASE WHEN lead(1) OVER w IS NULL THEN '(end)'
+              ELSE lead(event_type) OVER w END AS next_event
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
 c AS (SELECT event_type, next_event, count(*) AS n FROM p GROUP BY 1, 2)
 SELECT event_type, next_event, CAST(n AS BIGINT) AS n_transitions,
        round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
@@ -969,9 +970,17 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ANOMALY_DAYS = """
-WITH d AS (
+WITH o AS (
   SELECT CAST(ts AS DATE) AS day, count(*) AS n
-  FROM events GROUP BY 1)
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT min(day) FROM o),
+           (SELECT max(day) FROM o),
+           INTERVAL 1 DAY)) AS DATE) AS day),
+d AS (
+  SELECT s.day, coalesce(o.n, 0) AS n
+  FROM s LEFT JOIN o ON s.day = o.day)
 SELECT day, CAST(n AS BIGINT) AS n_events,
        round(avg(n) OVER w, 6) AS trail_avg,
        round(stddev_samp(n) OVER w, 6) AS trail_std,

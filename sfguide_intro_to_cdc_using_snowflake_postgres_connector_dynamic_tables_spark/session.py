@@ -43,15 +43,32 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet filter pushdown is on by default; pin it so a config drift
     # can't silently turn scans into full reads.
     "spark.sql.parquet.filterPushdown": "true",
-    # Local mode runs all 32 task threads inside the driver JVM, whose
-    # default heap is 1g -- a long query session degrades into GC
-    # thrash (measured: the same plan 3x slower 40 queries into a
-    # bench).  Size the heap like an executor would be sized on a
-    # cluster; on a real deployment spark-submit overrides this.
-    # Only effective when this process launches the JVM (ignored on
-    # getOrCreate against a live session, like every JVM-side conf).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
+
+
+def _default_driver_memory() -> str:
+    """Local mode runs every task thread inside the driver JVM, whose
+    Spark default heap is 1g -- a long query session degrades into GC
+    thrash (measured: the same plan 3x slower 40 queries into a
+    bench).  Size the heap like an executor would be sized on a
+    cluster: a quarter of physical RAM, clamped to [2g, 16g] so a
+    small CI container gets a heap it can actually back instead of an
+    -Xmx the OOM-killer enforces.  ``SPARK_GRAFT_DRIVER_MEM``
+    overrides; spark-submit overrides on a real deployment.  Only
+    effective when this process launches the JVM (ignored on
+    getOrCreate against a live session, like every JVM-side conf)."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = max(2, min(16, phys // (4 << 30)))
+    except (ValueError, OSError, AttributeError):
+        gb = 4
+    return f"{gb}g"
+
+
+DEFAULT_CONF["spark.driver.memory"] = _default_driver_memory()
 
 
 def get_spark(

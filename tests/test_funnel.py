@@ -326,3 +326,55 @@ def test_daily_anomalies_z_matches_python_model(spark):
         else:
             want = round((n - statistics.mean(trail)) / statistics.stdev(trail), 4)
             assert got[day] == want, (day, got[day], want)
+
+
+def test_event_transitions_null_type_is_not_an_exit(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    ev = _events_with_ids(
+        spark, [(1, 0, "view"), (1, 5, None), (1, 10, "click")]
+    )
+    out = {
+        (r["event_type"], r["next_event"]): r["n_transitions"]
+        for r in event_transitions(ev).collect()
+    }
+    # a NULL-typed FOLLOWING event is a NULL transition, not '(end)';
+    # only the true last event exits
+    assert out == {
+        ("view", None): 1,
+        (None, "click"): 1,
+        ("click", "(end)"): 1,
+    }
+
+
+def test_daily_anomalies_zero_fills_calendar_gaps(spark):
+    import statistics
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        daily_anomalies,
+    )
+
+    # varying volume on days 0-4, a 3-day outage, then one final day:
+    # the outage days must surface as zero-count rows with strongly
+    # negative z, not vanish from the frame
+    counts = {0: 12, 1: 7, 2: 19, 3: 4, 4: 15, 8: 9}
+    rows = []
+    for d, n in counts.items():
+        rows += [(1, d * 24 * 60 + i, "view") for i in range(n)]
+    ev = _events_with_ids(spark, rows)
+    got = {str(r["day"]): r for r in daily_anomalies(ev).collect()}
+    assert len(got) == 9  # full spine: days 0..8 inclusive
+    series = [counts.get(d, 0) for d in range(9)]
+    for d in (5, 6, 7):
+        day = f"2024-01-{d + 1:02d}"
+        r = got[day]
+        assert r["n_events"] == 0
+        trail = series[max(0, d - 7) : d]
+        want = round((0 - statistics.mean(trail)) / statistics.stdev(trail), 4)
+        assert r["z"] == want and r["z"] < -1, (day, r["z"], want)
+    # the post-outage day is scored against a baseline that INCLUDES
+    # the zero days (calendar semantics), not just observed days
+    trail8 = series[1:8]
+    assert got["2024-01-09"]["trail_avg"] == round(statistics.mean(trail8), 6)
