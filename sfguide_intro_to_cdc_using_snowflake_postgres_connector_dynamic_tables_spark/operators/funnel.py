@@ -235,11 +235,12 @@ def daily_anomalies(
     std rounded to 6dp and z to 4dp so two engines computing stddev by
     different algorithms canonicalize identically.
 
-    Plan shape: one keyed day-count aggregation over the stream (its
-    exchange is reused between the spine's min/max bounds and the
-    zero-fill join -- Catalyst ReusedExchange, the stream is scanned
-    once), then an unpartitioned window over the O(days) daily frame
-    -- the single-task window sees days, never events, so this is
+    Plan shape: one keyed day-count aggregation over the stream (the
+    stream is scanned ONCE -- gap days are generated from each
+    observed day's lag on the already-aggregated O(days) frame, not
+    from a separate min/max subtree that would re-scan the source),
+    then an unpartitioned window over the daily frame -- the
+    single-task windows see days, never events, so this is
     dashboard-sized at any volume (partition by a coarser key, e.g.
     region, if the daily frame itself ever grows large).
     """
@@ -248,14 +249,26 @@ def daily_anomalies(
     observed = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
         F.count("*").alias("n_events")
     )
-    bounds = observed.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
-    )
-    day = spine.join(observed, "day", "left").select(
-        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    # zero-fill: each observed day emits itself plus the gap days since
+    # the previous observed day (lag over the aggregated frame)
+    prev = F.lag("day").over(Window.orderBy("day"))
+    day = (
+        observed.withColumn(
+            "fill_from", F.coalesce(F.date_add(prev, 1), F.col("day"))
+        )
+        .select(
+            F.explode(F.sequence(F.col("fill_from"), F.col("day"))).alias(
+                "fill_day"
+            ),
+            F.col("day").alias("obs_day"),
+            "n_events",
+        )
+        .select(
+            F.col("fill_day").alias("day"),
+            F.when(F.col("fill_day") == F.col("obs_day"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .alias("n_events"),
+        )
     )
     w = Window.orderBy("day").rowsBetween(-window_days, -1)
     trail_n = F.count("n_events").over(w)

@@ -277,3 +277,6 @@ def test_anomaly_days_window_over_days_not_events(spark):
     agg_below = any("HashAggregate" in l for l in lines[sp:])
     assert agg_below, "daily aggregation must run below the global window"
     assert plan.count("Exchange SinglePartition") == 1
+    # zero-fill rides the aggregated frame's lag, never a second pass
+    # over the source (a min/max-bounds subtree would scan events twice)
+    assert sum("FileScan" in l for l in lines) == 1
