@@ -27,21 +27,21 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 )
 
 
-def _bench_cdc(
-    spark, batches: int = 5, rows_per_batch: int = 400, partitioned: bool = False
-) -> float:
-    """End-to-end CDC throughput: bootstrap the reference-shaped tables,
-    then apply `batches` change batches with incremental view refresh
-    after each.  Returns elapsed seconds; the implied sustained rate is
-    batches*rows_per_batch/elapsed (reference SLO: 200 rows/min at
-    <=60 s lag -- BASELINE.md).
-
-    ``partitioned=True`` stores the fact table and the view hash-
-    partitioned so each refresh rewrites only touched buckets -- the
-    O(delta)-write-I/O path; at this (tiny) scale it pays extra fixed
-    job overhead per batch, at 100 TB it is the only viable path."""
+def _setup_cdc(
+    spark,
+    tmp: str,
+    n_customers: int,
+    n_transactions: int,
+    batches: int,
+    rows_per_batch: int,
+    buckets: int | None,
+):
+    """Shared scaffolding for the CDC drives: seed fixtures, bootstrap
+    the store (optionally hash-partitioned), register + attach the
+    maintained view, and pre-build the envelope batches.  ONE
+    definition so the bench and the soak can never silently drive
+    different pipelines."""
     import json as _json
-    import tempfile
 
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
         customer_purchase_summary,
@@ -67,53 +67,82 @@ def _bench_cdc(
         ParquetTableStore,
     )
 
-    customers = fixtures.make_customers(300, seed=42)
+    customers = fixtures.make_customers(n_customers, seed=42)
     merchants = fixtures.make_merchants(seed=42)
     products = fixtures.make_products(seed=42)
-    transactions = fixtures.make_transactions(customers, products, merchants, n=2000, seed=42)
+    transactions = fixtures.make_transactions(
+        customers, products, merchants, n=n_transactions, seed=42
+    )
+
+    root = f"{tmp}/store"
+    store = ParquetTableStore(root)
+    spec = {"transactions": buckets} if buckets else None
+    p = CDCPipeline(spark, store, partition_spec=spec)
+    p.bootstrap(
+        {
+            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+            "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+            "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+            "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
+        }
+    )
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(
+        DynamicTable(
+            "customer_purchase_summary",
+            lambda t: customer_purchase_summary(
+                t["transactions"], t["customers"], t["products"], t["merchants"]
+            ),
+            "transactions",
+            "transaction_id",
+            "transaction_id",
+            {
+                "customers": ("customer_id", "customer_id"),
+                "products": ("product_id", "product_id"),
+                "merchants": ("merchant_id", "merchant_id"),
+            },
+            partition_buckets=buckets,
+        )
+    )
+    mgr.attach(p)
+    log = fixtures.change_log(
+        customers, products, merchants, batches=batches, rows_per_batch=rows_per_batch
+    )
+    envelopes = []
+    for batch in log:
+        rows = []
+        for table, changes in batch.items():
+            for op, lsn, row in changes:
+                rows.append((op, lsn, None, table, _json.dumps(row, default=str)))
+        envelopes.append(spark.createDataFrame(rows, FEED_SCHEMA))
+    return p, envelopes, root
+
+
+def _bench_cdc(
+    spark, batches: int = 5, rows_per_batch: int = 400, partitioned: bool = False
+) -> float:
+    """End-to-end CDC throughput: bootstrap the reference-shaped tables,
+    then apply `batches` change batches with incremental view refresh
+    after each.  Returns elapsed seconds; the implied sustained rate is
+    batches*rows_per_batch/elapsed (reference SLO: 200 rows/min at
+    <=60 s lag -- BASELINE.md).
+
+    ``partitioned=True`` stores the fact table and the view hash-
+    partitioned so each refresh rewrites only touched buckets -- the
+    O(delta)-write-I/O path; at this (tiny) scale it pays extra fixed
+    job overhead per batch, at 100 TB it is the only viable path."""
+    import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
-        store = ParquetTableStore(f"{tmp}/store")
-        spec = {"transactions": 16} if partitioned else None
-        p = CDCPipeline(spark, store, partition_spec=spec)
-        p.bootstrap(
-            {
-                "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
-                "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
-                "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
-                "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
-            }
+        p, envelopes, _root = _setup_cdc(
+            spark,
+            tmp,
+            n_customers=300,
+            n_transactions=2000,
+            batches=batches,
+            rows_per_batch=rows_per_batch,
+            buckets=16 if partitioned else None,
         )
-        mgr = DynamicTableManager(spark, store)
-        mgr.create(
-            DynamicTable(
-                "customer_purchase_summary",
-                lambda t: customer_purchase_summary(
-                    t["transactions"], t["customers"], t["products"], t["merchants"]
-                ),
-                "transactions",
-                "transaction_id",
-                "transaction_id",
-                {
-                    "customers": ("customer_id", "customer_id"),
-                    "products": ("product_id", "product_id"),
-                    "merchants": ("merchant_id", "merchant_id"),
-                },
-                partition_buckets=16 if partitioned else None,
-            )
-        )
-        mgr.attach(p)
-        log = fixtures.change_log(
-            customers, products, merchants, batches=batches, rows_per_batch=rows_per_batch
-        )
-        envelopes = []
-        for batch in log:
-            rows = []
-            for table, changes in batch.items():
-                for op, lsn, row in changes:
-                    rows.append((op, lsn, None, table, _json.dumps(row, default=str)))
-            envelopes.append(spark.createDataFrame(rows, FEED_SCHEMA))
-
         t0 = time.perf_counter()
         for i, env in enumerate(envelopes):
             p.apply_envelope_batch(env, batch_id=i)
@@ -139,95 +168,36 @@ def _soak_cdc(
     Returns sustained rows/min, per-batch lag percentiles and the
     write-amplification ratio (bytes written per refresh / live store
     bytes)."""
-    import json as _json
     import os as _os
     import statistics
     import tempfile
 
-    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.purchase_summary import (
-        customer_purchase_summary,
-    )
-    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
-        fixtures,
-    )
-    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
-        CUSTOMERS_SCHEMA,
-        MERCHANTS_SCHEMA,
-        PRODUCTS_SCHEMA,
-        TRANSACTIONS_SCHEMA,
-    )
-    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
-        FEED_SCHEMA,
-        CDCPipeline,
-    )
-    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
-        DynamicTable,
-        DynamicTableManager,
-    )
-    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
-        ParquetTableStore,
-    )
-
-    def _snapshot_files(root: str) -> dict[str, int]:
-        out: dict[str, int] = {}
+    def _snapshot_files(root: str) -> dict[str, tuple[int, float]]:
+        # (size, mtime) so files REPLACED in place at the same path
+        # (version pointer, offset file) count as writes too -- a
+        # new-paths-only diff would undercount any future in-place
+        # compaction or append path
+        out: dict[str, tuple[int, float]] = {}
         for dirpath, _dirs, files in _os.walk(root):
             for f in files:
                 p = _os.path.join(dirpath, f)
                 try:
-                    out[p] = _os.path.getsize(p)
+                    st = _os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime)
                 except OSError:
                     pass
         return out
 
-    customers = fixtures.make_customers(n_customers, seed=42)
-    merchants = fixtures.make_merchants(seed=42)
-    products = fixtures.make_products(seed=42)
-    transactions = fixtures.make_transactions(
-        customers, products, merchants, n=base_transactions, seed=42
-    )
-
     with tempfile.TemporaryDirectory() as tmp:
-        root = f"{tmp}/store"
-        store = ParquetTableStore(root)
-        p = CDCPipeline(spark, store, partition_spec={"transactions": buckets})
-        p.bootstrap(
-            {
-                "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
-                "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
-                "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
-                "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
-            }
+        p, envelopes, root = _setup_cdc(
+            spark,
+            tmp,
+            n_customers=n_customers,
+            n_transactions=base_transactions,
+            batches=batches,
+            rows_per_batch=rows_per_batch,
+            buckets=buckets,
         )
-        mgr = DynamicTableManager(spark, store)
-        mgr.create(
-            DynamicTable(
-                "customer_purchase_summary",
-                lambda t: customer_purchase_summary(
-                    t["transactions"], t["customers"], t["products"], t["merchants"]
-                ),
-                "transactions",
-                "transaction_id",
-                "transaction_id",
-                {
-                    "customers": ("customer_id", "customer_id"),
-                    "products": ("product_id", "product_id"),
-                    "merchants": ("merchant_id", "merchant_id"),
-                },
-                partition_buckets=buckets,
-            )
-        )
-        mgr.attach(p)
-        log = fixtures.change_log(
-            customers, products, merchants, batches=batches, rows_per_batch=rows_per_batch
-        )
-        envelopes = []
-        for batch in log:
-            rows = []
-            for table, changes in batch.items():
-                for op, lsn, row in changes:
-                    rows.append((op, lsn, None, table, _json.dumps(row, default=str)))
-            envelopes.append(spark.createDataFrame(rows, FEED_SCHEMA))
-
         lags: list[float] = []
         bytes_per_refresh: list[int] = []
         before = _snapshot_files(root)
@@ -238,11 +208,15 @@ def _soak_cdc(
             lags.append(time.perf_counter() - tb)
             after = _snapshot_files(root)
             bytes_per_refresh.append(
-                sum(sz for path, sz in after.items() if path not in before)
+                sum(
+                    meta[0]
+                    for path, meta in after.items()
+                    if before.get(path) != meta
+                )
             )
             before = after
         elapsed = time.perf_counter() - t0
-        live_bytes = sum(before.values())
+        live_bytes = sum(m[0] for m in before.values())
         n_rows = batches * rows_per_batch
         lags_sorted = sorted(lags)
         return {

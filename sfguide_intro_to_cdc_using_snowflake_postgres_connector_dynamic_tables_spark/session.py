@@ -60,11 +60,25 @@ def _default_driver_memory() -> str:
     override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if override:
         return override
+    limits = []
     try:
-        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        gb = max(2, min(16, phys // (4 << 30)))
+        limits.append(os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
     except (ValueError, OSError, AttributeError):
-        gb = 4
+        pass
+    # host RAM overstates what a container may use: honor the cgroup
+    # memory limit (v2 then v1) when one is set
+    for path in ("/sys/fs/cgroup/memory.max",
+                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(path) as f:
+                raw = f.read().strip()
+            if raw.isdigit():
+                limits.append(int(raw))
+        except OSError:
+            pass
+    if not limits:
+        return "4g"
+    gb = max(2, min(16, min(limits) // (4 << 30)))
     return f"{gb}g"
 
 

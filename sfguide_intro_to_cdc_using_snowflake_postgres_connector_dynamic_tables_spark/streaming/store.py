@@ -66,6 +66,11 @@ class ParquetTableStore:
         self.root = root
         self.keep_versions = keep_versions
         self.claim_ttl_sec = claim_ttl_sec
+        #: claim tokens this INSTANCE currently holds, keyed by
+        #: (table, version); _write_manifest/_commit verify the marker
+        #: on disk still carries our token so a stolen claim aborts
+        #: before it can clobber the thief's manifest or commit.
+        self._held_claims: dict[tuple[str, int], str] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -94,17 +99,45 @@ class ParquetTableStore:
             return None
 
     def _write_manifest(self, name: str, version: int, manifest: dict) -> None:
+        """Write ``manifest-v<version>`` under claim-ownership proof.
+
+        The claim token is re-verified immediately before the file
+        lands, and the manifest is created with ``os.link`` (fails if
+        present) rather than a clobbering replace -- so a writer whose
+        claim was TTL-stolen mid-write aborts instead of overwriting
+        the thief's manifest after the thief committed.  A pre-existing
+        manifest can only be our own leftover from a failed earlier
+        attempt at the same version (we hold the claim), so only then
+        is it replaced.  The verify->link window is microseconds, the
+        filesystem-portable best effort; on object stores substitute a
+        conditional PUT at this seam (see SCALE.md)."""
         tdir = self._table_dir(name)
         fd, tmp = tempfile.mkstemp(dir=tdir, prefix="_manifest.")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(name, version))
+        target = self._manifest_path(name, version)
+        try:
+            self._verify_claim(name, version)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                self._verify_claim(name, version)
+                os.replace(tmp, target)
+                return
+            os.unlink(tmp)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def _claim_path(self, name: str, version: int) -> str:
         return os.path.join(self._table_dir(name), f"commit-claim-v{version}")
 
-    def _claim_version(self, name: str, version: int, _retry: bool = True) -> None:
-        """Exclusively claim ``version`` before writing its manifest.
+    def _claim_version(self, name: str, version: int, _retry: bool = True) -> str:
+        """Exclusively claim ``version`` before writing its manifest;
+        returns the claim token this writer must keep proving.
 
         Two writers that both computed ``current + 1`` would otherwise
         overwrite each other's manifest and the last pointer swap would
@@ -114,13 +147,30 @@ class ParquetTableStore:
         A marker whose version never committed within ``claim_ttl_sec``
         is a crashed writer's leftover: it is stolen via rename (itself
         atomic -- only one stealer's rename succeeds).
+
+        Even a SUCCESSFUL marker creation is re-validated against the
+        committed version: a writer delayed long enough that its target
+        version committed AND aged past retention (its claim marker
+        GC'd) would otherwise re-create the marker and roll the table
+        back over newer commits.
         """
         marker = self._claim_path(name, version)
         try:
             fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            token = uuid.uuid4().hex
             with os.fdopen(fd, "w") as f:
-                f.write(f"{uuid.uuid4().hex} {time.time()}")
-            return
+                f.write(f"{token} {time.time()}")
+            cur = self.current_version(name)
+            if cur is not None and cur >= version:
+                # the marker we just created is a resurrection: this
+                # version committed long ago and its marker was GC'd
+                self._release_claim(name, version)
+                raise ConcurrentWriteError(
+                    f"{name} v{version} was already committed (current is "
+                    f"v{cur}); its claim marker had aged out -- re-read and retry"
+                )
+            self._held_claims[(name, version)] = token
+            return token
         except FileExistsError:
             pass
         cur = self.current_version(name)
@@ -144,6 +194,14 @@ class ParquetTableStore:
                 raise ConcurrentWriteError(
                     f"stale claim on {name} v{version} was stolen by another writer"
                 ) from e
+            # the crashed writer may have left an uncommitted manifest
+            # for this version (it cannot be committed -- current <
+            # version, checked above); remove it so our link-based
+            # manifest creation isn't blocked by its garbage
+            try:
+                os.unlink(self._manifest_path(name, version))
+            except OSError:
+                pass
             if _retry:
                 return self._claim_version(name, version, _retry=False)
         raise ConcurrentWriteError(
@@ -152,10 +210,59 @@ class ParquetTableStore:
         )
 
     def _release_claim(self, name: str, version: int) -> None:
+        self._held_claims.pop((name, version), None)
         try:
             os.unlink(self._claim_path(name, version))
         except OSError:
             pass
+
+    def _verify_claim(self, name: str, version: int) -> None:
+        """Prove the on-disk claim marker still carries OUR token.
+
+        A writer that outlives ``claim_ttl_sec`` mid-write has its
+        claim stolen; without this check it would finish by clobbering
+        the thief's manifest and re-committing the version (two
+        writers, one version, last writer silently wins).  Called
+        immediately before every manifest write and pointer swap."""
+        token = self._held_claims.get((name, version))
+        if token is None:
+            raise ConcurrentWriteError(
+                f"writer does not hold a claim on {name} v{version}"
+            )
+        try:
+            with open(self._claim_path(name, version)) as f:
+                held = f.read().split(" ", 1)[0]
+        except OSError as e:
+            raise ConcurrentWriteError(
+                f"claim on {name} v{version} disappeared mid-write "
+                "(stolen after ttl expiry?) -- aborting without commit"
+            ) from e
+        if held != token:
+            raise ConcurrentWriteError(
+                f"claim on {name} v{version} now belongs to another writer "
+                "(stolen after ttl expiry) -- aborting without commit"
+            )
+
+    def _evolved_schema_dir(
+        self, spark: SparkSession, tdir: str, m: dict, rows: DataFrame, stage: str
+    ) -> str:
+        """Schema evolution for incremental writes: if ``rows``
+        introduce columns the current zero-row schema marker lacks,
+        stamp a fresh union-schema marker under ``stage`` (so empty /
+        fully-pruned reads see the evolved column set) and return its
+        dir; otherwise carry the manifest's marker forward.  ONE
+        definition shared by append() and merge() -- the evolution rule
+        must never diverge between them (ADVICE r4)."""
+        schema_dir = m["schema_dir"]
+        marker = spark.read.parquet(os.path.join(tdir, schema_dir))
+        if set(rows.columns) - set(marker.columns):
+            schema_dir = f"{stage}-schema"
+            (
+                marker.limit(0)
+                .unionByName(rows.limit(0), allowMissingColumns=True)
+                .write.parquet(os.path.join(tdir, schema_dir))
+            )
+        return schema_dir
 
     @contextlib.contextmanager
     def _claimed(self, name: str, version: int):
@@ -172,11 +279,13 @@ class ParquetTableStore:
             raise
 
     def _commit(self, name: str, version: int) -> None:
+        self._verify_claim(name, version)
         vf = self._version_file(name)
         fd, tmp = tempfile.mkstemp(dir=self._table_dir(name), prefix="_VERSION.")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, vf)  # atomic pointer swap = the commit point
+        self._held_claims.pop((name, version), None)
         self._gc(name, version)
 
     def _gc(self, name: str, current: int) -> None:
@@ -507,19 +616,7 @@ class ParquetTableStore:
                 }
                 partitions = dict(m["partitions"])
                 partitions.update(written)
-                # schema evolution: mirror merge() -- if appended rows
-                # introduced columns the zero-row marker lacks, stamp a
-                # fresh union-schema marker so empty/fully-pruned reads
-                # see the evolved column set (ADVICE r4)
-                schema_dir = m["schema_dir"]
-                marker = spark.read.parquet(os.path.join(tdir, schema_dir))
-                if set(rows.columns) - set(marker.columns):
-                    schema_dir = f"{stage}-schema"
-                    (
-                        marker.limit(0)
-                        .unionByName(rows.limit(0), allowMissingColumns=True)
-                        .write.parquet(os.path.join(tdir, schema_dir))
-                    )
+                schema_dir = self._evolved_schema_dir(spark, tdir, m, rows, stage)
                 self._write_manifest(
                     name,
                     nv,
@@ -653,20 +750,9 @@ class ParquetTableStore:
                 for b in touched:
                     partitions.pop(str(b), None)  # bucket may have emptied
                 partitions.update(written)
-                # schema evolution: if this merge introduced columns the
-                # zero-row schema marker lacks, stamp a fresh marker with
-                # the union schema so empty/pruned reads see the evolved
-                # table (untouched-version markers stay for time travel)
-                schema_dir = m["schema_dir"]
-                marker_path = os.path.join(tdir, schema_dir)
-                marker = spark.read.parquet(marker_path)
-                if set(new_rows.columns) - set(marker.columns):
-                    schema_dir = f"{stage}-schema"
-                    (
-                        marker.limit(0)
-                        .unionByName(new_rows.limit(0), allowMissingColumns=True)
-                        .write.parquet(os.path.join(tdir, schema_dir))
-                    )
+                schema_dir = self._evolved_schema_dir(
+                    spark, tdir, m, new_rows, stage
+                )
                 self._write_manifest(
                     name,
                     nv,

@@ -22,16 +22,12 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _recent_green_sets(n: int = 2) -> list[set[str]]:
+def _recent_records(n: int = 2) -> list[dict]:
     paths = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    out = []
-    for p in paths[-n:]:
-        d = json.load(open(p))
-        out.append({k for k, v in d.items() if v.get("hash_match")})
-    return out
+    return [json.load(open(p)) for p in paths[-n:]]
 
 
 def test_gate_tail_policy():
@@ -40,24 +36,31 @@ def test_gate_tail_policy():
         _GATE_TAIL,
     )
 
-    recents = _recent_green_sets(2)
+    recents = _recent_records(2)
     assert recents, "no CORRECTNESS_r*.json recorded yet"
-    recent_green = set().union(*recents)
-    ever_recorded = recent_green | {
-        k for s in recents for k in s
-    }  # green only; red rows must also stay in-window
+    recent_green = {
+        k for d in recents for k, v in d.items() if v.get("hash_match")
+    }
+    # recorded at all (green OR red): a red row was verified and FAILED
+    # -- it must stay in-window until it re-earns green, so only green
+    # entries count toward tail eligibility, but red entries are not
+    # "never seen" either
+    recorded = {k for d in recents for k in d}
+    recent_red = recorded - recent_green
 
     names = list(CATALOG)
     window = set(names[:50])
 
-    # 1. tail only holds recently-driver-green entries
+    # 1. tail only holds recently-driver-GREEN entries (a red row can
+    # never rotate out on the strength of having been recorded)
     stale = [k for k in _GATE_TAIL if k not in recent_green]
     assert stale == [], f"tail entries without a recent driver-green row: {stale}"
 
-    # 2. entries the driver has never recently verified stay in-window
-    unverified = [k for k in names if k not in ever_recorded]
-    outside = [k for k in unverified if k not in window]
-    assert outside == [], f"unverified entries rotated out of the gate: {outside}"
+    # 2. entries the driver has never recently seen, and entries whose
+    # last recent record is RED, stay in-window
+    must_stay = [k for k in names if k not in recorded or k in recent_red]
+    outside = [k for k in must_stay if k not in window]
+    assert outside == [], f"unverified/red entries rotated out of the gate: {outside}"
 
     # 3. window fills the driver's full budget
     if len(names) > 50:

@@ -264,3 +264,75 @@ def test_two_writer_retry_loops_converge(spark, tmp_path):
         r["k"]: r["val"] for r in writers[0].read(spark, "t").collect()
     }
     assert final == model
+
+
+def test_gc_aged_claim_cannot_resurrect_old_version(spark, tmp_path):
+    """A writer delayed past the retention horizon must not roll the
+    table back: once its target version committed AND the claim marker
+    was GC'd, re-creating the marker succeeds at the filesystem level
+    but the claim is refused against the committed version."""
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "s")
+    a = ParquetTableStore(root, keep_versions=2)
+    b = ParquetTableStore(root, keep_versions=2)
+    # B reads v1 and computes target v2, then stalls while A commits
+    # v1..v4; retention floor = 2, so commit-claim-v2 is GC'd
+    for i in range(4):
+        a.overwrite("t", spark.range(10 * (i + 1)))
+    assert a.current_version("t") == 4
+    assert not os.path.exists(b._claim_path("t", 2))
+
+    with pytest.raises(ConcurrentWriteError, match="already committed"):
+        b._claim_version("t", 2)
+    # no rollback, no leftover marker resurrected
+    assert a.current_version("t") == 4
+    assert a.read(spark, "t").count() == 40
+    assert not os.path.exists(b._claim_path("t", 2))
+
+
+def test_stolen_claim_aborts_the_slow_writer_before_commit(spark, tmp_path):
+    """TTL steal of a slow-but-LIVE writer: the thief commits; when the
+    original writer resurfaces it must abort (claim token no longer
+    its own) instead of overwriting the thief's manifest or pointer."""
+    import json
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "s")
+    slow = ParquetTableStore(root)
+    thief = ParquetTableStore(root)
+    slow.overwrite("t", spark.range(10))
+
+    # slow writer claims v2 and stalls mid-write
+    slow._claim_version("t", 2)
+    marker = slow._claim_path("t", 2)
+    old = os.path.getmtime(marker) - 3600
+    os.utime(marker, (old, old))
+
+    # thief (ttl elapsed) steals the claim and commits v2
+    thief.claim_ttl_sec = 1.0
+    thief.overwrite("t", spark.range(777))
+    assert thief.current_version("t") == 2
+
+    # the slow writer resurfaces: both its manifest write and its
+    # commit must refuse -- its token is no longer on the marker
+    with pytest.raises(ConcurrentWriteError, match="another writer|disappeared"):
+        slow._write_manifest("t", 2, {"key": "id", "n_buckets": 1,
+                                      "partitions": {}, "schema_dir": "x"})
+    with pytest.raises(ConcurrentWriteError, match="another writer|disappeared|does not hold"):
+        slow._commit("t", 2)
+    # thief's commit intact
+    assert thief.current_version("t") == 2
+    assert thief.read(spark, "t").count() == 777
+    # and no half-written manifest garbage for v2 (unpartitioned commit)
+    assert not os.path.exists(slow._manifest_path("t", 2)) or json.load(
+        open(slow._manifest_path("t", 2))
+    )
