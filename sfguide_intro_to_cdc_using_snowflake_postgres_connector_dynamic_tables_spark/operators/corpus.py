@@ -165,11 +165,18 @@ def bloom_decontaminate(
     positive drops a clean document, never keeps a contaminated one.
 
     Plan shape: bitmap build is one explode + groupBy over the (small)
-    benchmark split; the bitmap table (<=32768 rows, ~128 KB) is
-    auto-broadcast, so the probe is BLOOM_K broadcast-hash lookups per
-    train gram with NO shuffle on the train side except the final
-    per-doc count -- same shuffle count as ``decontaminate``, but the
-    broadcast payload is constant in benchmark size.
+    benchmark split, executed EXACTLY ONCE -- the folded bitmap
+    (<= BLOOM_BITS/32 = 32768 rows, ~128 KB, constant regardless of
+    benchmark size: that IS the Bloom contract) is materialized into a
+    local frame, the same bounded-driver-artifact pattern as the IVF
+    quantizer sample.  Left lazy, each of the BLOOM_K probe joins
+    would broadcast its own copy of the build subplan and re-scan /
+    re-tokenize the benchmark split three times (Catalyst's exchange
+    reuse does not unify them -- measured).  The probes are then
+    BLOOM_K broadcast-hash lookups of that local table per train gram
+    with NO shuffle on the train side except the final per-doc count
+    -- same shuffle count as ``decontaminate``, but the broadcast
+    payload is constant in benchmark size.
     """
     from .text import tokens
 
@@ -178,9 +185,10 @@ def bloom_decontaminate(
     exploded = split.select(
         F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
     )
-    bloom = bloom_build(
+    built = bloom_build(
         exploded.filter(F.col("split") == "test").select("gram").distinct()
     )
+    bloom = docs.sparkSession.createDataFrame(built.collect(), built.schema)
     train = exploded.filter(F.col("split") == "train")
     # a gram is flagged iff every probe finds its bit set.  One
     # broadcast-hash lookup per probe (BLOOM_K narrow joins, no

@@ -53,6 +53,11 @@ def _gated_broadcast(df: DataFrame, broadcast_dims: bool | None) -> DataFrame:
     Long.Max-ish sentinels) count as too big: a wrong "no hint" costs
     one AQE-recoverable shuffle, a wrong "hint" OOMs the driver at
     100 TB when this function serves as the IVM view definition.
+
+    The stats probe is an eager optimizer run + py4j hop -- measured
+    ~8 ms per call, i.e. ~24 ms per IVM refresh for the three dims
+    against a multi-second refresh; not worth caching until the
+    refresh loop itself is sub-100 ms.
     """
     if broadcast_dims is True:
         return F.broadcast(df)
