@@ -116,3 +116,47 @@ def test_heavy_hitters_exact_when_capacity_suffices(spark):
     out = {r["value"]: r for r in heavy_hitters(df, "v", k=3, capacity=16).collect()}
     assert {v: r["est_count"] for v, r in out.items()} == {"a": 5, "b": 3, "c": 2}
     assert all(r["max_undercount"] == 0 for r in out.values())
+
+
+def test_heavy_hitters_invariants_on_random_streams(spark):
+    """Property test: on ANY stream and partitioning, the MG
+    certificate holds -- no overcount, undercount within the bound,
+    bound non-negative, and every value whose true count exceeds the
+    bound survives into the summary's top-k when k covers it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        values=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        n_parts=st.integers(min_value=1, max_value=6),
+        capacity=st.integers(min_value=2, max_value=12),
+    )
+    def run(values, n_parts, capacity):
+        df = spark.createDataFrame([(str(v),) for v in values], "v string").repartition(
+            n_parts
+        )
+        exact = {}
+        for v in values:
+            exact[str(v)] = exact.get(str(v), 0) + 1
+        k = len(exact)  # cover the universe so completeness is checkable
+        out = heavy_hitters(df, "v", k=k, capacity=capacity).collect()
+        assert out
+        bound = out[0]["max_undercount"]
+        assert bound >= 0
+        present = {}
+        for r in out:
+            assert r["max_undercount"] == bound  # one certificate per run
+            present[r["value"]] = r["est_count"]
+        for v, est in present.items():
+            assert est <= exact[v], (v, est, exact[v])
+            assert exact[v] <= est + bound, (v, est, exact[v], bound)
+        for v, c in exact.items():
+            if c > bound:
+                assert v in present, (v, c, bound)
+
+    run()
