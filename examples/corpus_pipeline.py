@@ -86,7 +86,21 @@ def main() -> None:
     final = split_docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
     n_final = final.count()
 
-    # 5. split-partitioned write -> reading one split prunes the others
+    # 5. corpus-level vocab audit: approximate heavy hitters over the
+    # token stream (constant-memory Misra-Gries -- the 100 TB-safe form
+    # of an exact vocab count, with its own error certificate)
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import tokens
+
+    token_stream = final.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    print("== top tokens (MG sketch, est <= true <= est + bound) ==")
+    heavy_hitters(token_stream, "token", k=10, capacity=4096).show(10, truncate=False)
+
+    # 6. split-partitioned write -> reading one split prunes the others
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
     print(f"raw documents:        {n_raw}")
