@@ -277,12 +277,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_image(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """REAL nearest-neighbor resample of an (H, W, 3) uint8 array to
+    (height, width, 3) -- pure numpy index arithmetic (the same
+    sample-center mapping cv2.INTER_NEAREST uses: source index =
+    floor((dst + 0.5) * src/dst)), no codec library needed."""
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid resize target {width}x{height}")
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over Arrow batches: decode (PPM/BMP byte
+    layouts, ``decode_image``), nearest-neighbor resample in numpy
+    (``resize_image``), re-encode in the source format, and rewrite
+    the metadata to the new geometry.  Undecodable payloads pass
+    through unchanged with their original metadata -- a resize pass
+    over a mixed corpus must not destroy rows it cannot parse."""
+
+    def _resize_one(payload: bytes) -> bytes | None:
+        if payload is None:
+            return None
+        try:
+            arr = decode_image(bytes(payload))
+        except ValueError:
+            return payload
+        out = resize_image(arr, width, height)
+        return encode_ppm(out) if bytes(payload)[:2] == b"P6" else encode_bmp(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            resized = out["payload"].map(_resize_one)
+            changed = resized.combine(
+                out["payload"], lambda a, b: a is not None and a is not b
+            )
+            out["payload"] = resized
+            out["meta"] = [
+                {**(m or {}), "width": width, "height": height} if ch else m
+                for m, ch in zip(out["meta"], changed)
+            ]
+            yield out
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: passes payload through the stub kernel and
-    rewrites metadata.  Real codec -> replace ``_resize_one``."""
+    """Identity-kernel resize harness: passes payloads through
+    unchanged while rewriting metadata -- kept as the deterministic
+    plumbing test double for ``resize_images`` (the REAL kernel)."""
 
     def _resize_one(payload: bytes) -> bytes:
-        # Real: PIL resize. Stub: identity (bytes unchanged).
         return payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

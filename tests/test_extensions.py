@@ -286,3 +286,63 @@ def test_wav_decoder_rejects_bad_bytes():
         decode_wav(bytes(raw))
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(encode_wav(np.zeros(4, dtype=np.int16), 8000)[:-3])
+
+
+def test_resize_images_real_kernel(spark):
+    """REAL nearest-neighbor resize: exact numpy-reference match after
+    a decode->resize->encode round trip, format preserved, undecodable
+    payloads passed through untouched."""
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        resize_image,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(7)
+    ppm_src = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    bmp_src = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_ppm(ppm_src)),
+         {"width": 9, "height": 6, "duration_ms": None, "codec": "ppm"}),
+        (2, "image", bytearray(encode_bmp(bmp_src)),
+         {"width": 4, "height": 5, "duration_ms": None, "codec": "bmp"}),
+        (3, "image", bytearray(b"\x01\x02garbage"),
+         {"width": None, "height": None, "duration_ms": None, "codec": "raw"}),
+        (4, "audio", None,
+         {"width": None, "height": None, "duration_ms": 800, "codec": "pcm"}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 3, 4).collect()}
+
+    # exact per-pixel match against the pure-numpy reference
+    got_ppm = decode_image(bytes(out[1]["payload"]))
+    assert got_ppm.shape == (4, 3, 3)
+    assert np.array_equal(got_ppm, resize_image(ppm_src, 3, 4))
+    assert bytes(out[1]["payload"])[:2] == b"P6"  # format preserved
+
+    got_bmp = decode_image(bytes(out[2]["payload"]))
+    assert got_bmp.shape == (4, 3, 3)
+    assert np.array_equal(got_bmp, resize_image(bmp_src, 3, 4))
+    assert bytes(out[2]["payload"])[:2] == b"BM"
+
+    # metadata rewritten only where the kernel actually ran
+    assert out[1]["meta"]["width"] == 3 and out[1]["meta"]["height"] == 4
+    assert out[2]["meta"]["width"] == 3 and out[2]["meta"]["height"] == 4
+    assert bytes(out[3]["payload"]) == b"\x01\x02garbage"  # untouched
+    assert out[3]["meta"]["width"] is None
+    assert out[4]["payload"] is None
+
+    # identity resize round-trips the pixels exactly
+    same = resize_image(ppm_src, 9, 6)
+    assert np.array_equal(same, ppm_src)
+
+    # degenerate targets rejected
+    try:
+        resize_image(ppm_src, 0, 4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
