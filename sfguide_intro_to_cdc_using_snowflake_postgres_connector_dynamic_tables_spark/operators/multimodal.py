@@ -204,7 +204,8 @@ def _decode_features(
 
     ``decode="image"``: real PPM/BMP decode (raises on non-image
     bytes); ``decode="audio"``: real RIFF/WAVE PCM-16 decode (raises
-    on non-WAV bytes); ``"stub"``: deterministic byte math
+    on non-WAV bytes); ``decode="video"``: real RIFF/AVI DIB decode
+    (raises on non-AVI bytes); ``"stub"``: deterministic byte math
     (JPEG/PNG/MP3-class codecs are not in this container); ``"auto"``:
     try the real decoders, fall back to the stub.
     """
@@ -219,6 +220,12 @@ def _decode_features(
             return _audio_features(*decode_wav(payload), dim)
         except ValueError:
             if decode == "audio":
+                raise
+    if decode in ("video", "auto"):
+        try:
+            return _video_features(*decode_avi(payload), dim)
+        except ValueError:
+            if decode == "video":
                 raise
     if payload is None:
         return [0.0] * dim
@@ -435,5 +442,156 @@ def _audio_features(
         float(crossings),
         float(mono.max() if mono.size else 0),
         float(mono.min() if mono.size else 0),
+    ]
+    return out[:dim] + [0.0] * max(0, dim - len(out))
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: RIFF/AVI with uncompressed 24bpp DIB frames -- the
+# container-free video tier (same class as PPM/BMP images and PCM WAV
+# audio: pure byte-layout parsing, no codec library).  Frames are
+# stored exactly like BMP pixel data: bottom-up BGR rows padded to
+# 4-byte multiples, in '00db' chunks under the 'movi' list.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, data_start, data_size) walking RIFF chunks in
+    payload[start:end]; chunks are padded to even sizes."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        data = pos + 8
+        if data + size > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, data, size
+        pos = data + size + (size & 1)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB -> minimal RIFF/AVI bytes: 'hdrl'
+    (avih + one 'vids'/'DIB ' stream) then 'movi' with one '00db'
+    uncompressed DIB chunk per frame.  The decoder's round-trip
+    partner and the deterministic payload generator for tests and the
+    gated ``video_decode_features`` entry."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.shape[0] < 1:
+        raise ValueError(f"expected (N, H, W, 3) frames, got {frames.shape}")
+    if fps < 1:
+        raise ValueError(f"invalid fps {fps}")
+    n, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc
+            + len(payload).to_bytes(4, "little")
+            + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, w, h
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/AVI (uncompressed 24bpp DIB video) -> ((N, H, W, 3) uint8
+    RGB frames, fps).  Walks the chunk tree for real: stream header
+    (rate/scale -> fps), BITMAPINFOHEADER (geometry, 24bpp BI_RGB
+    validation), then every '00db'/'00dc' frame under 'movi'.  Raises
+    ``ValueError`` on anything else -- truncated chunks, compressed
+    streams, other bit depths."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF container")
+    if payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI (form {payload[8:12]!r})")
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+
+    w = h = None
+    fps = None
+    dibs: list[bytes] = []
+
+    def walk(start: int, stop: int) -> None:
+        nonlocal w, h, fps
+        import struct as _s
+
+        for fourcc, data, size in _riff_chunks(payload, start, stop):
+            if fourcc == b"LIST":
+                walk(data + 4, data + size)
+            elif fourcc == b"strh" and size >= 48:
+                if payload[data : data + 4] != b"vids":
+                    continue
+                scale, rate = _s.unpack_from("<II", payload, data + 20)
+                if scale > 0 and rate > 0:
+                    fps = rate // scale
+            elif fourcc == b"strf" and size >= 40 and w is None:
+                _hs, bw, bh, _planes, bpp, comp = _s.unpack_from(
+                    "<IiiHHI", payload, data
+                )
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only 24bpp BI_RGB AVI supported (bpp={bpp}, comp={comp})"
+                    )
+                if bw < 1 or bh == 0:
+                    raise ValueError(f"bad AVI dimensions {bw}x{bh}")
+                w, h = bw, abs(bh)
+            elif fourcc in (b"00db", b"00dc"):
+                dibs.append(payload[data : data + size])
+
+    walk(12, end)
+    if w is None or h is None:
+        raise ValueError("AVI stream format (strf) not found")
+    if fps is None:
+        raise ValueError("AVI video stream header (strh) not found")
+    if not dibs:
+        raise ValueError("AVI contains no frames")
+    row_bytes = (w * 3 + 3) & ~3
+    frames = []
+    for d in dibs:
+        if len(d) < row_bytes * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(d, dtype=np.uint8)[: row_bytes * h].reshape(h, row_bytes)
+        frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+    return np.stack(frames), fps
+
+
+def _video_features(frames: np.ndarray, fps: int, dim: int = 8) -> list[float]:
+    """Exact integer features from decoded frames (all small-integer-
+    valued floats so any oracle agrees bit-for-bit): fps, frame count,
+    height, width, total pixel energy mod 997, every-2nd-frame sampled
+    energy mod 997, max pixel, min pixel."""
+    n, h, w, _ = frames.shape
+    flat = frames.astype(np.int64)
+    out = [
+        float(fps),
+        float(n),
+        float(h),
+        float(w),
+        float(flat.sum() % 997),
+        float(flat[::2].sum() % 997),
+        float(frames.max()),
+        float(frames.min()),
     ]
     return out[:dim] + [0.0] * max(0, dim - len(out))

@@ -562,14 +562,14 @@ def _register_extensions() -> None:
 #: ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and by
 #: ``tests/test_oracle_dtypes.py`` (schema audit).
 #:
-#: Round-5 tail composition (100 entries, 50-entry tail), verified by
+#: Round-5 tail composition (101 entries, 51-entry tail), verified by
 #: tests/test_gate_policy.py: 45 entries green in CORRECTNESS_r04.json
-#: plus 5 green in CORRECTNESS_r03.json (distinct, spend_bands,
-#: null_bands, semi_join, unpivot_metrics -- all tail in r4/r5, so
-#: round 6 MUST rotate these five back into the window).  All 16 new
-#: entries and everything touched this round (q12_priority_lines,
-#: minhash_near_dup, dup_components, purchase_summary, sessionize)
-#: sit in-window.
+#: plus 6 green in CORRECTNESS_r03.json (distinct, spend_bands,
+#: null_bands, semi_join, unpivot_metrics, pivot_status -- all tail in
+#: r4/r5, so round 6 MUST rotate these six back into the window).  All
+#: 17 new entries and everything touched this round
+#: (q12_priority_lines, minhash_near_dup, dup_components,
+#: purchase_summary, sessionize) sit in-window.
 _GATE_TAIL: tuple[str, ...] = (
     # +2 slots for the round-5 event_transitions / anomaly_days
     # additions: embedding_dup_pairs_lsh is untouched this round and
@@ -578,6 +578,10 @@ _GATE_TAIL: tuple[str, ...] = (
     # distinct/spend_bands/null_bands/semi_join below)
     "embedding_dup_pairs_lsh",
     "unpivot_metrics",
+    # +1 slot for the round-5 video_decode_features addition:
+    # pivot_status is untouched this round and r3-gate-green (tail in
+    # r4 -- the sixth member of the round-6 must-rotate-back set)
+    "pivot_status",
     # +1 slot for the round-5 image_decode_features addition: ngram is
     # untouched this round and was r4-gate-green
     "ngram_jaccard_dup",

@@ -750,6 +750,106 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# REAL video decode: per doc, a deterministic 4-frame RIFF/AVI (24bpp
+# uncompressed DIB) is ENCODED from closed-form pixels, then parsed
+# back through the real container/frame decoder
+# (operators/multimodal.py::decode_avi) -- features come from actually
+# decoded frames.  The oracle computes the same closed-form pixel
+# arithmetic directly; a decode bug (chunk walk, bottom-up BGR rows,
+# row padding) breaks the hash match.
+# ---------------------------------------------------------------------------
+
+_AVI_NF, _AVI_H, _AVI_W, _AVI_FPS = 4, 6, 8, 10
+
+
+def _avi_n_bytes() -> int:
+    import numpy as _np
+
+    from ..operators.multimodal import encode_avi
+
+    return len(
+        encode_avi(
+            _np.zeros((_AVI_NF, _AVI_H, _AVI_W, 3), dtype=_np.uint8), _AVI_FPS
+        )
+    )
+
+
+def q_video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_avi, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nf, h, w = _AVI_NF, _AVI_H, _AVI_W
+    f = np.arange(nf)[:, None, None, None]
+    y = np.arange(h)[None, :, None, None]
+    x = np.arange(w)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    base = f * 7 + y * 5 + x * 3 + c
+
+    def gen_media(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_avi(((int(did) * 31 + base) % 256).astype(np.uint8), _AVI_FPS)
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "meta": None,
+                }
+            )
+
+    media = docs.mapInPandas(gen_media, MEDIA_SCHEMA)
+    feats = extract_features(media, decode="video")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+#: pixel value at flat index j of the full frame tensor (f, y, x, c)
+_AVI_V = (
+    "((doc_id * 31 + ({f}) * 7 + (({j} // {w3}) % {h}) * 5"
+    " + (({j} // 3) % {w}) * 3 + ({j} % 3)) % 256)"
+)
+
+
+def _avi_val(j: str, sampled: bool = False) -> str:
+    hw3 = _AVI_H * _AVI_W * 3
+    frame = f"2 * (({j}) // {hw3})" if sampled else f"({j}) // {hw3}"
+    return _AVI_V.format(f=frame, j=f"({j})", w3=_AVI_W * 3, h=_AVI_H, w=_AVI_W)
+
+
+SQL_VIDEO_DECODE_FEATURES = f"""
+SELECT doc_id AS media_id,
+       CAST({_avi_n_bytes()} AS BIGINT) AS n_bytes,
+       CAST({_AVI_FPS} AS DOUBLE) AS f0,
+       CAST({_AVI_NF} AS DOUBLE) AS f1,
+       CAST({_AVI_H} AS DOUBLE) AS f2,
+       CAST({_AVI_W} AS DOUBLE) AS f3,
+       CAST(list_sum(list_transform(range(0, {_AVI_NF * _AVI_H * _AVI_W * 3}),
+            j -> {_avi_val("j")})) % 997 AS DOUBLE) AS f4,
+       CAST(list_sum(list_transform(range(0, {2 * _AVI_H * _AVI_W * 3}),
+            j -> {_avi_val("j", sampled=True)})) % 997 AS DOUBLE) AS f5,
+       CAST(list_max(list_transform(range(0, {_AVI_NF * _AVI_H * _AVI_W * 3}),
+            j -> {_avi_val("j")})) AS DOUBLE) AS f6,
+       CAST(list_min(list_transform(range(0, {_AVI_NF * _AVI_H * _AVI_W * 3}),
+            j -> {_avi_val("j")})) AS DOUBLE) AS f7
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Video frame sampling: the expansion step (one row per sampled frame
 # timestamp) is pure relational -- sequence + explode, no Python; the
 # per-frame decode would then flow through extract_features.  Synthetic
@@ -806,4 +906,5 @@ EXT_CATALOG: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "image_decode_features": (q_image_decode_features, SQL_IMAGE_DECODE_FEATURES),
     "audio_decode_features": (q_audio_decode_features, SQL_AUDIO_DECODE_FEATURES),
+    "video_decode_features": (q_video_decode_features, SQL_VIDEO_DECODE_FEATURES),
 }

@@ -346,3 +346,59 @@ def test_resize_images_real_kernel(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_avi_roundtrip_and_rejection(spark):
+    """REAL video tier: RIFF/AVI DIB encode->decode is pixel-exact,
+    fps survives, malformed containers are rejected, and the
+    feature kernel works over mapInPandas on real bytes."""
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        encode_wav,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 256, size=(3, 5, 7, 3), dtype=np.uint8)
+    payload = encode_avi(src, fps=25)
+    frames, fps = decode_avi(payload)
+    assert fps == 25
+    assert np.array_equal(frames, src)
+
+    # odd width exercises DIB row padding; single frame is legal
+    one = rng.randint(0, 256, size=(1, 2, 3, 3), dtype=np.uint8)
+    f2, _ = decode_avi(encode_avi(one, fps=1))
+    assert np.array_equal(f2, one)
+
+    for bad in (
+        b"",                                  # empty
+        b"RIFFxxxxWAVE",                      # wrong form
+        encode_wav(np.zeros(4, dtype=np.int16), 8000),  # a real WAV is not an AVI
+        payload[:40],                         # truncated mid-header
+        payload[:-10],                        # truncated mid-frame
+    ):
+        try:
+            decode_avi(bad)
+            raise AssertionError(f"expected ValueError for {bad[:12]!r}")
+        except ValueError:
+            pass
+
+    try:
+        encode_avi(src, fps=0)
+        raise AssertionError("expected ValueError for fps=0")
+    except ValueError:
+        pass
+
+    # end-to-end through the Arrow batch kernel on real bytes
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload),
+          {"width": 7, "height": 5, "duration_ms": 120, "codec": "avi"})],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decode="video").collect()[0]
+    assert row["feature"][0] == 25.0 and row["feature"][1] == 3.0
+    assert row["feature"][2] == 5.0 and row["feature"][3] == 7.0
+    assert row["feature"][4] == float(src.astype(np.int64).sum() % 997)
