@@ -595,3 +595,65 @@ def _video_features(frames: np.ndarray, fps: int, dim: int = 8) -> list[float]:
         float(frames.min()),
     ]
     return out[:dim] + [0.0] * max(0, dim - len(out))
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 1, encode: str = "bmp"
+) -> DataFrame:
+    """REAL video frame sampling: decode each AVI payload
+    (``decode_avi``), keep every ``every_n``-th frame, and emit one
+    IMAGE row per kept frame (re-encoded BMP or PPM payload, geometry
+    metadata) -- the video→image bridge that feeds sampled frames into
+    the image operators (``extract_features(decode="image")``,
+    ``resize_images``).  Non-AVI payloads are dropped (a sampling pass
+    selects what it can parse; pair with ``frame_sample_plan`` for the
+    relational timestamp expansion over opaque codecs).
+
+    ``media_id`` of an emitted frame is ``video_id * 1_000_000 +
+    frame_index`` so frame provenance survives joins without a struct
+    key.  Row expansion happens inside the Arrow iterator -- each task
+    streams batches, nothing accumulates per partition.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm}.get(encode)
+    if enc is None:
+        raise ValueError(f"unknown frame encoding {encode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "media_type": [], "payload": [], "meta": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames, _fps = decode_avi(bytes(payload))
+                except ValueError:
+                    continue
+                for idx in range(0, frames.shape[0], every_n):
+                    f = frames[idx]
+                    out["media_id"].append(int(mid) * 1_000_000 + idx)
+                    out["media_type"].append("image")
+                    out["payload"].append(enc(f))
+                    out["meta"].append(
+                        {
+                            "width": int(f.shape[1]),
+                            "height": int(f.shape[0]),
+                            "duration_ms": None,
+                            "codec": encode,
+                        }
+                    )
+            # explicit dtypes: an empty batch must not default columns
+            # to float64, which Arrow cannot cast to binary/struct
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "media_type": pd.Series(out["media_type"], dtype="object"),
+                    "payload": pd.Series(out["payload"], dtype="object"),
+                    "meta": pd.Series(out["meta"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)

@@ -402,3 +402,49 @@ def test_avi_roundtrip_and_rejection(spark):
     assert row["feature"][0] == 25.0 and row["feature"][1] == 3.0
     assert row["feature"][2] == 5.0 and row["feature"][3] == 7.0
     assert row["feature"][4] == float(src.astype(np.int64).sum() % 997)
+
+
+def test_sample_video_frames_real_bridge(spark):
+    """video -> image bridge: sampled frames decode back pixel-exact
+    and flow into the real image feature kernel."""
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        decode_image,
+        encode_avi,
+        extract_features,
+        sample_video_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 256, size=(5, 4, 6, 3), dtype=np.uint8)
+    rows = [
+        (7, "video", bytearray(encode_avi(src, fps=10)),
+         {"width": 6, "height": 4, "duration_ms": 500, "codec": "avi"}),
+        (8, "video", bytearray(b"not-a-video"),
+         {"width": None, "height": None, "duration_ms": None, "codec": "raw"}),
+        (9, "video", None,
+         {"width": None, "height": None, "duration_ms": None, "codec": "raw"}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = {r["media_id"]: r for r in sample_video_frames(media, every_n=2).collect()}
+
+    # frames 0, 2, 4 of video 7; undecodable/null rows contribute nothing
+    assert set(frames) == {7_000_000, 7_000_002, 7_000_004}
+    for idx in (0, 2, 4):
+        r = frames[7_000_000 + idx]
+        assert r["media_type"] == "image"
+        assert r["meta"]["width"] == 6 and r["meta"]["height"] == 4
+        assert np.array_equal(decode_image(bytes(r["payload"])), src[idx])
+
+    # the bridge output feeds the real image kernel directly
+    feats = extract_features(sample_video_frames(media, every_n=2), decode="image")
+    got = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert got[7_000_002][0] == 6.0 and got[7_000_002][1] == 4.0
+    assert got[7_000_002][5] == float(src[2].astype(np.int64).sum() % 997)
+
+    try:
+        sample_video_frames(media, every_n=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
