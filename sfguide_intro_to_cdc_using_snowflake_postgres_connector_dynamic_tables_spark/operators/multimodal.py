@@ -8,20 +8,22 @@ materializing a partition of blobs in memory.
 
 Decode kernels, two tiers:
 
-- REAL (``decode="image"``): a pure-numpy decoder for the two
-  self-describing uncompressed formats whose byte layout needs no
-  external codec -- binary PPM (P6) and 24-bpp BI_RGB BMP.  Parses
-  actual image bytes into an (H, W, 3) uint8 array and derives exact
-  integer features from the pixels.  This is a real decode of real
-  bytes (round-tripped against the encoders below), not a stub.
+- REAL (``decode="image"|"audio"|"video"``): pure-numpy decoders for
+  the self-describing uncompressed formats whose byte layouts need no
+  external codec -- binary PPM (P6) and 24-bpp BI_RGB BMP images,
+  RIFF/WAVE PCM-16 audio, and RIFF/AVI uncompressed-DIB video.  Each
+  parses actual bytes into arrays and derives exact integer features;
+  all are round-tripped against the encoders below, not stubs.  The
+  same tier powers real nearest-neighbor resize (``resize_images``)
+  and real video->image frame sampling (``sample_video_frames``).
 - STUB (``decode="stub"``, default): heavyweight codecs (JPEG/PNG via
   PIL, ffmpeg, librosa) are NOT in this container, so arbitrary-format
   payloads get deterministic byte-math pseudo-features.  The Spark-side
   contract (schemas, batch iteration, partitioning, UDF signatures) is
   identical between tiers; swapping in PIL changes only the kernel.
 
-``decode="auto"`` tries the real decoder and falls back to the stub
-for payloads that are not PPM/BMP.
+``decode="auto"`` tries the real decoders (image, then audio, then
+video) and falls back to the stub for unrecognized payloads.
 """
 
 from __future__ import annotations
