@@ -28,6 +28,7 @@ video) and falls back to the stub for unrecognized payloads.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -477,8 +478,6 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     uncompressed DIB chunk per frame.  The decoder's round-trip
     partner and the deterministic payload generator for tests and the
     gated ``video_decode_features`` entry."""
-    import struct
-
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3 or frames.shape[0] < 1:
         raise ValueError(f"expected (N, H, W, 3) frames, got {frames.shape}")
@@ -505,8 +504,13 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
         frame_size, w, h, 0, 0, 0, 0,
     )
+    # full 56-byte AVISTREAMHEADER: flags, wPriority, wLanguage,
+    # dwInitialFrames, dwScale, dwRate (fps = rate/scale), dwStart,
+    # dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize,
+    # rcFrame(4 x WORD) -- omitting dwSampleSize would shift rcFrame
+    # and make the bytes spec-invalid for external AVI consumers
     strh = b"vids" + b"DIB " + struct.pack(
-        "<IHHIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, w, h
+        "<IHH8I4H", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
     strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
@@ -523,8 +527,6 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     validation), then every '00db'/'00dc' frame under 'movi'.  Raises
     ``ValueError`` on anything else -- truncated chunks, compressed
     streams, other bit depths."""
-    import struct
-
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
         raise ValueError("not a RIFF container")
     if payload[8:12] != b"AVI ":
@@ -533,11 +535,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
 
     w = h = None
     fps = None
+    bottom_up = True
     dibs: list[bytes] = []
 
     def walk(start: int, stop: int) -> None:
-        nonlocal w, h, fps
-        import struct as _s
+        nonlocal w, h, fps, bottom_up
 
         for fourcc, data, size in _riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
@@ -545,11 +547,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
             elif fourcc == b"strh" and size >= 48:
                 if payload[data : data + 4] != b"vids":
                     continue
-                scale, rate = _s.unpack_from("<II", payload, data + 20)
+                scale, rate = struct.unpack_from("<II", payload, data + 20)
                 if scale > 0 and rate > 0:
                     fps = rate // scale
             elif fourcc == b"strf" and size >= 40 and w is None:
-                _hs, bw, bh, _planes, bpp, comp = _s.unpack_from(
+                _hs, bw, bh, _planes, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, data
                 )
                 if bpp != 24 or comp != 0:
@@ -558,7 +560,9 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                     )
                 if bw < 1 or bh == 0:
                     raise ValueError(f"bad AVI dimensions {bw}x{bh}")
-                w, h = bw, abs(bh)
+                # positive biHeight = bottom-up rows (the common case);
+                # negative = top-down -- honor the sign like _decode_bmp
+                w, h, bottom_up = bw, abs(bh), bh > 0
             elif fourcc in (b"00db", b"00dc"):
                 dibs.append(payload[data : data + size])
 
@@ -575,7 +579,10 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         if len(d) < row_bytes * h:
             raise ValueError("truncated AVI frame")
         rows = np.frombuffer(d, dtype=np.uint8)[: row_bytes * h].reshape(h, row_bytes)
-        frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+        img = rows[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            img = img[::-1]
+        frames.append(img[:, :, ::-1].copy())
     return np.stack(frames), fps
 
 

@@ -106,9 +106,10 @@ class ParquetTableStore:
         present) rather than a clobbering replace -- so a writer whose
         claim was TTL-stolen mid-write aborts instead of overwriting
         the thief's manifest after the thief committed.  A pre-existing
-        manifest can only be our own leftover from a failed earlier
-        attempt at the same version (we hold the claim), so only then
-        is it replaced.  The verify->link window is microseconds, the
+        manifest is either our own leftover from a failed earlier
+        attempt at the same version or a crashed writer's orphan whose
+        claim we TTL-stole -- in both cases we hold the claim, so only
+        then is it replaced.  The verify->link window is microseconds, the
         filesystem-portable best effort; on object stores substitute a
         conditional PUT at this seam (see SCALE.md)."""
         tdir = self._table_dir(name)
@@ -160,6 +161,9 @@ class ParquetTableStore:
             token = uuid.uuid4().hex
             with os.fdopen(fd, "w") as f:
                 f.write(f"{token} {time.time()}")
+            # register ownership BEFORE the resurrection check so the
+            # token-verifying _release_claim below can unlink our marker
+            self._held_claims[(name, version)] = token
             cur = self.current_version(name)
             if cur is not None and cur >= version:
                 # the marker we just created is a resurrection: this
@@ -169,7 +173,6 @@ class ParquetTableStore:
                     f"{name} v{version} was already committed (current is "
                     f"v{cur}); its claim marker had aged out -- re-read and retry"
                 )
-            self._held_claims[(name, version)] = token
             return token
         except FileExistsError:
             pass
@@ -194,14 +197,13 @@ class ParquetTableStore:
                 raise ConcurrentWriteError(
                     f"stale claim on {name} v{version} was stolen by another writer"
                 ) from e
-            # the crashed writer may have left an uncommitted manifest
-            # for this version (it cannot be committed -- current <
-            # version, checked above); remove it so our link-based
-            # manifest creation isn't blocked by its garbage
-            try:
-                os.unlink(self._manifest_path(name, version))
-            except OSError:
-                pass
+            # NOTE: a crashed writer may have left an uncommitted
+            # manifest for this version.  Deliberately NOT unlinked
+            # here: the owner-of-record check preceding this point is
+            # stale by the time the rename lands, so an unlink could
+            # destroy the manifest of a slow writer that committed in
+            # between.  _write_manifest's FileExistsError branch
+            # replaces orphans under claim-ownership proof instead.
             if _retry:
                 return self._claim_version(name, version, _retry=False)
         raise ConcurrentWriteError(
@@ -210,9 +212,21 @@ class ParquetTableStore:
         )
 
     def _release_claim(self, name: str, version: int) -> None:
-        self._held_claims.pop((name, version), None)
+        """Release OUR claim: unlink the marker only while it still
+        carries this instance's token.  An unconditional unlink would
+        let a TTL-stolen writer's abort path delete the THIEF's live
+        marker -- its own retry loop could then re-claim the version
+        while the thief is mid-write, re-opening the lost-update race
+        the claim protocol exists to close."""
+        token = self._held_claims.pop((name, version), None)
+        if token is None:
+            return
+        marker = self._claim_path(name, version)
         try:
-            os.unlink(self._claim_path(name, version))
+            with open(marker) as f:
+                held = f.read().split(" ", 1)[0]
+            if held == token:
+                os.unlink(marker)
         except OSError:
             pass
 

@@ -41,19 +41,22 @@ def test_gate_tail_policy():
     recent_green = {
         k for d in recents for k, v in d.items() if v.get("hash_match")
     }
-    # recorded at all (green OR red): a red row was verified and FAILED
-    # -- it must stay in-window until it re-earns green, so only green
-    # entries count toward tail eligibility, but red entries are not
-    # "never seen" either
     recorded = {k for d in recents for k in d}
-    recent_red = recorded - recent_green
+    # an entry whose MOST RECENT record is red just regressed: it must
+    # stay in-window until it re-earns green, even if an older round
+    # once recorded it green (green-in-either is fine for the tail,
+    # but a fresh regression may not rotate out on old credit)
+    latest = recents[-1]
+    recent_red = {k for k, v in latest.items() if not v.get("hash_match")}
 
     names = list(CATALOG)
     window = set(names[:50])
 
-    # 1. tail only holds recently-driver-GREEN entries (a red row can
-    # never rotate out on the strength of having been recorded)
-    stale = [k for k in _GATE_TAIL if k not in recent_green]
+    # 1. tail only holds recently-driver-GREEN entries, and an entry
+    # red in the LATEST record can never rotate out on older credit
+    stale = [
+        k for k in _GATE_TAIL if k not in recent_green or k in recent_red
+    ]
     assert stale == [], f"tail entries without a recent driver-green row: {stale}"
 
     # 2. entries the driver has never recently seen, and entries whose

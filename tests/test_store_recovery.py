@@ -336,3 +336,56 @@ def test_stolen_claim_aborts_the_slow_writer_before_commit(spark, tmp_path):
     assert not os.path.exists(slow._manifest_path("t", 2)) or json.load(
         open(slow._manifest_path("t", 2))
     )
+
+
+def test_stolen_writer_abort_leaves_thiefs_claim_intact(spark, tmp_path):
+    """The aborting slow writer's claim release must be token-checked:
+    an unconditional unlink would delete the THIEF's live marker and
+    let the slow writer's retry loop re-claim the version mid-write."""
+    root = str(tmp_path / "s")
+    slow = ParquetTableStore(root)
+    thief = ParquetTableStore(root, claim_ttl_sec=1.0)
+    slow.overwrite("t", spark.range(10))
+
+    slow._claim_version("t", 2)
+    marker = slow._claim_path("t", 2)
+    old = os.path.getmtime(marker) - 3600
+    os.utime(marker, (old, old))
+
+    thief_token = thief._claim_version("t", 2)  # steals
+
+    # slow writer aborts (the _claimed failure path)
+    slow._release_claim("t", 2)
+
+    # the thief's marker survives with the thief's token
+    with open(marker) as f:
+        assert f.read().split(" ", 1)[0] == thief_token
+    thief._verify_claim("t", 2)  # thief can still prove ownership
+
+
+def test_steal_replaces_orphan_manifest_under_ownership(spark, tmp_path):
+    """A crashed writer's orphan manifest must not block the stealer:
+    _write_manifest's link-if-absent branch replaces it under claim-
+    ownership proof (the steal path itself deletes nothing -- an
+    unlink there could race a slow writer's commit of that version)."""
+    root = str(tmp_path / "s")
+    crashed = ParquetTableStore(root)
+    stealer = ParquetTableStore(root, claim_ttl_sec=1.0)
+    crashed.overwrite("t", spark.range(10))
+
+    crashed._claim_version("t", 2)
+    crashed._write_manifest(
+        "t", 2, {"key": "id", "n_buckets": 1, "partitions": {}, "schema_dir": "dead"}
+    )
+    marker = crashed._claim_path("t", 2)
+    old = os.path.getmtime(marker) - 3600
+    os.utime(marker, (old, old))
+
+    stealer._claim_version("t", 2)  # steals; orphan manifest still present
+    stealer._write_manifest(
+        "t", 2, {"key": "id", "n_buckets": 2, "partitions": {}, "schema_dir": "live"}
+    )
+    import json
+
+    with open(stealer._manifest_path("t", 2)) as f:
+        assert json.load(f)["schema_dir"] == "live"
