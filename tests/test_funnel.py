@@ -378,3 +378,49 @@ def test_daily_anomalies_zero_fills_calendar_gaps(spark):
     # the zero days (calendar semantics), not just observed days
     trail8 = series[1:8]
     assert got["2024-01-09"]["trail_avg"] == round(statistics.mean(trail8), 6)
+
+
+def test_event_transitions_matches_python_model_on_random_streams(spark):
+    """Differential test: random event streams (NULL types, duplicate
+    timestamps, single-event users) against an executable Python spec
+    of the per-user ordered-transition semantics."""
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    rng = random.Random(20260814)
+    types = ["view", "click", "purchase", None]
+    for trial in range(5):
+        rows = []
+        eid = 0
+        for u in range(12):
+            for _ in range(rng.randint(1, 9)):
+                rows.append((eid, u, rng.randint(0, 6), rng.choice(types)))
+                eid += 1
+        ev = _events_with_ids(spark, [(u, m, t) for _e, u, m, t in rows])
+
+        # model: per user, sort by (ts, event_id) -- event_id here is
+        # the insertion index _events_with_ids assigns
+        per_user: dict[int, list] = {}
+        for idx, (_e, u, m, t) in enumerate(rows):
+            per_user.setdefault(u, []).append((m, idx, t))
+        expected: dict[tuple, int] = {}
+        for seq in per_user.values():
+            seq.sort(key=lambda r: (r[0], r[1]))
+            for i, (_m, _i, t) in enumerate(seq):
+                nxt = seq[i + 1][2] if i + 1 < len(seq) else "(end)"
+                expected[(t, nxt)] = expected.get((t, nxt), 0) + 1
+
+        got = {
+            (r["event_type"], r["next_event"]): r["n_transitions"]
+            for r in event_transitions(ev).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+        # per-source probabilities renormalize to 1 (NULL source included)
+        sums: dict = {}
+        for r in event_transitions(ev).collect():
+            sums[r["event_type"]] = sums.get(r["event_type"], 0.0) + r["p"]
+        for src, s in sums.items():
+            assert abs(s - 1.0) < 1e-5, (trial, src, s)
