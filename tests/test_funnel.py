@@ -424,3 +424,52 @@ def test_event_transitions_matches_python_model_on_random_streams(spark):
             sums[r["event_type"]] = sums.get(r["event_type"], 0.0) + r["p"]
         for src, s in sums.items():
             assert abs(s - 1.0) < 1e-5, (trial, src, s)
+
+
+def test_daily_anomalies_matches_python_model_on_random_sparse_days(spark):
+    """Property test: random SPARSE day sets (calendar gaps everywhere)
+    against a Python spec of the zero-filled trailing-window z-score."""
+    import statistics
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.funnel import (
+        daily_anomalies,
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        days=st.dictionaries(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=1, max_value=30),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def run(days):
+        rows = []
+        for d, n in days.items():
+            rows += [(1, d * 24 * 60 + i, "view") for i in range(n)]
+        ev = _events_with_ids(spark, rows)
+        got = {str(r["day"]): r for r in daily_anomalies(ev).collect()}
+
+        d0, d1 = min(days), max(days)
+        series = [days.get(d, 0) for d in range(d0, d1 + 1)]
+        assert len(got) == len(series)  # full zero-filled spine
+        for i, n in enumerate(series):
+            day = f"2024-01-{d0 + i + 1:02d}"
+            r = got[day]
+            assert r["n_events"] == n, (day, r["n_events"], n)
+            trail = series[max(0, i - 7) : i]
+            if not trail:
+                assert r["trail_avg"] is None and r["z"] is None
+                continue
+            assert r["trail_avg"] == round(statistics.mean(trail), 6), day
+            if len(trail) < 2 or statistics.stdev(trail) == 0:
+                assert r["z"] is None, (day, r["z"])
+            else:
+                want = round((n - statistics.mean(trail)) / statistics.stdev(trail), 4)
+                assert r["z"] == want, (day, r["z"], want)
+
+    run()
