@@ -71,8 +71,14 @@ def heavy_hitters(
     Each partition keeps at most ``capacity`` counters (MG update:
     increment if tracked, adopt if a slot is free, else decrement all);
     summaries merge by summing per-value counts, and every decrement
-    sweep is counted exactly.  Returns the top ``k`` by merged estimate
-    with the sketch's error certificate:
+    sweep is counted exactly.  Counters swept to zero are NOT deleted:
+    they hold their slot until a new value reclaims it (space-saving
+    style), so a sweep can never empty the summary -- the degenerate
+    stream that zeroes every counter (e.g. 3 distinct singletons at
+    capacity=2) still surfaces its candidates and, critically, the
+    ``max_undercount`` certificate, instead of returning an empty
+    frame indistinguishable from "no data".  Returns the top ``k`` by
+    merged estimate with the sketch's error certificate:
 
     - ``est_count`` never overcounts: ``est_count <= true count``;
     - undercount is bounded: ``true count <= est_count +
@@ -105,6 +111,9 @@ def heavy_hitters(
 
     def summarize(batches):
         counters: dict = {}
+        # keys swept to zero, lazily validated on pop (a key may have
+        # re-incremented or been reclaimed since it was recorded)
+        free: list = []
         sweeps = 0
         for pdf in batches:
             for v in pdf[value_col]:
@@ -115,16 +124,27 @@ def heavy_hitters(
                 elif len(counters) < capacity:
                     counters[v] = 1
                 else:
-                    # decrement-all sweep: every counter loses 1, one
-                    # unit of every value's count may be lost
-                    sweeps += 1
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+                    slot = None
+                    while free:
+                        cand = free.pop()
+                        if counters.get(cand) == 0:
+                            slot = cand
+                            break
+                    if slot is not None:
+                        # reclaim a zeroed slot: the evicted key's
+                        # losses were all sweep-decrements, already in
+                        # the certificate
+                        del counters[slot]
+                        counters[v] = 1
+                    else:
+                        # decrement-all sweep: every counter loses 1,
+                        # one unit of every value's count may be lost
+                        # (including the arriving value's)
+                        sweeps += 1
+                        for key, c in counters.items():
+                            counters[key] = c - 1
+                            if c == 1:
+                                free.append(key)
         yield pd.DataFrame(
             {
                 "value": list(counters.keys()) + [None],

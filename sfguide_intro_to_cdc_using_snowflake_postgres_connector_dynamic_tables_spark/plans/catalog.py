@@ -509,6 +509,35 @@ GROUP BY c.c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# Sketch family, exact-capacity mode: Misra-Gries heavy hitters with
+# capacity >= the distinct-value universe never sweeps, so estimates
+# are exact and the error certificate collapses to 0 -- the one mode a
+# second engine CAN hash-match.  This gives the sketch family
+# (operators/sketches.py) a driver-gated row; the approximate modes'
+# error contracts live in tests/test_sketches.py (two engines' sketches
+# never match bit-for-bit).
+# ---------------------------------------------------------------------------
+
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    return heavy_hitters(e, "event_type", k=20, capacity=1024)
+
+
+SQL_HEAVY_HITTERS_EXACT = """
+SELECT CAST(event_type AS VARCHAR) AS value,
+       CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS max_undercount
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY est_count DESC, value ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # The catalog.
 # ---------------------------------------------------------------------------
 
@@ -534,6 +563,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "sql_entry": (q_sql_entry, SQL_SQL_ENTRY),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "heavy_hitters_exact": (q_heavy_hitters_exact, SQL_HEAVY_HITTERS_EXACT),
 }
 
 
@@ -562,68 +592,41 @@ def _register_extensions() -> None:
 #: ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and by
 #: ``tests/test_oracle_dtypes.py`` (schema audit).
 #:
-#: Round-5 tail composition (101 entries, 51-entry tail), verified by
-#: tests/test_gate_policy.py: 45 entries green in CORRECTNESS_r04.json
-#: plus 6 green in CORRECTNESS_r03.json (distinct, spend_bands,
-#: null_bands, semi_join, unpivot_metrics, pivot_status -- all tail in
-#: r4/r5, so round 6 MUST rotate these six back into the window).  All
-#: 17 new entries and everything touched this round
-#: (q12_priority_lines, minhash_near_dup, dup_components,
-#: purchase_summary, sessionize) sit in-window.
+#: Round-6 tail composition (102 entries, 52-entry tail), verified by
+#: tests/test_gate_policy.py.  The six entries whose last driver-green
+#: row was CORRECTNESS_r03 (distinct, spend_bands, null_bands,
+#: semi_join, unpivot_metrics, pivot_status) exhausted their two-round
+#: sit-out and rotate BACK INTO the window this round.  In exchange,
+#: seven r5-gate-green entries untouched in round 6 rotate out
+#: (filter_eq, range_filter, anti_join, top1_supplier, band_zero_fill,
+#: dedup_exact, rollup_pricing -- the seventh frees the slot for the
+#: new heavy_hitters_exact entry, which as a round-6 addition must sit
+#: in-window).  Everything touched this round (text_embed's gate
+#: projection, bloom_decontaminate) also stays in-window.
 _GATE_TAIL: tuple[str, ...] = (
-    # +2 slots for the round-5 event_transitions / anomaly_days
-    # additions: embedding_dup_pairs_lsh is untouched this round and
-    # r4-gate-green; unpivot_metrics is untouched and r3-gate-green
-    # (tail in r4 -- joins the round-6 must-rotate-back set alongside
-    # distinct/spend_bands/null_bands/semi_join below)
+    # r4-gate-green, untouched since: carried in the tail a 2nd round
     "embedding_dup_pairs_lsh",
-    "unpivot_metrics",
-    # +1 slot for the round-5 video_decode_features addition:
-    # pivot_status is untouched this round and r3-gate-green (tail in
-    # r4 -- the sixth member of the round-6 must-rotate-back set)
-    "pivot_status",
-    # +1 slot for the round-5 image_decode_features addition: ngram is
-    # untouched this round and was r4-gate-green
     "ngram_jaccard_dup",
-    # +2 slots for the round-5 bloom_decontaminate / boilerplate_ratio
-    # additions: left_join and json_extract are untouched this round
-    # and r4-gate-green
     "left_join",
     "json_extract",
-    # +2 slots for the round-5 funnel / cohort_retention additions:
-    # grouped_count and latest_per_key are untouched this round and
-    # r4-gate-green
     "grouped_count",
     "latest_per_key",
-    # +2 slots for the round-5 stratified_sample / quality_topfrac
-    # additions: scalar_functions and distinct are untouched this
-    # round and r4-gate-green
     "scalar_functions",
-    "distinct",
-    # +1 slot for the round-5 repeated_spans addition: spend_bands is
-    # untouched this round and r4-gate-green
-    "spend_bands",
-    # +1 slot for the round-5 audio_decode_features addition:
-    # null_bands is untouched this round and r4-gate-green
-    "null_bands",
-    # +1 slot for the round-5 window_frames addition: semi_join is
-    # untouched this round and r4-gate-green
-    "semi_join",
-    # +1 slot for the round-5 text_embed addition: tfidf is untouched
-    # this round and r4-gate-green
+    # r5-gate-green, untouched in round 6: swapped out for the six
+    # returning r3 entries plus the new heavy_hitters_exact slot
+    "filter_eq",
+    "range_filter",
+    "anti_join",
+    "top1_supplier",
+    "band_zero_fill",
+    "dedup_exact",
+    "rollup_pricing",
+    # r4-gate-green, untouched since: carried in the tail a 2nd round
     "tfidf",
-    # +1 slot for the round-5 text_sim_topk addition: text_clean is
-    # untouched this round and r4-gate-green
     "text_clean",
-    # +1 slot for the round-5 session_stats addition: pii_scrub is
-    # untouched this round and r4-gate-green
     "pii_scrub",
-    # +1 slot for the round-5 attribution addition: similarity_topk_ivf
-    # is untouched this round and r4-gate-green
     "similarity_topk_ivf",
     "window_analytics",
-    # sessionize was touched this round (keep-columns parameter) ->
-    # in-window; decontaminate (r4-green, untouched) takes its slot
     "decontaminate",
     "asof_last_order",
     "datetime_functions",

@@ -679,8 +679,17 @@ FROM i GROUP BY doc_id, span_id
 # ---------------------------------------------------------------------------
 
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate projection: the driver's canonicalizer sorts the pandas
+    # result and dies on list-typed cells (r5: `unhashable type:
+    # 'list'`), so the gate entry unpacks the vector into per-lane
+    # scalar columns s0..s15 (as text_sim_topk's oracle already does).
+    # `hashing_embed` itself still returns the array<bigint> column.
     docs = _t(spark, sf_dir, "documents")
-    return corpus.hashing_embed(docs, dim=16)
+    emb = corpus.hashing_embed(docs, dim=16)
+    return emb.select(
+        "doc_id",
+        *[emb["embedding"][i].alias(f"s{i}") for i in range(16)],
+    )
 
 
 def _hex4_sql(h: str) -> str:
@@ -694,8 +703,7 @@ WITH tok AS (
   WHERE t <> ''),
 b AS (SELECT doc_id, ({_hex4_sql("md5(t)")}) % 16 AS bucket FROM tok)
 SELECT doc_id,
-       list_value({", ".join(f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(16))})
-         AS embedding
+       {", ".join(f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}" for i in range(16))}
 FROM b GROUP BY doc_id
 """
 

