@@ -1,8 +1,10 @@
 """Corpus-management operators for training-data pipelines: deterministic
 splits and benchmark decontamination.
 
-Both are pure built-in-function dataflows (md5 / array HOFs / joins) --
-no Python in the hot path -- and both are keyed on a *content-independent
+Both are pure built-in-function dataflows (md5 / array HOFs / joins;
+the one exception is n-gram construction, which uses the Arrow-batched
+``text.word_grams_arrow`` because HOF gram-building is interpreted, not
+codegen'd) -- and both are keyed on a *content-independent
 deterministic hash* so reruns, backfills, and incremental appends land
 every document in the same split without coordination.  That property is
 what makes the split usable on a 1000-executor cluster: no global sort,
@@ -166,60 +168,64 @@ def bloom_decontaminate(
 
     Plan shape: bitmap build is one explode + groupBy over the (small)
     benchmark split, executed EXACTLY ONCE -- the folded bitmap
-    (<= BLOOM_BITS/32 = 32768 rows, ~128 KB, constant regardless of
-    benchmark size: that IS the Bloom contract) is materialized into a
-    local frame, the same bounded-driver-artifact pattern as the IVF
-    quantizer sample.  Left lazy, each of the BLOOM_K probe joins
-    would broadcast its own copy of the build subplan and re-scan /
-    re-tokenize the benchmark split three times (Catalyst's exchange
-    reuse does not unify them -- measured).  The probes are then
-    BLOOM_K broadcast-hash lookups of that local table per train gram
-    with NO shuffle on the train side except the final per-doc count
-    -- same shuffle count as ``decontaminate``, but the broadcast
-    payload is constant in benchmark size.
+    (<= BLOOM_BITS/32 = 32768 words, ~256 KB dense, constant regardless
+    of benchmark size: that IS the Bloom contract) is collected into a
+    DENSE array carried on a single-row broadcast, the same
+    bounded-driver-artifact pattern as the IVF quantizer sample.  All
+    BLOOM_K membership probes are then pure codegen expressions against
+    that one array (``element_at`` + bit test via a 32-entry
+    power-of-two lookup) -- ONE broadcast build total, zero hash joins,
+    zero row expansion; the gram stream stays map-side until the final
+    per-doc count, the plan's only train-side exchange.  (Two rejected
+    formulations, both measured at sf0.1: BLOOM_K broadcast-hash joins
+    against the sparse bitmap table = 3 broadcast exchanges + build
+    jobs, ~4x this plan's wall; and inlining the dense bitmap as an
+    ``F.lit(list)`` literal = a 32768-child CreateArray expression
+    tree that costs ~20 s of driver-side analysis per query.)
     """
-    from .text import tokens
+    from .text import word_grams_arrow
 
     split = assign_split(docs, id_col=id_col)
-    grams = _word_grams(tokens(F.col(text_col)), n)
+    # Arrow-batched gram builder: byte-identical output to
+    # _word_grams(tokens(...), n) but ~4x faster (HOFs are interpreted,
+    # not codegen'd -- see text.word_grams_arrow)
+    grams = word_grams_arrow(F.col(text_col), n, distinct=True)
     exploded = split.select(
         F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
     )
     built = bloom_build(
         exploded.filter(F.col("split") == "test").select("gram").distinct()
     )
-    bloom = docs.sparkSession.createDataFrame(built.collect(), built.schema)
+    words = [0] * (BLOOM_BITS // 32)
+    for r in built.collect():
+        words[r["word_idx"]] = r["word"]
     train = exploded.filter(F.col("split") == "train")
-    # a gram is flagged iff every probe finds its bit set.  One
-    # broadcast-hash lookup per probe (BLOOM_K narrow joins, no
-    # shuffle, no row expansion) beats the explode-then-count
-    # formulation by two shuffles; the gram stream stays map-side
-    # until the final per-doc count.
-    hits = train
+    # a gram is flagged iff every probe finds its bit set: positions
+    # are 20-bit (5 hex nibbles), so word_idx is always inside the
+    # dense array and an unset word reads 0 -> bit test fails, the
+    # miss case needs no special path.  The dense bitmap rides a
+    # 1-row broadcast (NOT an F.lit literal: a 32768-child CreateArray
+    # costs ~20 s of analyzer time per query) and is consumed inside
+    # the same codegen stage as the filter, so it is never copied into
+    # per-gram rows.
+    bloom_row = docs.sparkSession.createDataFrame(
+        [(words,)], schema="bloom array<bigint>"
+    )
+    pow2 = F.lit([1 << j for j in range(32)])
+    hits = train.crossJoin(F.broadcast(bloom_row))
     for i in range(BLOOM_K):
-        b = bloom.select(
-            F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}")
-        )
-        pos = _bloom_pos(F.col("gram"), i)
-        hits = (
-            hits.withColumn(f"pos{i}", pos)
-            .join(
-                F.broadcast(b),
-                (F.col(f"pos{i}") / 32).cast("long") == F.col(f"wi{i}"),
-                "left",
-            )
-            .filter(
-                # NULL w{i} (unmatched left join) compares NULL -> row
-                # dropped by Filter, so != 0 alone covers the miss case
-                F.expr(
-                    f"w{i} & shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))"
-                )
-                != 0
-            )
-        )
+        hits = hits.withColumn(f"pos{i}", _bloom_pos(F.col("gram"), i))
+    flagged = None
+    for i in range(BLOOM_K):
+        pos = F.col(f"pos{i}")
+        word = F.element_at(F.col("bloom"), (pos / 32).cast("int") + 1)
+        bit = F.element_at(pow2, (pos % 32).cast("int") + 1)
+        probe_hit = word.bitwiseAND(bit) != 0
+        flagged = probe_hit if flagged is None else (flagged & probe_hit)
+    hits = hits.filter(flagged)
     # (doc, gram) is unique entering the probes (array_distinct per
-    # doc) and every join is 1:1 on word_idx, so a plain count IS the
-    # distinct flagged-gram count -- no dedup pass needed
+    # doc), so a plain count IS the distinct flagged-gram count -- no
+    # dedup pass needed
     hits = hits.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
     train_ids = split.filter(F.col("split") == "train").select(
         F.col(id_col).alias("doc_id")
@@ -254,15 +260,17 @@ def boilerplate_ratio(
     straggler task at worst, and the alternative groupBy+join shape is
     available if a corpus's skew demands AQE splitting.
     """
-    from .text import tokens
+    from .text import word_grams_arrow
 
     from pyspark.sql import Window
 
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_word_grams(tokens(F.col(text_col)), n)).alias("gram"),
+        F.explode(word_grams_arrow(F.col(text_col), n, distinct=True)).alias(
+            "gram"
+        ),
     )
-    # grams are distinct per doc (_word_grams distincts), so the
+    # grams are distinct per doc (distinct=True above), so the
     # distinct-doc frequency is a plain count over the gram partition:
     # one shuffle instead of groupBy + shuffle-join-back
     freq = grams.withColumn(

@@ -5,9 +5,16 @@ transform/md5) -- no Python UDFs -- so they stay inside WholeStageCodegen
 and scale linearly with a 100 TB corpus.  Tokenization is simple
 whitespace split; every operator works per-row with no shuffle except
 the final aggregation a caller might add.
+
+One deliberate exception: ``word_grams_arrow`` is an Arrow-batched
+pandas UDF, because n-gram construction via higher-order functions is
+NOT codegen'd (interpreted slice+join per gram) and measures ~4x
+slower than the vectorized batch builder; see its docstring.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -28,6 +35,44 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def tokens(text: Column) -> Column:
     """Whitespace tokens with empties dropped (double spaces etc.)."""
     return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def word_grams_arrow(text: Column, n: int, distinct: bool = False) -> Column:
+    """Word ``n``-grams joined by '_', built in an Arrow-batched pandas
+    UDF; byte-identical output to the built-in formulation
+    ``transform(sequence(...), i -> concat_ws('_', slice(toks, i+1, n)))``
+    over ``tokens()``.
+
+    Why Python here, against this module's own JVM-side rule: Spark
+    does NOT codegen higher-order functions -- the transform/slice/
+    concat_ws gram builder runs on the interpreted expression path, one
+    array slice + string join allocation per gram, and profiles ~4x
+    slower than this vectorized batch builder at sf0.1 (2.7 s vs 0.6 s
+    for the documents table's 250k grams).  The Arrow batch transfer is
+    one text column out, one gram-array column back; state is
+    per-batch, nothing driver-side, so the 100 TB story is unchanged.
+
+    ``distinct=True`` dedups per document preserving first occurrence
+    (matches ``array_distinct``); positional consumers
+    (``repeated_spans``) need the default non-distinct, in-order form.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _grams(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s:
+            tk = [w for w in txt.split(" ") if w] if txt else []
+            if len(tk) < n:
+                out.append([])
+                continue
+            g = ["_".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+            if distinct:
+                g = list(dict.fromkeys(g))
+            out.append(g)
+        return pd.Series(out)
+
+    return _grams(text)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -372,16 +372,24 @@ def test_bloom_decontaminate_superset_of_exact(spark):
 
 def test_bloom_bitmap_bounded_and_broadcast(spark):
     """The bitmap table never exceeds BLOOM_BITS/32 rows no matter how
-    many grams go in, and the probe joins it via broadcast (the scale
-    contract: constant-size broadcast payload)."""
+    many grams go in, and the probes consume it via ONE single-row
+    broadcast (the scale contract: one constant-size broadcast payload,
+    no per-probe hash joins)."""
     grams = spark.range(0, 50_000).select(
         F.concat(F.lit("g"), F.col("id")).alias("gram")
     )
     bloom = corpus.bloom_build(grams)
     assert bloom.count() <= corpus.BLOOM_BITS // 32
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = corpus.bloom_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    df = corpus.bloom_decontaminate(docs)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the dense bitmap rides one 1-row broadcast nested-loop join; the
+    # K probes are codegen element_at lookups, not joins
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_boilerplate_ratio_planted(spark):
