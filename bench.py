@@ -306,6 +306,34 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--soak-pruned" in sys.argv:
+        # bucket-PRUNING soak (VERDICT r5 item 6): at 2000 keys/batch x
+        # 64 buckets the default soak touches every bucket, so its
+        # write-amplification number never exercises pruning.  Here the
+        # delta is key-localized relative to the bucket count (32 new
+        # PKs/batch over 256 buckets -> <=~12% of fact buckets touched
+        # per refresh), so per-refresh bytes must come out << live
+        # store bytes -- the measured O(delta-bucket) I/O claim.
+        # (256, not 1024: a 1024-file bootstrap per bucketed table
+        # blows the local wall-clock budget without changing the claim.)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_soak_pruned",
+                    **_soak_cdc(
+                        spark,
+                        batches=12,
+                        rows_per_batch=32,
+                        n_customers=2000,
+                        base_transactions=40000,
+                        buckets=256,
+                    ),
+                }
+            )
+        )
+        spark.stop()
+        return
+
     # warm up the JVM + parquet footers so q1 doesn't pay session startup
     CATALOG["global_agg"][0](spark, sf_dir).collect()
 
@@ -354,18 +382,25 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "duckdb_oracle_sec": oracle_timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_oracle_sec": oracle_timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    # The driver's BENCH_r{N}.json retains only a tail of stdout, which
+    # amputates the per-query timings (VERDICT r5 item 9); persist the
+    # full record as a repo artifact so rounds can be diffed without
+    # re-running the bench.
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # artifact write is best-effort; stdout is the contract
     spark.stop()
 
 

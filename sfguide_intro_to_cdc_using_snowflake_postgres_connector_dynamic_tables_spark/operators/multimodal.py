@@ -522,11 +522,16 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/AVI (uncompressed 24bpp DIB video) -> ((N, H, W, 3) uint8
-    RGB frames, fps).  Walks the chunk tree for real: stream header
-    (rate/scale -> fps), BITMAPINFOHEADER (geometry, 24bpp BI_RGB
-    validation), then every '00db'/'00dc' frame under 'movi'.  Raises
-    ``ValueError`` on anything else -- truncated chunks, compressed
-    streams, other bit depths."""
+    RGB frames, fps).  Walks the chunk tree for real: stream headers
+    are counted in hdrl order so the video stream's INDEX is known
+    (AVI frame chunks are named '##db' where ## is that 0-based index);
+    only the 'vids' stream's strf (geometry, 24bpp BI_RGB validation)
+    and only ITS '##db' raw-DIB frame chunks are accepted.  A '##dc'
+    chunk on the video stream is compressed-flagged data and raises
+    ``ValueError`` like every other malformed input (truncated chunks,
+    compressed streams, other bit depths); other streams' chunks
+    (audio '01wb' etc.) are skipped, so a multi-stream AVI cannot be
+    misparsed into garbage frames."""
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
         raise ValueError("not a RIFF container")
     if payload[8:12] != b"AVI ":
@@ -536,21 +541,33 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     w = h = None
     fps = None
     bottom_up = True
+    stream_idx = -1  # 0-based position of the current strh in hdrl order
+    vids_idx = None  # stream index of the FIRST 'vids' stream
+    vids_db = vids_dc = None  # its '##db' / '##dc' chunk ids
     dibs: list[bytes] = []
 
     def walk(start: int, stop: int) -> None:
-        nonlocal w, h, fps, bottom_up
+        nonlocal w, h, fps, bottom_up, stream_idx, vids_idx, vids_db, vids_dc
 
         for fourcc, data, size in _riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 walk(data + 4, data + size)
             elif fourcc == b"strh" and size >= 48:
-                if payload[data : data + 4] != b"vids":
+                stream_idx += 1
+                if payload[data : data + 4] != b"vids" or vids_idx is not None:
                     continue
+                vids_idx = stream_idx
+                vids_db = b"%02ddb" % vids_idx
+                vids_dc = b"%02ddc" % vids_idx
                 scale, rate = struct.unpack_from("<II", payload, data + 20)
                 if scale > 0 and rate > 0:
                     fps = rate // scale
             elif fourcc == b"strf" and size >= 40 and w is None:
+                # bind geometry only to the vids stream's format chunk
+                # (strf follows its strh inside the same strl LIST); a
+                # preceding audio stream's strf must not win
+                if vids_idx is None or stream_idx != vids_idx:
+                    continue
                 _hs, bw, bh, _planes, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, data
                 )
@@ -563,7 +580,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 # positive biHeight = bottom-up rows (the common case);
                 # negative = top-down -- honor the sign like _decode_bmp
                 w, h, bottom_up = bw, abs(bh), bh > 0
-            elif fourcc in (b"00db", b"00dc"):
+            elif vids_idx is not None and fourcc == vids_dc:
+                raise ValueError(
+                    "compressed ('##dc') video frames not supported"
+                )
+            elif vids_idx is not None and fourcc == vids_db:
                 dibs.append(payload[data : data + size])
 
     walk(12, end)

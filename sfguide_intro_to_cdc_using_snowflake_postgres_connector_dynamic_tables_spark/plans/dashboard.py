@@ -65,10 +65,15 @@ def categorize_by_age(summary: DataFrame) -> DataFrame:
 def spend_band_counts(spending: DataFrame) -> DataFrame:
     """Counts per spend band with zero-fill (A7).
 
-    The reference reindexes client-side so all 3 bands appear even with
-    0 members (``customer_spending_dashboard.py:39-41``); we left-join
-    a literal band dimension instead -- relational, and the 3-row dim
-    is a broadcast.
+    Mirrors ``display_spend_status_counts``
+    (``customer_spending_dashboard.py:37-41``) including its
+    positive-spend guard: customers whose Purchase total is <= 0 (all
+    refunded, data glitches) are excluded BEFORE counting -- vacuous on
+    reference-generated data (purchase sums are positive) but a real
+    divergence for a user porting the dashboard onto dirtier data.
+    The reference reindexes client-side so all 3 bands appear even
+    with 0 members (``:39-41``); we left-join a literal band dimension
+    instead -- relational, and the 3-row dim is a broadcast.
     """
     spark = spending.sparkSession
     bands = spark.range(1).select(
@@ -76,7 +81,9 @@ def spend_band_counts(spending: DataFrame) -> DataFrame:
             F.array(F.lit("Low Spenders"), F.lit("Medium Spenders"), F.lit("High Spenders"))
         ).alias("spend_status")
     )
-    counts = spending.groupBy("spend_status").count()
+    counts = (
+        spending.filter(F.col("total_price") > 0).groupBy("spend_status").count()
+    )
     return (
         bands.join(counts, "spend_status", "left")
         .select("spend_status", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
@@ -89,6 +96,36 @@ def filter_by_date_range(summary: DataFrame, start, end) -> DataFrame:
         (F.col("transaction_date") >= F.to_date(F.lit(start)))
         & (F.col("transaction_date") <= F.to_date(F.lit(end)))
     )
+
+
+def clamp_date_range(summary: DataFrame, start, end, today=None):
+    """Sidebar date-clamp semantics
+    (``customer_spending_dashboard.py:54-62``): an end date in the
+    future clamps to today, a start date before the earliest
+    ``transaction_date`` clamps to that earliest date.  Returns the
+    clamped ``(start, end)`` pair for ``filter_by_date_range``.
+
+    ``today`` is injectable for tests; the reference reads
+    ``CURRENT_DATE()``.  The earliest-date probe is a global MIN --
+    partial+final aggregate, one 1-row result, same as the reference's
+    ``select(min(TRANSACTION_DATE)).collect()``.
+    """
+    import datetime
+
+    if isinstance(start, str):
+        start = datetime.date.fromisoformat(start)
+    if isinstance(end, str):
+        end = datetime.date.fromisoformat(end)
+    if today is None:
+        today = datetime.date.today()
+    if end > today:
+        end = today
+    earliest = summary.select(
+        F.min("transaction_date").alias("earliest")
+    ).first()["earliest"]
+    if earliest is not None and start < earliest:
+        start = earliest
+    return start, end
 
 
 def customers_with_spend_status(summary: DataFrame, spending: DataFrame, status: str) -> DataFrame:

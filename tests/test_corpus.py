@@ -247,6 +247,17 @@ def test_connected_components_checkpoint_policies(spark, tmp_path):
             }
             assert local == reliable
             assert {local[v] for v in (1, 2, 3, 4)} == {1}
+        # round state must actually materialize in the reliable store
+        # (the fault-tolerance claim is the files, not just the labels)
+        import os
+
+        rdd_dirs = [
+            d
+            for root, dirs, _ in os.walk(str(tmp_path / "ckpt"))
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert rdd_dirs, "no reliable checkpoint files were written"
     finally:
         # conftest's session is shared; restore the no-dir default
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())

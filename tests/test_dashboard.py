@@ -130,8 +130,61 @@ def test_spend_band_zero_fill(spark, data):
     spending = dashboard.calculate_customer_spending(summary)
     counts = {r["spend_status"]: r["count"] for r in dashboard.spend_band_counts(spending).collect()}
     assert set(counts) == {"Low Spenders", "Medium Spenders", "High Spenders"}  # all bands present
-    total = spending.count()
-    assert sum(counts.values()) == total
+    # reference guard (customer_spending_dashboard.py:38): only
+    # positive-total customers are counted; on reference-shaped data
+    # every Purchase sum is positive so the counts cover everyone
+    positive_total = spending.filter(F.col("total_price") > 0).count()
+    assert sum(counts.values()) == positive_total == spending.count()
+
+
+def test_spend_band_counts_positive_guard(spark):
+    """A customer whose Purchase rows net to <= 0 (all refunded /
+    data glitch) is excluded from the band metrics, exactly like the
+    reference's ``filter(col("TOTAL_PRICE") > 0)``
+    (customer_spending_dashboard.py:38)."""
+    spending_rows = [
+        (1, 5000.0),   # Medium
+        (2, -120.0),   # negative net -> excluded
+        (3, 0.0),      # zero net -> excluded (strict >)
+        (4, 7000.0),   # High
+    ]
+    df = spark.createDataFrame(
+        spending_rows, "customer_id long, total_price double"
+    ).withColumn(
+        "spend_status",
+        F.when(F.col("total_price") < 4000, F.lit("Low Spenders"))
+        .when(F.col("total_price") < 6000, F.lit("Medium Spenders"))
+        .otherwise(F.lit("High Spenders")),
+    )
+    counts = {
+        r["spend_status"]: r["count"]
+        for r in dashboard.spend_band_counts(df).collect()
+    }
+    assert counts == {
+        "Low Spenders": 0,  # the negative/zero customers fell in Low but are guarded out
+        "Medium Spenders": 1,
+        "High Spenders": 1,
+    }
+
+
+def test_clamp_date_range(spark, data):
+    """Sidebar clamp parity (customer_spending_dashboard.py:54-62):
+    future end -> today, start before the data -> earliest date."""
+    import datetime
+
+    dfs, summary, con = data
+    earliest = summary.select(F.min("transaction_date").alias("m")).first()["m"]
+    today = datetime.date(2024, 6, 1)
+    # both out of range: start long before the data, end in the future
+    s, e = dashboard.clamp_date_range(
+        summary, "1990-01-01", "2999-12-31", today=today
+    )
+    assert s == earliest and e == today
+    # both in range: passed through untouched
+    s2, e2 = dashboard.clamp_date_range(
+        summary, earliest, today - datetime.timedelta(days=1), today=today
+    )
+    assert s2 == earliest and e2 == today - datetime.timedelta(days=1)
 
 
 def test_semi_join_restriction(data):

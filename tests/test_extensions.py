@@ -404,6 +404,79 @@ def test_avi_roundtrip_and_rejection(spark):
     assert row["feature"][4] == float(src.astype(np.int64).sum() % 997)
 
 
+def test_avi_multistream_binds_vids_and_rejects_compressed():
+    """Stream-index parity: in a two-stream AVI (audio strl first) the
+    decoder must bind geometry to the 'vids' stream's strf and read
+    frames from ITS '##db' chunks ('01db' here), skipping the audio
+    stream's strf and '01wb' data; pre-fix it bound the first >=40-byte
+    strf it saw.  Compressed-flagged '##dc' video chunks raise."""
+    import struct
+
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 256, size=(2, 4, 6, 3), dtype=np.uint8)
+    n, h, w, _ = src.shape
+    fps = 10
+    row = (w * 3 + 3) & ~3
+    frame_size = row * h
+
+    def dib(frame):
+        rows = np.zeros((h, row), dtype=np.uint8)
+        rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 2,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    # stream 0: audio.  Its strf is deliberately a 40-byte blob that a
+    # BITMAPINFOHEADER parse would read as bpp=16/comp=1 -- the pre-fix
+    # decoder bound it and raised; the fixed one must skip it.
+    strh_a = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHH8I4H", 0, 0, 0, 0, 1, 8000, 0, 16, 0, 0, 2, 0, 0, 0, 0
+    )
+    strf_a = struct.pack("<IiiHHIIiiII", 40, 999, 999, 1, 16, 1, 0, 0, 0, 0, 0)
+    strl_a = chunk(b"LIST", b"strl" + chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+    # stream 1: the real video stream (frame chunks are '01db')
+    strh_v = b"vids" + b"DIB " + struct.pack(
+        "<IHH8I4H", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h
+    )
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strl_v = chunk(b"LIST", b"strl" + chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl_a + strl_v)
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + chunk(b"01wb", b"\x00" * 32)  # audio data: must be skipped
+        + b"".join(chunk(b"01db", dib(f)) for f in src),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    frames, got_fps = decode_avi(payload)
+    assert got_fps == fps
+    assert np.array_equal(frames, src)
+
+    # compressed-flagged video data ('00dc') is rejected, not misread
+    # as raw DIB (zero frames keep the byte swap collision-free)
+    clean = encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8), fps=5)
+    bad = clean.replace(b"00db", b"00dc")
+    try:
+        decode_avi(bad)
+        raise AssertionError("expected ValueError for compressed frames")
+    except ValueError:
+        pass
+
+
 def test_sample_video_frames_real_bridge(spark):
     """video -> image bridge: sampled frames decode back pixel-exact
     and flow into the real image feature kernel."""
