@@ -122,3 +122,55 @@ def test_bucketed_range_join_matches_naive_property(spark, values, ranges, step)
         if lo <= v < lo + w
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c ")),  # space-heavy: empties, runs
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_word_grams_arrow_matches_hof_builder(spark, texts, n):
+    """Differential property: the Arrow-batched gram builder is
+    byte-identical to the built-in HOF formulation it replaced
+    (transform+slice+concat_ws over tokens()), in both positional and
+    per-doc-distinct modes, on adversarial whitespace (leading/trailing
+    spaces, runs of spaces, empty and sub-n documents)."""
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
+        tokens,
+        word_grams_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = tokens(F.col("text"))
+    hof = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = docs.select(
+        "doc_id",
+        hof.alias("expected"),
+        F.array_distinct(hof).alias("expected_distinct"),
+        word_grams_arrow(F.col("text"), n).alias("got"),
+        word_grams_arrow(F.col("text"), n, distinct=True).alias("got_distinct"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], (r["doc_id"], texts[r["doc_id"]])
+        assert r["got_distinct"] == r["expected_distinct"], (
+            r["doc_id"],
+            texts[r["doc_id"]],
+        )
