@@ -537,6 +537,43 @@ LIMIT 20
 """
 
 
+def q_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna in exact mode: with ``accuracy`` >= the group
+    row count the rank error bound n/accuracy drops below one rank, so
+    ``percentile_approx`` returns exact DISCRETE quantiles (actual data
+    elements) and DuckDB's ``quantile_disc`` can hash-match them.
+    Verified empirically at sf0.001 and sf0.01 across 6 quantile points
+    x 3 groups before gating (the two engines' discrete-rank
+    conventions agree on this data; ties in l_quantity make boundary
+    conventions moot).  The approximate mode's rank-error contract
+    stays pinned in tests/test_sketches.py."""
+    from ..operators.sketches import approx_percentiles_by
+
+    out = approx_percentiles_by(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        [0.25, 0.5, 0.9],
+        accuracy=10_000_000,
+    )
+    p = F.col("approx_percentiles")
+    return out.select(
+        "l_returnflag",
+        p[0].alias("p25"),
+        p[1].alias("p50"),
+        p[2].alias("p90"),
+    )
+
+
+SQL_APPROX_PERCENTILE_EXACT = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS p25,
+       quantile_disc(l_quantity, 0.5) AS p50,
+       quantile_disc(l_quantity, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # The catalog.
 # ---------------------------------------------------------------------------
@@ -564,6 +601,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "sql_entry": (q_sql_entry, SQL_SQL_ENTRY),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "heavy_hitters_exact": (q_heavy_hitters_exact, SQL_HEAVY_HITTERS_EXACT),
+    "approx_percentile_exact": (
+        q_approx_percentile_exact,
+        SQL_APPROX_PERCENTILE_EXACT,
+    ),
 }
 
 
@@ -592,17 +633,18 @@ def _register_extensions() -> None:
 #: ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and by
 #: ``tests/test_oracle_dtypes.py`` (schema audit).
 #:
-#: Round-6 tail composition (102 entries, 52-entry tail), verified by
+#: Round-6 tail composition (103 entries, 53-entry tail), verified by
 #: tests/test_gate_policy.py.  The six entries whose last driver-green
 #: row was CORRECTNESS_r03 (distinct, spend_bands, null_bands,
 #: semi_join, unpivot_metrics, pivot_status) exhausted their two-round
 #: sit-out and rotate BACK INTO the window this round.  In exchange,
-#: seven r5-gate-green entries untouched in round 6 rotate out
+#: eight r5-gate-green entries untouched in round 6 rotate out
 #: (filter_eq, range_filter, anti_join, top1_supplier, band_zero_fill,
-#: dedup_exact, rollup_pricing -- the seventh frees the slot for the
-#: new heavy_hitters_exact entry, which as a round-6 addition must sit
-#: in-window).  Everything touched this round (text_embed's gate
-#: projection, bloom_decontaminate) also stays in-window.
+#: dedup_exact, rollup_pricing, q3_top_orders -- the last two free
+#: slots for the new heavy_hitters_exact / approx_percentile_exact
+#: entries, which as round-6 additions must sit in-window).
+#: Everything touched this round (text_embed's gate projection,
+#: bloom_decontaminate) also stays in-window.
 _GATE_TAIL: tuple[str, ...] = (
     # r4-gate-green, untouched since: carried in the tail a 2nd round
     "embedding_dup_pairs_lsh",
@@ -621,6 +663,7 @@ _GATE_TAIL: tuple[str, ...] = (
     "band_zero_fill",
     "dedup_exact",
     "rollup_pricing",
+    "q3_top_orders",
     # r4-gate-green, untouched since: carried in the tail a 2nd round
     "tfidf",
     "text_clean",
