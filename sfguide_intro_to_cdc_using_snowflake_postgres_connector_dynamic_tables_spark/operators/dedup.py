@@ -229,21 +229,14 @@ def ngram_jaccard_pairs(
     Same LSH skeleton as ``minhash_lsh_pairs`` but the set elements are
     order-sensitive n-grams, so reordered documents stop matching.
     """
-    toks = tokens(F.col(text_col))
-    # Guard short docs: F.sequence(0, size-n) is DESCENDING when
-    # size < n (Spark then throws INVALID_PARAMETER_VALUE.START on the
-    # slice).  Docs with fewer than n tokens have no n-grams -- emit an
-    # empty set so they simply drop out at the explode, matching the
-    # oracle's range() semantics.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws("_", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from .text import word_grams_arrow
+
+    # Arrow-batched gram builder (byte-identical to the HOF
+    # transform/slice/concat_ws form, property-tested; docs shorter
+    # than n tokens yield an empty set and drop out at the explode,
+    # matching the oracle's range() semantics); distinct=True matches
+    # the previous array_distinct per doc
+    grams = word_grams_arrow(F.col(text_col), n, distinct=True)
     gram_docs = docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("token")).distinct()
     # shingle sets feed the shared LSH engine directly -- no re-serialize/
     # re-tokenize round trip

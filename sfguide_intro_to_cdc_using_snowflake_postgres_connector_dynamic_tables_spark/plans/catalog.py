@@ -644,11 +644,11 @@ def _register_extensions() -> None:
 #: slots for the new heavy_hitters_exact / approx_percentile_exact
 #: entries, which as round-6 additions must sit in-window).
 #: Everything touched this round (text_embed's gate projection,
-#: bloom_decontaminate) also stays in-window.
+#: bloom_decontaminate, ngram_jaccard_dup's Arrow gram builder --
+#: swapped back in against q5_region_volume) also stays in-window.
 _GATE_TAIL: tuple[str, ...] = (
     # r4-gate-green, untouched since: carried in the tail a 2nd round
     "embedding_dup_pairs_lsh",
-    "ngram_jaccard_dup",
     "left_join",
     "json_extract",
     "grouped_count",
@@ -664,6 +664,10 @@ _GATE_TAIL: tuple[str, ...] = (
     "dedup_exact",
     "rollup_pricing",
     "q3_top_orders",
+    # ngram_jaccard_dup was TOUCHED in round 6 (Arrow gram builder) so
+    # it must re-enter the window a round early; q5_region_volume
+    # (r5-green, untouched) takes its tail slot
+    "q5_region_volume",
     # r4-gate-green, untouched since: carried in the tail a 2nd round
     "tfidf",
     "text_clean",
