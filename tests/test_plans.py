@@ -280,3 +280,29 @@ def test_anomaly_days_window_over_days_not_events(spark):
     # zero-fill rides the aggregated frame's lag, never a second pass
     # over the source (a min/max-bounds subtree would scan events twice)
     assert sum("FileScan" in l for l in lines) == 1
+
+
+def test_repeated_spans_two_keyed_exchanges_no_joins(spark):
+    """Round-6 shape: Arrow gram stage -> posexplode -> gram-count
+    window partitioned on (xxhash64(gram), gram) -> per-doc
+    gaps-and-islands window -> span agg that REUSES the doc_id
+    partitioning.  Two exchanges total, zero joins, pruned scan."""
+    plan = plan_of(CATALOG["repeated_spans"][0](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan  # no self-join formulation crept back
+    assert "ArrowEvalPython" in plan  # the vectorized gram builder
+    # the gram window sorts longs first (hash prefix in the key)
+    assert "xxhash64" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_bloom_decontaminate_single_broadcast_no_hash_joins(spark):
+    """Round-6 shape: the dense bitmap rides ONE 1-row broadcast
+    nested-loop join; the BLOOM_K probes are codegen element_at
+    lookups, so no per-probe BroadcastHashJoin remains and the train
+    side has exactly one exchange (the per-doc count)."""
+    plan = plan_of(CATALOG["bloom_decontaminate"][0](spark, SF), mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("BroadcastExchange") == 1
