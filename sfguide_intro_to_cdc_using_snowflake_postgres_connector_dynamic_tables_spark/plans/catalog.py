@@ -620,102 +620,114 @@ def _register_extensions() -> None:
     CATALOG.update(TRAIN_CATALOG)
 
 
-#: The driver's CORRECTNESS gate hashes only the FIRST 50 ``queries()``
-#: entries (dict insertion order).  Rotation policy (round 5): every
-#: tail entry earned a driver-green row in one of the TWO preceding
-#: rounds' gates (r4 or r3 -- with 100 entries and a 50-entry window, a
-#: two-round rotation cycle is the tightest possible), sits out at most
-#: two rounds, and then rotates back in, so every entry re-earns a
-#: driver-green row at least every third round.  Entries ADDED OR
-#: MODIFIED in the current round must stay inside the first-50 window
-#: (never rotate out work the driver hasn't re-verified).  Tail entries
-#: remain fully oracle-checked every round by
-#: ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and by
+#: The driver's CORRECTNESS gate hashes only the FIRST ``_GATE_WINDOW``
+#: ``queries()`` entries (dict insertion order).  Rotation policy:
+#: every entry must re-earn a driver-green row at least every third
+#: round (two-round sit-out max), entries never recorded or red in the
+#: latest record stay in-window, and entries whose engine code was
+#: touched this round stay in-window (never rotate out work the driver
+#: hasn't re-verified).  Tail entries remain fully oracle-checked every
+#: round by ``tests/test_catalog_oracle.py`` (ALL entries, sf0.001) and
 #: ``tests/test_oracle_dtypes.py`` (schema audit).
 #:
-#: Round-6 tail composition (103 entries, 53-entry tail), verified by
-#: tests/test_gate_policy.py.  The six entries whose last driver-green
-#: row was CORRECTNESS_r03 (distinct, spend_bands, null_bands,
-#: semi_join, unpivot_metrics, pivot_status) exhausted their two-round
-#: sit-out and rotate BACK INTO the window this round.  In exchange,
-#: eight r5-gate-green entries untouched in round 6 rotate out
-#: (filter_eq, range_filter, anti_join, top1_supplier, band_zero_fill,
-#: dedup_exact, rollup_pricing, q3_top_orders -- the last two free
-#: slots for the new heavy_hitters_exact / approx_percentile_exact
-#: entries, which as round-6 additions must sit in-window).
-#: Everything touched this round (text_embed's gate projection,
-#: bloom_decontaminate, ngram_jaccard_dup's Arrow gram builder --
-#: swapped back in against q5_region_volume) also stays in-window.
-_GATE_TAIL: tuple[str, ...] = (
-    # r4-gate-green, untouched since: carried in the tail a 2nd round
-    "embedding_dup_pairs_lsh",
-    "left_join",
-    "json_extract",
-    "grouped_count",
-    "latest_per_key",
-    "scalar_functions",
-    # r5-gate-green, untouched in round 6: swapped out for the six
-    # returning r3 entries plus the new heavy_hitters_exact slot
-    "filter_eq",
-    "range_filter",
-    "anti_join",
-    "top1_supplier",
-    "band_zero_fill",
-    "dedup_exact",
-    "rollup_pricing",
-    "q3_top_orders",
-    # ngram_jaccard_dup was TOUCHED in round 6 (Arrow gram builder) so
-    # it must re-enter the window a round early; q5_region_volume
-    # (r5-green, untouched) takes its tail slot
-    "q5_region_volume",
-    # r4-gate-green, untouched since: carried in the tail a 2nd round
-    "tfidf",
-    "text_clean",
-    "pii_scrub",
-    "similarity_topk_ivf",
-    "window_analytics",
-    "decontaminate",
-    "asof_last_order",
-    "datetime_functions",
-    "set_ops",
-    "grouped_count_distinct",
-    "array_functions",
-    "skew_join_salted",
-    "grouping_sets",
-    "topk_per_group",
-    "range_band_join",
-    "cube_agg",
-    "interval_join",
-    "chunk_documents",
-    "corpus_split",
-    "mixture_sample",
-    "sequence_pack",
-    "token_budget",
-    "vocab_topk",
-    "stats_pack",
-    "repetition_stats",
-    "unigram_logprob",
-    "q4_priority_count",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q13_order_histogram",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_banded_revenue",
-    "q22_dormant_value_customers",
+#: Since round 6 the rotation is SELF-COMPUTING from the committed
+#: CORRECTNESS_r*.json records (manual tail lists through round 5
+#: went red the moment the driver committed a new record, because the
+#: rotation could only be hand-edited at the START of the next round):
+#: the window takes, in order, (a) forced entries -- never recorded,
+#: red in the latest record, or in ``_TOUCHED_THIS_ROUND`` -- then
+#: (b) the STALEST-green entries, so recording a new round re-rotates
+#: the window automatically and ``tests/test_gate_policy.py`` stays
+#: green across the record commit.  Builders maintain exactly one
+#: thing per round: the ``_TOUCHED_THIS_ROUND`` set below.
+_GATE_WINDOW = 50
+
+#: Catalog entries whose ENGINE CODE was added or modified in the
+#: current round (round 6).  Reset this set at the start of each round.
+_TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "text_embed",              # gate projection -> s0..s15 lanes
+        "bloom_decontaminate",     # single-broadcast dense-bitmap probe
+        "boilerplate_ratio",       # Arrow gram builder
+        "repeated_spans",          # Arrow grams + hash-prefixed window key
+        "ngram_jaccard_dup",       # Arrow gram builder
+        "heavy_hitters_exact",     # new entry (weighted MG)
+        "approx_percentile_exact", # new entry (GK exact mode)
+        "video_decode_features",   # decode_avi stream-index binding
+        "frame_sample",            # rides decode_avi
+        "multimodal_features",     # rides decode_avi
+    }
 )
 
 
+def _recorded_rounds() -> list[tuple[int, dict]]:
+    """(round, record) for every committed CORRECTNESS_r*.json,
+    ascending; unreadable files are skipped (never break imports)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    out: list[tuple[int, dict]] = []
+    for p in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)\.json$", _os.path.basename(p))
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                rec = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict):
+            out.append((int(m.group(1)), rec))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
 def _reorder_for_gate() -> None:
-    ordered = {k: v for k, v in CATALOG.items() if k not in _GATE_TAIL}
-    ordered.update({k: CATALOG[k] for k in _GATE_TAIL if k in CATALOG})
+    records = _recorded_rounds()
+    last_green: dict[str, int] = {}
+    for rnd, rec in records:
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last_green[name] = rnd
+    red_latest: set[str] = set()
+    if records:
+        red_latest = {
+            name
+            for name, row in records[-1][1].items()
+            if isinstance(row, dict) and not row.get("hash_match")
+        }
+    names = list(CATALOG)
+    pos = {n: i for i, n in enumerate(names)}
+    forced = [
+        n
+        for n in names
+        if n not in last_green or n in red_latest or n in _TOUCHED_THIS_ROUND
+    ]
+    if len(forced) > _GATE_WINDOW:
+        raise RuntimeError(
+            f"{len(forced)} forced gate entries (new/red/touched) exceed "
+            f"the {_GATE_WINDOW}-entry driver window -- stop adding "
+            "entries or split the round"
+        )
+    forced_set = set(forced)
+    rest = sorted(
+        (n for n in names if n not in forced_set),
+        key=lambda n: (last_green[n], pos[n]),
+    )
+    CATALOG_ORDER = forced + rest
+    ordered = {n: CATALOG[n] for n in CATALOG_ORDER}
     CATALOG.clear()
     CATALOG.update(ordered)
 
 
 _register_extensions()
 _reorder_for_gate()
+
+#: Derived view of the current tail (everything outside the hashed
+#: window), for tests/test_gate_policy.py and humans.
+_GATE_TAIL: tuple[str, ...] = tuple(list(CATALOG)[_GATE_WINDOW:])
