@@ -702,12 +702,14 @@ def _reorder_for_gate() -> None:
             if isinstance(row, dict) and not row.get("hash_match")
         }
     names = list(CATALOG)
-    pos = {n: i for i, n in enumerate(names)}
-    forced = [
+    # canonical (current-order-independent) sort keys so the reorder
+    # is IDEMPOTENT: calling it again -- e.g. after a new record lands
+    # mid-session, or in tests -- must yield the identical order
+    forced = sorted(
         n
         for n in names
         if n not in last_green or n in red_latest or n in _TOUCHED_THIS_ROUND
-    ]
+    )
     if len(forced) > _GATE_WINDOW:
         raise RuntimeError(
             f"{len(forced)} forced gate entries (new/red/touched) exceed "
@@ -717,10 +719,9 @@ def _reorder_for_gate() -> None:
     forced_set = set(forced)
     rest = sorted(
         (n for n in names if n not in forced_set),
-        key=lambda n: (last_green[n], pos[n]),
+        key=lambda n: (last_green[n], n),
     )
-    CATALOG_ORDER = forced + rest
-    ordered = {n: CATALOG[n] for n in CATALOG_ORDER}
+    ordered = {n: CATALOG[n] for n in forced + rest}
     CATALOG.clear()
     CATALOG.update(ordered)
 

@@ -192,7 +192,7 @@ def test_catalog_registry_integrity(spark):
     assert not missing, f"_GATE_TAIL names not in CATALOG: {missing}"
     assert len(names) - len(_GATE_TAIL) == 50, (
         f"gate head is {len(names) - len(_GATE_TAIL)} entries, not 50 -- "
-        "rotate one stable entry into _GATE_TAIL per new entry added"
+        "the self-computing rotation (plans/catalog.py) is broken"
     )
     assert names[-len(_GATE_TAIL):] == list(_GATE_TAIL)
     for name, (fn, sql) in CATALOG.items():
