@@ -656,6 +656,8 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "video_decode_features",   # decode_avi stream-index binding
         "frame_sample",            # rides decode_avi
         "multimodal_features",     # rides decode_avi
+        "q11_important_parts",     # new entry (Q11 HAVING-over-global shape)
+        "q21_waiting_suppliers",   # new entry (Q21 EXISTS/NOT-EXISTS shape)
     }
 )
 

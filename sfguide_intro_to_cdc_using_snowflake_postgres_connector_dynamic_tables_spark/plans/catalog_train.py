@@ -397,8 +397,11 @@ WHERE p_brand = 'Brand#23'
 
 
 # ---------------------------------------------------------------------------
-# The remaining TPC-H shapes the driver schema supports (Q2/Q11/Q20
-# need partsupp, Q21 needs commit/receipt dates -- absent by design).
+# The remaining TPC-H shapes the driver schema supports.  Q2/Q9/Q20
+# need partsupp (absent by design); Q11's HAVING-over-global-scalar
+# and Q21's double-correlated EXISTS/NOT EXISTS shapes are covered as
+# analogues on the available columns (q11_important_parts,
+# q21_waiting_suppliers below).
 # ---------------------------------------------------------------------------
 
 def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +628,109 @@ WHERE total_rev = (SELECT max(total_rev) FROM rev)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 shape: grouped aggregate kept only when it exceeds a fraction of
+# the GLOBAL aggregate (HAVING against a scalar subquery).  TPC-H Q11
+# runs this over partsupp value; the driver schema has no partsupp, so
+# the analogue ranks parts by lineitem revenue share.  The global total
+# is a second partial+final agg over the (tiny) grouped result, joined
+# back as a 1-row broadcast -- never a per-row subquery.
+# ---------------------------------------------------------------------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    rev = l.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    total = rev.agg(F.sum("value").alias("__total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.0006) * F.col("__total"))
+        .select("partkey", "value")
+    )
+
+
+SQL_Q11_IMPORTANT_PARTS = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY 1)
+SELECT partkey, value FROM rev
+WHERE value > 0.0006 * (SELECT sum(value) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: double-correlated EXISTS + NOT EXISTS over the same fact
+# table.  TPC-H Q21 defines "kept waiting" via receipt/commit dates
+# (absent from the driver schema); the analogue calls a line late when
+# it ships >100 days after its order date, keeping the exact Q21
+# skeleton: among finished ('F') orders, count per supplier the late
+# lines on multi-supplier orders where NO other supplier was late.
+# Both quantifiers decorrelate to hash joins -- EXISTS becomes a
+# left-semi and NOT EXISTS a left-anti against key-projected sides,
+# each an equi-join on orderkey with the supplier inequality as a
+# post-probe filter, so nothing is quadratic in order size.
+# ---------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("a_orderkey"))
+            & (F.col("l_suppkey") != F.col("a_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "left_anti",
+        )
+    )
+    s = broadcast_if_small(_t(spark, sf_dir, "supplier"), sf_dir, "supplier")
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_Q21_WAITING_SUPPLIERS = """
+SELECT s_name AS name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+GROUP BY 1
+"""
+
+
 TRAIN_CATALOG = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
@@ -645,4 +751,6 @@ TRAIN_CATALOG = {
     "q8_market_share": (q8_market_share, SQL_Q8_MARKET_SHARE),
     "q13_order_histogram": (q13_order_histogram, SQL_Q13_ORDER_HISTOGRAM),
     "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "q11_important_parts": (q11_important_parts, SQL_Q11_IMPORTANT_PARTS),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, SQL_Q21_WAITING_SUPPLIERS),
 }
