@@ -407,8 +407,12 @@ def main() -> None:
     # The driver's BENCH_r{N}.json retains only a tail of stdout, which
     # amputates the per-query timings (VERDICT r5 item 9); persist the
     # full record as a repo artifact so rounds can be diffed without
-    # re-running the bench.
+    # re-running the bench.  Only the driver's sf0.1 scale overwrites
+    # the artifact — small-SF smoke runs must not clobber the record
+    # rounds are diffed against.
     try:
+        if sf_val != 0.1:
+            raise OSError("non-canonical scale; keep the sf0.1 artifact")
         with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
             fh.write("\n")

@@ -119,12 +119,18 @@ BLOOM_K = 3  # probes per gram
 
 def _bloom_pos(gram: Column, probe: int) -> Column:
     """Deterministic bit position in [0, BLOOM_BITS) for ``gram`` under
-    probe ``probe``: the first five hex nibbles of
-    ``md5('<probe>:' || gram)``.  md5-derived so the DuckDB oracle can
-    rebuild the identical position with strpos nibble arithmetic (the
-    same trick as ``hash_bucket``)."""
-    h = F.md5(F.concat_ws(":", F.lit(str(probe)), gram))
-    return F.conv(F.substring(h, 1, 5), 16, 10).cast("long")
+    probe ``probe``: five hex nibbles of ``md5(gram)`` at offset
+    ``5*probe``.  ONE digest serves all BLOOM_K probes (md5 has 32
+    nibbles; 3x5 used) -- disjoint slices of a single digest are as
+    independent as K salted hashes for Bloom purposes, and hashing is
+    the dominant per-gram cost, so this cuts it K-fold vs the salted
+    formulation (measured 3x fewer md5 evals at sf0.1).  md5-derived so
+    the DuckDB oracle can rebuild the identical position with strpos
+    nibble arithmetic (the same trick as ``hash_bucket``); codegen's
+    common-subexpression elimination evaluates the shared digest once
+    per gram."""
+    h = F.md5(gram)
+    return F.conv(F.substring(h, 1 + 5 * probe, 5), 16, 10).cast("long")
 
 
 def bloom_build(grams: DataFrame, gram_col: str = "gram") -> DataFrame:

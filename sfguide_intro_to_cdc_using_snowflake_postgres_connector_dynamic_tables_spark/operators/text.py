@@ -282,6 +282,71 @@ def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` ranking of documents against a bag of
+    query terms (the classic retrieval scorer TF-IDF lacks: saturated
+    term frequency + document-length normalization).
+
+    ``score(d) = SUM_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*len/avgdl))``
+    with the Robertson smoothed ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Distributed shape: corpus stats (N, avgdl) come from a map-only
+    ``size(tokens)`` pass and ride a 1-row broadcast; the explode is
+    filtered to the query terms BEFORE any aggregation, so the keyed
+    shuffles carry only matching postings (at 100 TB the term filter
+    prunes the exchange to a sliver of the corpus, exactly like an
+    inverted-index probe); the final top-k is TakeOrdered -- no global
+    sort.  Ties break on ``doc_id`` so the cut at ``k`` is
+    deterministic.
+    """
+    toks = tokens(F.col(text_col))
+    lens = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("doc_len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("doc_len"),
+            F.explode(toks).alias("token"),
+        )
+        .filter(F.col("token").isin(*query_terms))
+    )
+    # doc_len is functionally dependent on doc_id; keeping it in the
+    # grouping key carries it through without a join back to the full
+    # corpus-length table.
+    tf = postings.groupBy("doc_id", "doc_len", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # tf already has exactly one row per (doc, term), so document
+    # frequency is a re-aggregation of tf -- no second corpus scan,
+    # and the executed plan reuses tf's exchange (ReusedExchange).
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -488,19 +488,21 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bloom_decontaminate(docs)
 
 
-def _hex_sql(h: str, nibbles: int) -> str:
-    """DuckDB expression: int value of the first ``nibbles`` hex digits
-    of md5 expression ``h`` (mirrors Spark's
-    conv(substr(md5, 1, nibbles), 16, 10))."""
+def _hex_sql(h: str, nibbles: int, start: int = 0) -> str:
+    """DuckDB expression: int value of ``nibbles`` hex digits of md5
+    expression ``h`` starting at 0-based offset ``start`` (mirrors
+    Spark's conv(substr(md5, start+1, nibbles), 16, 10))."""
     nib = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
     return " + ".join(
-        f"({nib.format(h=h, i=i + 1)}) * {w}" if w > 1 else f"({nib.format(h=h, i=i + 1)})"
+        f"({nib.format(h=h, i=start + i + 1)}) * {w}"
+        if w > 1
+        else f"({nib.format(h=h, i=start + i + 1)})"
         for i, w in enumerate(16 ** (nibbles - 1 - i) for i in range(nibbles))
     )
 
 
-def _hex5_sql(h: str) -> str:
-    return _hex_sql(h, 5)
+def _hex5_sql(h: str, start: int = 0) -> str:
+    return _hex_sql(h, 5, start)
 
 
 SQL_BLOOM_DECONTAMINATE = f"""
@@ -521,20 +523,20 @@ grams AS (
         FROM toks) u),
 bench_pos AS (
   SELECT DISTINCT unnest([
-    {_hex5_sql("md5('0:' || g)")},
-    {_hex5_sql("md5('1:' || g)")},
-    {_hex5_sql("md5('2:' || g)")}]) AS pos
-  FROM (SELECT DISTINCT g FROM grams WHERE split = 'test')),
+    {_hex5_sql("h", 0)},
+    {_hex5_sql("h", 5)},
+    {_hex5_sql("h", 10)}]) AS pos
+  FROM (SELECT md5(g) AS h FROM (SELECT DISTINCT g FROM grams WHERE split = 'test'))),
 bloom AS (
   SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
          bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
   FROM bench_pos GROUP BY 1),
 train_probes AS (
   SELECT doc_id, g, unnest([
-    {_hex5_sql("md5('0:' || g)")},
-    {_hex5_sql("md5('1:' || g)")},
-    {_hex5_sql("md5('2:' || g)")}]) AS pos
-  FROM grams WHERE split = 'train'),
+    {_hex5_sql("h", 0)},
+    {_hex5_sql("h", 5)},
+    {_hex5_sql("h", 10)}]) AS pos
+  FROM (SELECT doc_id, g, md5(g) AS h FROM grams WHERE split = 'train')),
 hits AS (
   SELECT doc_id, g
   FROM train_probes JOIN bloom
@@ -762,7 +764,47 @@ FROM e ORDER BY cosine DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval: Okapi scoring of the corpus against a fixed query
+# bag.  The explode is filtered to the query terms BEFORE aggregation
+# (inverted-index-probe shape), corpus stats ride a 1-row broadcast,
+# final cut is TakeOrdered with a doc_id tiebreak.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "sort", "merge", "spark")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bm25_topk(
+        _t(spark, sf_dir, "documents"), list(BM25_QUERY_TERMS), k=20
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+lens AS (SELECT doc_id, len(tk) AS doc_len FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM lens),
+p AS (
+  SELECT doc_id, len(tk) AS doc_len, unnest(tk) AS token FROM toks),
+pq AS (SELECT * FROM p WHERE token IN ({_BM25_TERMS_SQL})),
+tf AS (SELECT doc_id, doc_len, token, count(*) AS tf FROM pq GROUP BY 1, 2, 3),
+dfq AS (SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM pq) GROUP BY 1)
+SELECT doc_id,
+       sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))) AS bm25
+FROM tf JOIN dfq USING (token) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),

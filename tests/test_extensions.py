@@ -521,3 +521,48 @@ def test_sample_video_frames_real_bridge(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_bm25_topk_matches_python_model(spark):
+    """BM25 differential: the distributed scorer must reproduce a
+    naive per-doc Python computation exactly (same float expression
+    order), including the deterministic doc_id tiebreak at the cut."""
+    import math
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.text import (
+        bm25_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 40))))
+        for i in range(60)
+    ]
+    rows.append((200, ""))  # zero-token doc must not break stats
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms, k1, b, k = ["join", "scan", "merge"], 1.2, 0.75, 10
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    expected = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(v) / avgdl))
+        if s > 0.0:
+            expected[i] = s
+    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(docs, terms, k=k, k1=k1, b=b).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (wid, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (gid, gs, ws)

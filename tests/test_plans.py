@@ -306,3 +306,36 @@ def test_bloom_decontaminate_single_broadcast_no_hash_joins(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BroadcastHashJoin" not in plan
     assert plan.count("BroadcastExchange") == 1
+
+
+def test_q11_total_is_single_row_broadcast(spark):
+    """Q11 shape: the global total joins back as a 1-row broadcast
+    (BroadcastNestedLoopJoin), never a per-row subquery or a shuffled
+    join; the scan is pruned to the 3 needed columns, and although the
+    grouped aggregate appears in both branches, the EXECUTED plan
+    dedupes it (ReusedExchange) so the fact is scanned and shuffled
+    exactly once."""
+    df = CATALOG["q11_important_parts"][0](spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in read_schema and "l_shipdate" not in read_schema
+    df.collect()  # AQE exchange reuse only shows in the executed plan
+    executed = plan_of(df, mode="simple")
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan parquet") == 1
+
+
+def test_q21_quantifiers_are_hash_joins(spark):
+    """Q21 shape: EXISTS decorrelates to a LeftSemi and NOT EXISTS to
+    a LeftAnti, both equi hash joins on orderkey with the supplier
+    inequality as a post-probe filter -- never a nested-loop over
+    order groups, and no CartesianProduct anywhere."""
+    plan = plan_of(CATALOG["q21_waiting_suppliers"][0](spark, SF), mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the order-status filter reaches the orders scan
+    assert "EqualTo(o_orderstatus,F)" in plan
