@@ -659,6 +659,7 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "q11_important_parts",     # new entry (Q11 HAVING-over-global shape)
         "q21_waiting_suppliers",   # new entry (Q21 EXISTS/NOT-EXISTS shape)
         "bm25_topk",               # new entry (Okapi BM25 retrieval)
+        "global_sort",             # new entry (total-order sort / TeraSort)
     }
 )
 

@@ -992,7 +992,32 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 """
 
 
+# ---------------------------------------------------------------------------
+# Total-order sort (the TeraSort pattern): a full ORDER BY materializes
+# through Exchange rangepartitioning -- sampled range bounds, one
+# shuffle, per-partition sorts, NO single-reducer bottleneck.  Every
+# other ordered entry here cuts with TakeOrdered; this one pins the
+# scale path for "write the whole table sorted" (sorted parquet layout,
+# z-order prep, sorted-run export).
+# ---------------------------------------------------------------------------
+
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+
+
+SQL_GLOBAL_SORT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
+    "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),

@@ -339,3 +339,13 @@ def test_q21_quantifiers_are_hash_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the order-status filter reaches the orders scan
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """Total-order sort must go through Exchange rangepartitioning
+    (sampled bounds, per-partition sorts) -- never a single-partition
+    global sort and never a TakeOrdered (there is no limit)."""
+    plan = plan_of(CATALOG["global_sort"][0](spark, SF), mode="simple")
+    assert "Exchange rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" not in plan
