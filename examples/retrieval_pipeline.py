@@ -52,8 +52,11 @@ def main(sf_dir: str) -> None:
         "doc_id", text.clean_text(F.col("text")).alias("text")
     )
 
-    # Stage 1: lexical recall -- BM25 over the whole corpus.
-    candidates = text.bm25_topk(docs, QUERY, k=RECALL_N)
+    # Stage 1: lexical recall -- BM25 over the whole corpus.  The
+    # candidate set is consumed three times below (count, join build,
+    # final join), so pin its k rows once instead of re-running the
+    # corpus-wide stage per consumer.
+    candidates = text.bm25_topk(docs, QUERY, k=RECALL_N).cache()
     print(f"BM25 recall set: {candidates.count()} docs")
 
     # Stage 2: semantic rerank -- embed ONLY the candidates (join back

@@ -116,6 +116,12 @@ def decontaminate(
 BLOOM_BITS = 1 << 20  # m: 1M bits = 32768 32-bit words (~128 KB)
 BLOOM_K = 3  # probes per gram
 
+# every probe reads a disjoint 5-nibble slice of one 32-nibble md5
+# digest (see _bloom_pos); past K=6 the slices would run off the
+# digest -- Spark would conv() truncated/empty slices while the DuckDB
+# oracle's strpos arithmetic would go negative, a silent desync.
+assert BLOOM_K * 5 <= 32, "BLOOM_K > 6 exceeds the md5 digest's 32 nibbles"
+
 
 def _bloom_pos(gram: Column, probe: int) -> Column:
     """Deterministic bit position in [0, BLOOM_BITS) for ``gram`` under

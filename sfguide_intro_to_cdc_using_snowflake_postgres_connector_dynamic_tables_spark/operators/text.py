@@ -327,10 +327,24 @@ def bm25_topk(
     tf = postings.groupBy("doc_id", "doc_len", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # tf already has exactly one row per (doc, term), so document
-    # frequency is a re-aggregation of tf -- no second corpus scan,
-    # and the executed plan reuses tf's exchange (ReusedExchange).
-    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # tf has exactly one row per (doc, term) -- ``id_col`` is a
+    # document id and expected unique (duplicated ids would count once
+    # per distinct (id, doc_len) group) -- so document frequency is a
+    # re-aggregation of tf.  The no-op-looking distinct() matters: it
+    # keeps the ``tf`` VALUE in this branch's required columns, so the
+    # branch's postings subtree stays canonically identical to the
+    # join branch's and the EXECUTED plan computes it once
+    # (ReusedExchange, single corpus scan for the postings -- pinned
+    # in tests/test_plans.py).  Without it, column pruning rewrites
+    # this branch's tf aggregate to keys-only (count(tf) simplifies
+    # away too, the optimizer knows tf is never null), the subtrees
+    # diverge, and the corpus is scanned twice.
+    df_tbl = (
+        tf.select("doc_id", "token", "tf")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

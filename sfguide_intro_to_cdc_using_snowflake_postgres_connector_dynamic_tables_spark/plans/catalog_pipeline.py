@@ -792,8 +792,7 @@ p AS (
   SELECT doc_id, len(tk) AS doc_len, unnest(tk) AS token FROM toks),
 pq AS (SELECT * FROM p WHERE token IN ({_BM25_TERMS_SQL})),
 tf AS (SELECT doc_id, doc_len, token, count(*) AS tf FROM pq GROUP BY 1, 2, 3),
-dfq AS (SELECT token, count(*) AS df
-        FROM (SELECT DISTINCT doc_id, token FROM pq) GROUP BY 1)
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
 SELECT doc_id,
        sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))) AS bm25

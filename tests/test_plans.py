@@ -349,3 +349,17 @@ def test_global_sort_uses_range_partitioning(spark):
     assert "Exchange rangepartitioning" in plan
     assert "SinglePartition" not in plan
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_bm25_single_corpus_scan_for_postings(spark):
+    """BM25's document-frequency branch re-aggregates tf; counting the
+    tf COLUMN keeps both branches' subtrees canonically equal, so the
+    executed plan computes the postings subtree once (ReusedExchange).
+    Guard the scan count too: postings once + the corpus-stats pass =
+    2 FileScans, never 3."""
+    df = CATALOG["bm25_topk"][0](spark, SF)
+    df.collect()
+    executed = plan_of(df, mode="simple")
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan parquet") == 2
