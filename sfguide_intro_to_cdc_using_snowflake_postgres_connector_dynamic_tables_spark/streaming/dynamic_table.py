@@ -40,6 +40,23 @@ fact rows, and the merge swaps whole group rows.  Per-tick cost is
 O(|fact rows of touched groups|) -- the standard high-cardinality-
 group sweet spot; a low-cardinality group (everyone in one group)
 degrades to full recompute, which is what it semantically is.
+
+CHAINED dynamic tables (the DT-on-DT DAG that is the product's
+flagship composition pattern, beyond the single-view reference
+quickstart): a view may name another view as its ``fact_table`` or as
+a dim.  ``incremental_refresh(emit_delta=True)`` emits the refresh's
+own change batch in the SAME envelope-flattened form the CDC apply
+produces -- 'U' rows for every affected view key still present after
+the merge, 'D' rows (payload NULL) for affected keys that vanished --
+and ``refresh_dag`` walks the registry in dependency order feeding
+each view's emitted delta downstream, so a delta cascades through the
+chain with every level doing O(|its affected set|) work.  Old-group
+resolution downstream comes free from the versioned store:
+``read_previous`` of an upstream view is exactly its pre-tick
+snapshot.  A level that cannot refresh incrementally (first
+materialization, missing previous version) full-refreshes WITHOUT a
+delta, and every transitive downstream falls back to full refresh for
+that tick -- correctness over cleverness.
 """
 
 from __future__ import annotations
@@ -52,6 +69,11 @@ from pyspark.sql import functions as F
 
 from .cdc_apply import latest_per_key
 from .store import ParquetTableStore
+
+#: Sentinel returned by ``incremental_refresh(emit_delta=True)`` when
+#: the view was rebuilt via the full-refresh fallback and therefore
+#: cannot say WHICH keys changed: downstream views must full-refresh.
+FULL_REFRESH = object()
 
 
 @dataclass
@@ -113,19 +135,35 @@ class DynamicTableManager:
         else:
             self.store.overwrite(name, view)
 
-    def incremental_refresh(self, name: str, deltas: dict[str, DataFrame]) -> None:
+    def incremental_refresh(
+        self,
+        name: str,
+        deltas: dict[str, DataFrame],
+        emit_delta: bool = False,
+        lsn: int = 0,
+    ) -> DataFrame | object | None:
         """Fold base-table deltas (post-apply) into the materialization.
 
         ``deltas``: per-table change batches in envelope-flattened form
         (op, lsn, row columns), as produced by the CDC pipeline.
+
+        With ``emit_delta``, returns this refresh's OWN change batch in
+        the same form ('U' rows for affected keys still in the view,
+        'D' rows with NULL payload for affected keys that vanished), so
+        a downstream chained view can consume it as its fact/dim delta;
+        returns ``None`` when nothing changed and the ``FULL_REFRESH``
+        sentinel when the full-rebuild fallback ran (change set
+        unknown).  The emitted frame is lazy against the post-merge
+        store snapshot -- consume (or cache) it before the next tick
+        moves the store again.
         """
         dt = self.registry[name]
         if not self.store.exists(name):
             self.full_refresh(name)
-            return
+            return FULL_REFRESH if emit_delta else None
         relevant = {t: d for t, d in deltas.items() if t == dt.fact_table or t in dt.dims}
         if not relevant:
-            return
+            return None
 
         tables = self._base_tables(dt)
         fact = tables[dt.fact_table]
@@ -152,7 +190,7 @@ class DynamicTableManager:
                 if prev is None:
                     # cannot resolve old groups -> correctness fallback
                     self.full_refresh(name)
-                    return
+                    return FULL_REFRESH if emit_delta else None
                 old_keys = prev.join(
                     F.broadcast(fact_delta.select(F.col(dt.fact_key))),
                     on=dt.fact_key,
@@ -174,7 +212,7 @@ class DynamicTableManager:
             )
             affected = hit if affected is None else affected.unionByName(hit)
         if affected is None:
-            return
+            return None
         # no .distinct(): duplicates in the key set don't change semi/
         # anti-join semantics, and dropping it removes a shuffle; the
         # broadcast carries a few duplicate keys instead
@@ -200,8 +238,94 @@ class DynamicTableManager:
                     F.broadcast(affected_view_keys), on=dt.view_key, how="left_anti"
                 )
                 self.store.overwrite(name, kept.unionByName(recomputed))
+
+            if not emit_delta:
+                return None
+            # 4. the refresh's own change batch, for chained views:
+            # post-merge state of every affected key -- present keys
+            # become 'U' payloads, vanished keys 'D' rows with a NULL
+            # payload (exactly the shape the CDC apply emits, so the
+            # downstream refresh consumes it unchanged)
+            new_rows = self.store.read(self.spark, name).join(
+                F.broadcast(affected_view_keys), on=dt.view_key, how="left_semi"
+            )
+            envelope = [
+                F.lit("U").alias("op"),
+                F.lit(lsn).cast("long").alias("lsn"),
+            ]
+            upserts = new_rows.select(*envelope, *new_rows.columns)
+            gone = affected_view_keys.distinct().join(
+                new_rows.select(dt.view_key), on=dt.view_key, how="left_anti"
+            )
+            dels = gone.select(
+                F.lit("D").alias("op"),
+                F.lit(lsn).cast("long").alias("lsn"),
+                *[
+                    F.col(fld.name).alias(fld.name)
+                    if fld.name == dt.view_key
+                    else F.lit(None).cast(fld.dataType).alias(fld.name)
+                    for fld in new_rows.schema.fields
+                ],
+            )
+            return upserts.unionByName(dels)
         finally:
             affected.unpersist()
+
+    # -- chained views (DT-on-DT DAG) ----------------------------------------
+
+    def _upstream_views(self, dt: DynamicTable) -> list[str]:
+        """Registered views this view reads (as fact or dim)."""
+        return [t for t in (dt.fact_table, *dt.dims.keys()) if t in self.registry]
+
+    def refresh_order(self) -> list[str]:
+        """Registry names in dependency order (Kahn; insertion-order
+        tie-break so flat registries keep their creation order).
+        Raises on a cycle -- a view DAG must be a DAG."""
+        pending = dict.fromkeys(self.registry)
+        order: list[str] = []
+        while pending:
+            ready = [
+                n
+                for n in pending
+                if all(u not in pending for u in self._upstream_views(self.registry[n]))
+            ]
+            if not ready:
+                raise ValueError(f"dynamic-table dependency cycle among {sorted(pending)}")
+            for n in ready:
+                order.append(n)
+                del pending[n]
+        return order
+
+    def refresh_dag(self, deltas: dict[str, DataFrame], lsn: int = 0) -> dict[str, DataFrame]:
+        """Refresh every registered view in dependency order, feeding
+        each refresh's emitted change batch to the views chained on it
+        -- one base-table delta cascades through the whole DAG with
+        every level doing O(|its affected set|) work.
+
+        A level that full-refreshes (first materialization, missing
+        previous version, ``refresh_mode='full'``) emits no delta, and
+        every transitive downstream full-refreshes this tick.  Returns
+        the per-view emitted deltas (cached; valid until the next tick
+        moves the store)."""
+        all_deltas = dict(deltas)
+        forced_full: set[str] = set()
+        emitted: dict[str, DataFrame] = {}
+        for name in self.refresh_order():
+            dt = self.registry[name]
+            if dt.refresh_mode != "incremental" or any(
+                u in forced_full for u in self._upstream_views(dt)
+            ):
+                self.full_refresh(name)
+                forced_full.add(name)
+                continue
+            out = self.incremental_refresh(name, all_deltas, emit_delta=True, lsn=lsn)
+            if out is FULL_REFRESH:
+                forced_full.add(name)
+            elif out is not None:
+                out = out.cache()
+                all_deltas[name] = out
+                emitted[name] = out
+        return emitted
 
     # -- top-k views ---------------------------------------------------------
     #
@@ -290,14 +414,14 @@ class DynamicTableManager:
     def attach(self, pipeline) -> None:
         """Refresh every registered view after each applied CDC batch
         (the target-lag scheduler degenerates to 'refresh per
-        micro-batch'; the stream trigger supplies the cadence, C5)."""
+        micro-batch'; the stream trigger supplies the cadence, C5).
+        Views chained on other views refresh through ``refresh_dag``,
+        so upstream change batches cascade within the same tick."""
 
         def hook(batch_id: int, deltas: dict[str, DataFrame]) -> None:
-            for name, dt in self.registry.items():
-                if dt.refresh_mode == "incremental":
-                    self.incremental_refresh(name, deltas)
-                else:
-                    self.full_refresh(name)
+            emitted = self.refresh_dag(deltas, lsn=batch_id)
+            for df in emitted.values():
+                df.unpersist()
             for name in getattr(self, "topk_registry", {}):
                 self.topk_refresh(name, deltas)
 

@@ -1,0 +1,281 @@
+"""Chained dynamic tables (DT-on-DT DAG): a base-table delta must
+cascade through every level incrementally, leaving each view equal to
+a full recompute of the whole chain after every batch.
+
+Chain under test:
+
+    transactions --(agg)--> customer_spend (per-customer totals + band)
+    customer_spend --(agg)--> band_counts   (customers + spend per band)
+    customer_spend --(row)--> vip_customers (filter total > threshold)
+
+Exercised: inserts, band-moving updates (the downstream aggregate must
+shrink the OLD band and grow the new one -- resolved via the upstream
+view's previous store version), customer-emptying deletes (a 'D' row
+must propagate so the customer leaves band_counts and vip_customers),
+and a no-op batch (no emitted deltas, no downstream work).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+    fixtures,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+    CUSTOMERS_SCHEMA,
+    TRANSACTIONS_SCHEMA,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+    FEED_SCHEMA,
+    CDCPipeline,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+    DynamicTable,
+    DynamicTableManager,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+VIP_THRESHOLD = 1500.0
+
+
+def _spend_view(t):
+    spend = (
+        t["transactions"]
+        .filter(F.col("transaction_category") == "Purchase")
+        .groupBy("customer_id")
+        .agg(F.sum("total_price").alias("total_price"), F.count(F.lit(1)).alias("n_tx"))
+    )
+    return spend.withColumn(
+        "band",
+        F.when(F.col("total_price") < 500, "LOW")
+        .when(F.col("total_price") < 2000, "MID")
+        .otherwise("HIGH"),
+    )
+
+
+def _band_view(t):
+    return (
+        t["customer_spend"]
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("total_price").alias("band_total"),
+        )
+    )
+
+
+def _vip_view(t):
+    return (
+        t["customer_spend"]
+        .filter(F.col("total_price") > VIP_THRESHOLD)
+        .select("customer_id", "total_price", "band")
+    )
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(round(v, 2)) if isinstance(v, float) else str(v) for v in r)
+        for r in df.select(*cols).collect()
+    )
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    customers = fixtures.make_customers(30, seed=91)
+    merchants = fixtures.make_merchants(seed=91)
+    products = fixtures.make_products(seed=91)
+    tx = fixtures.make_transactions(
+        customers, products, merchants, n=150, orphan_frac=0.0, seed=91
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store)
+    p.bootstrap(
+        {
+            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+            "transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA),
+        }
+    )
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(
+        DynamicTable(
+            "customer_spend",
+            _spend_view,
+            fact_table="transactions",
+            fact_key="transaction_id",
+            view_key="customer_id",
+            group_col="customer_id",
+        )
+    )
+    mgr.create(
+        DynamicTable(
+            "band_counts",
+            _band_view,
+            fact_table="customer_spend",
+            fact_key="customer_id",
+            view_key="band",
+            group_col="band",
+        )
+    )
+    mgr.create(
+        DynamicTable(
+            "vip_customers",
+            _vip_view,
+            fact_table="customer_spend",
+            fact_key="customer_id",
+            view_key="customer_id",
+        )
+    )
+    mgr.attach(p)
+    return p, store, mgr, (customers, tx)
+
+
+def _apply(spark, p, batch):
+    rows = [
+        (op, lsn, None, table, json.dumps(r, default=str))
+        for table, changes in batch.items()
+        for op, lsn, r in changes
+    ]
+    p.apply_envelope_batch(spark.createDataFrame(rows, FEED_SCHEMA))
+
+
+def _assert_chain_matches_full(spark, store, mgr):
+    base = {"transactions": store.read(spark, "transactions")}
+    level1 = _spend_view(base)
+    assert _canon(mgr.read("customer_spend")) == _canon(level1)
+    derived = {"customer_spend": level1}
+    assert _canon(mgr.read("band_counts")) == _canon(_band_view(derived))
+    assert _canon(mgr.read("vip_customers")) == _canon(_vip_view(derived))
+
+
+def _tx_row(tx_row, **overrides):
+    cols = [f.name for f in TRANSACTIONS_SCHEMA.fields]
+    d = dict(zip(cols, tx_row))
+    d.update(overrides)
+    return d
+
+
+def test_chain_refresh_under_iud(spark, setup):
+    p, store, mgr, (customers, tx) = setup
+    cols = [f.name for f in TRANSACTIONS_SCHEMA.fields]
+    cust_of = dict(zip(cols, tx[0]))  # column access helper
+
+    _assert_chain_matches_full(spark, store, mgr)
+
+    # batch 1: inserts -- a brand-new customer id enters LOW, an
+    # existing customer's total grows
+    new_cust = customers[0][0]
+    _apply(spark, p, {
+        "transactions": [
+            ("I", 9001, _tx_row(tx[0], transaction_id="TXC1", customer_id=new_cust,
+                                transaction_category="Purchase", total_price=120.0)),
+            ("I", 9002, _tx_row(tx[1], transaction_id="TXC2",
+                                transaction_category="Purchase", total_price=80.0)),
+        ]
+    })
+    _assert_chain_matches_full(spark, store, mgr)
+
+    # batch 2: band-moving update -- push one customer's spend over the
+    # HIGH and VIP thresholds in a single batch; the OLD band must
+    # shrink downstream (previous-version resolution on the view)
+    _apply(spark, p, {
+        "transactions": [
+            ("I", 9003, _tx_row(tx[2], transaction_id="TXBIG", customer_id=new_cust,
+                                transaction_category="Purchase", total_price=5000.0)),
+        ]
+    })
+    _assert_chain_matches_full(spark, store, mgr)
+    vip_ids = {r["customer_id"] for r in mgr.read("vip_customers").collect()}
+    assert new_cust in vip_ids  # crossed the VIP threshold via the cascade
+
+    # batch 3: customer-emptying deletes -- every Purchase row of
+    # new_cust goes away, so a 'D' must propagate: the customer leaves
+    # customer_spend, band_counts shrinks, the VIP row disappears
+    _apply(spark, p, {
+        "transactions": [
+            ("D", 9004, {"transaction_id": "TXC1"}),
+            ("D", 9005, {"transaction_id": "TXBIG"}),
+        ]
+    })
+    _assert_chain_matches_full(spark, store, mgr)
+    assert new_cust not in {r["customer_id"] for r in mgr.read("vip_customers").collect()}
+
+    # batch 4: irrelevant-table batch -- no emitted deltas, chain
+    # untouched but still equal to full
+    _apply(spark, p, {
+        "customers": [("U", 9006, dict(zip([f.name for f in CUSTOMERS_SCHEMA.fields],
+                                           customers[3])))]
+    })
+    _assert_chain_matches_full(spark, store, mgr)
+
+
+def test_refresh_order_is_topological_and_cycles_raise(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "store"))
+    mgr = DynamicTableManager(spark, store)
+    # register DOWNSTREAM first: creation order must not dictate
+    # refresh order
+    mgr.create(
+        DynamicTable("level2", _band_view, fact_table="level1",
+                     fact_key="customer_id", view_key="band", group_col="band"),
+        initialize=False,
+    )
+    mgr.create(
+        DynamicTable("level1", _spend_view, fact_table="transactions",
+                     fact_key="transaction_id", view_key="customer_id",
+                     group_col="customer_id"),
+        initialize=False,
+    )
+    assert mgr.refresh_order() == ["level1", "level2"]
+
+    mgr2 = DynamicTableManager(spark, store)
+    mgr2.create(
+        DynamicTable("a", _band_view, fact_table="b", fact_key="k", view_key="k"),
+        initialize=False,
+    )
+    mgr2.create(
+        DynamicTable("b", _band_view, fact_table="a", fact_key="k", view_key="k"),
+        initialize=False,
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        mgr2.refresh_order()
+
+
+def test_upstream_full_refresh_forces_downstream_full(spark, tmp_path):
+    """A level that cannot refresh incrementally (no previous version
+    for old-group resolution) must force its downstreams to full
+    refresh -- and the chain still matches a full recompute."""
+    customers = fixtures.make_customers(10, seed=7)
+    merchants = fixtures.make_merchants(seed=7)
+    products = fixtures.make_products(seed=7)
+    tx = fixtures.make_transactions(customers, products, merchants, n=40,
+                                    orphan_frac=0.0, seed=7)
+    store = ParquetTableStore(str(tmp_path / "store"), keep_versions=1)
+    p = CDCPipeline(spark, store)
+    p.bootstrap({
+        "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+        "transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA),
+    })
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(DynamicTable("customer_spend", _spend_view, fact_table="transactions",
+                            fact_key="transaction_id", view_key="customer_id",
+                            group_col="customer_id"))
+    mgr.create(DynamicTable("band_counts", _band_view, fact_table="customer_spend",
+                            fact_key="customer_id", view_key="band", group_col="band"))
+    mgr.attach(p)
+    # keep_versions=1: read_previous(transactions) is gone after the
+    # next apply, so customer_spend falls back to full refresh and
+    # band_counts must follow -- correctness must hold regardless
+    _apply(spark, p, {
+        "transactions": [("D", 9100, {"transaction_id": tx[0][0]})]
+    })
+    level1 = _spend_view({"transactions": store.read(spark, "transactions")})
+    assert _canon(mgr.read("customer_spend")) == _canon(level1)
+    assert _canon(mgr.read("band_counts")) == _canon(_band_view({"customer_spend": level1}))
