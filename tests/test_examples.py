@@ -25,6 +25,7 @@ SF = "/root/testdata/sf0.001"
 # where the default is sf0.01)
 EXAMPLES: dict[str, list[str]] = {
     "quickstart.py": [],
+    "chained_views.py": [],
     "corpus_pipeline.py": [SF],
     "event_analytics.py": [SF],
     "media_pipeline.py": [],
