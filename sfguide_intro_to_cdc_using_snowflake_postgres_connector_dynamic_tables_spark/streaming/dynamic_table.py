@@ -110,6 +110,34 @@ class DynamicTableManager:
         self.spark = spark
         self.store = store
         self.registry: dict[str, DynamicTable] = {}
+        #: per-refresh audit records (the product's
+        #: DYNAMIC_TABLE_REFRESH_HISTORY analogue); queryable via
+        #: ``refresh_history()``
+        self.refresh_log: list[tuple] = []
+
+    def _log_refresh(self, name: str, mode: str, t0: float) -> None:
+        import datetime as _dt
+        import time as _time
+
+        self.refresh_log.append(
+            (
+                name,
+                mode,
+                round(_time.time() - t0, 3),
+                _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            )
+        )
+
+    def refresh_history(self, last: int | None = None) -> DataFrame:
+        """Per-refresh audit trail as a DataFrame (newest last):
+        view name, refresh mode ('FULL' | 'INCREMENTAL' | 'NO_DATA'),
+        wall seconds, UTC timestamp -- the monitoring surface a
+        Dynamic Tables user queries as DYNAMIC_TABLE_REFRESH_HISTORY."""
+        rows = self.refresh_log if last is None else self.refresh_log[-last:]
+        return self.spark.createDataFrame(
+            rows or [],
+            "view_name string, refresh_mode string, duration_sec double, ts timestamp",
+        )
 
     def create(self, table: DynamicTable, initialize: bool = True) -> None:
         self.registry[table.name] = table
@@ -126,6 +154,9 @@ class DynamicTableManager:
         return {n: self.store.read(self.spark, n) for n in names}
 
     def full_refresh(self, name: str) -> None:
+        import time as _time
+
+        t0 = _time.time()
         dt = self.registry[name]
         view = dt.defining_fn(self._base_tables(dt))
         if dt.partition_buckets:
@@ -134,6 +165,7 @@ class DynamicTableManager:
             )
         else:
             self.store.overwrite(name, view)
+        self._log_refresh(name, "FULL", t0)
 
     def incremental_refresh(
         self,
@@ -157,12 +189,16 @@ class DynamicTableManager:
         store snapshot -- consume (or cache) it before the next tick
         moves the store again.
         """
+        import time as _time
+
+        t0 = _time.time()
         dt = self.registry[name]
         if not self.store.exists(name):
             self.full_refresh(name)
             return FULL_REFRESH if emit_delta else None
         relevant = {t: d for t, d in deltas.items() if t == dt.fact_table or t in dt.dims}
         if not relevant:
+            self._log_refresh(name, "NO_DATA", t0)
             return None
 
         tables = self._base_tables(dt)
@@ -212,6 +248,7 @@ class DynamicTableManager:
             )
             affected = hit if affected is None else affected.unionByName(hit)
         if affected is None:
+            self._log_refresh(name, "NO_DATA", t0)
             return None
         # no .distinct(): duplicates in the key set don't change semi/
         # anti-join semantics, and dropping it removes a shuffle; the
@@ -238,6 +275,7 @@ class DynamicTableManager:
                     F.broadcast(affected_view_keys), on=dt.view_key, how="left_anti"
                 )
                 self.store.overwrite(name, kept.unionByName(recomputed))
+            self._log_refresh(name, "INCREMENTAL", t0)
 
             if not emit_delta:
                 return None

@@ -216,6 +216,17 @@ def test_chain_refresh_under_iud(spark, setup):
     })
     _assert_chain_matches_full(spark, store, mgr)
 
+    # refresh history (the DYNAMIC_TABLE_REFRESH_HISTORY analogue):
+    # creation logged FULL per view, the three data batches logged
+    # INCREMENTAL cascades, the irrelevant batch logged NO_DATA
+    hist = [(r["view_name"], r["refresh_mode"]) for r in mgr.refresh_history().collect()]
+    assert ("customer_spend", "FULL") in hist  # create-time init
+    assert hist.count(("customer_spend", "INCREMENTAL")) == 3
+    assert hist.count(("band_counts", "INCREMENTAL")) == 3
+    assert hist.count(("vip_customers", "INCREMENTAL")) == 3
+    assert hist.count(("customer_spend", "NO_DATA")) == 1  # batch 4
+    assert all(d >= 0 for d in (r["duration_sec"] for r in mgr.refresh_history().collect()))
+
 
 def test_refresh_order_is_topological_and_cycles_raise(spark, tmp_path):
     store = ParquetTableStore(str(tmp_path / "store"))
