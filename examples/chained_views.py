@@ -156,6 +156,9 @@ def main() -> None:
                             ("D", 9004, {"transaction_id": "TX_B"})]})
     mgr.read("band_counts").orderBy("band").show()
 
+    print("refresh history (DYNAMIC_TABLE_REFRESH_HISTORY analogue):")
+    mgr.refresh_history().show(truncate=False)
+
     spark.stop()
 
 

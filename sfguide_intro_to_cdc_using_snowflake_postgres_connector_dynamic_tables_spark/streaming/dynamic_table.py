@@ -140,6 +140,19 @@ class DynamicTableManager:
         )
 
     def create(self, table: DynamicTable, initialize: bool = True) -> None:
+        # product lag semantics for chained views: a downstream view
+        # can never be fresher than what it reads, so a target lag
+        # tighter than an upstream view's is unsatisfiable -- reject at
+        # create time instead of silently missing the SLO every tick
+        for up in (table.fact_table, *table.dims.keys()):
+            up_dt = self.registry.get(up)
+            if up_dt is not None and table.target_lag_seconds < up_dt.target_lag_seconds:
+                raise ValueError(
+                    f"dynamic table {table.name!r} declares target_lag="
+                    f"{table.target_lag_seconds}s but reads {up!r} with "
+                    f"target_lag={up_dt.target_lag_seconds}s -- a view cannot "
+                    "be fresher than its upstream"
+                )
         self.registry[table.name] = table
         if initialize:
             self.full_refresh(table.name)

@@ -290,3 +290,30 @@ def test_upstream_full_refresh_forces_downstream_full(spark, tmp_path):
     level1 = _spend_view({"transactions": store.read(spark, "transactions")})
     assert _canon(mgr.read("customer_spend")) == _canon(level1)
     assert _canon(mgr.read("band_counts")) == _canon(_band_view({"customer_spend": level1}))
+
+
+def test_unsatisfiable_target_lag_rejected(spark, tmp_path):
+    """A downstream view declaring a tighter target lag than its
+    upstream is unsatisfiable -- create() must reject it."""
+    store = ParquetTableStore(str(tmp_path / "store"))
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(
+        DynamicTable("level1", _spend_view, fact_table="transactions",
+                     fact_key="transaction_id", view_key="customer_id",
+                     group_col="customer_id", target_lag_seconds=120),
+        initialize=False,
+    )
+    with pytest.raises(ValueError, match="cannot be fresher"):
+        mgr.create(
+            DynamicTable("level2", _band_view, fact_table="level1",
+                         fact_key="customer_id", view_key="band",
+                         group_col="band", target_lag_seconds=30),
+            initialize=False,
+        )
+    # equal or looser lag is fine
+    mgr.create(
+        DynamicTable("level2", _band_view, fact_table="level1",
+                     fact_key="customer_id", view_key="band",
+                     group_col="band", target_lag_seconds=120),
+        initialize=False,
+    )
