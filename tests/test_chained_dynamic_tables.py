@@ -165,8 +165,6 @@ def _tx_row(tx_row, **overrides):
 
 def test_chain_refresh_under_iud(spark, setup):
     p, store, mgr, (customers, tx) = setup
-    cols = [f.name for f in TRANSACTIONS_SCHEMA.fields]
-    cust_of = dict(zip(cols, tx[0]))  # column access helper
 
     _assert_chain_matches_full(spark, store, mgr)
 
@@ -317,3 +315,65 @@ def test_unsatisfiable_target_lag_rejected(spark, tmp_path):
                      group_col="band", target_lag_seconds=120),
         initialize=False,
     )
+
+
+def test_diamond_dag_with_view_as_dim(spark, setup):
+    """Diamond: transactions -> customer_spend -> vip_customers, and a
+    sink view reading transactions as FACT and vip_customers as DIM
+    (per-category purchase counts by VIP customers).  A base delta that
+    flips a customer's VIP status must cascade through THREE levels and
+    hit the sink through the dim role: its fact rows reference the
+    changed vip key, so the affected categories recompute."""
+    p, store, mgr, (customers, tx) = setup
+
+    def vip_tx_view(t):
+        j = t["transactions"].join(
+            t["vip_customers"].select("customer_id"), "customer_id", "inner"
+        )
+        return j.groupBy("transaction_category").agg(
+            F.count(F.lit(1)).alias("n_vip_tx"),
+            F.sum("total_price").alias("vip_total"),
+        )
+
+    mgr.create(
+        DynamicTable(
+            "vip_tx_stats",
+            vip_tx_view,
+            fact_table="transactions",
+            fact_key="transaction_id",
+            view_key="transaction_category",
+            dims={"vip_customers": ("customer_id", "customer_id")},
+            group_col="transaction_category",
+        )
+    )
+    assert mgr.refresh_order().index("vip_customers") < mgr.refresh_order().index("vip_tx_stats")
+
+    def assert_sink_matches_full():
+        base = {"transactions": store.read(spark, "transactions")}
+        level1 = _spend_view(base)
+        derived = {
+            "transactions": base["transactions"],
+            "vip_customers": _vip_view({"customer_spend": level1}),
+        }
+        assert _canon(mgr.read("vip_tx_stats")) == _canon(vip_tx_view(derived))
+
+    assert_sink_matches_full()
+
+    # flip a customer INTO VIP with one big purchase: vip_customers
+    # gains a row (emitted 'U'), and the sink must pull in ALL of that
+    # customer's existing transactions via the dim-hit path
+    flip_cust = customers[7][0]
+    _apply(spark, p, {
+        "transactions": [
+            ("I", 9301, _tx_row(tx[5], transaction_id="TXVIP", customer_id=flip_cust,
+                                transaction_category="Purchase", total_price=9999.0)),
+        ]
+    })
+    assert_sink_matches_full()
+
+    # flip them back OUT by deleting it: vip_customers emits a 'D',
+    # and the sink's affected categories must shed their rows
+    _apply(spark, p, {
+        "transactions": [("D", 9302, {"transaction_id": "TXVIP"})]
+    })
+    assert_sink_matches_full()
