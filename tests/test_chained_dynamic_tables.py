@@ -377,3 +377,64 @@ def test_diamond_dag_with_view_as_dim(spark, setup):
         "transactions": [("D", 9302, {"transaction_id": "TXVIP"})]
     })
     assert_sink_matches_full()
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential: arbitrary I/U/D streams through the chain.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# a batch is a list of (op, pk-slot, customer-slot, amount); slots map
+# into small universes so updates/deletes hit existing rows often and
+# several transactions share a customer (group churn)
+_ops = st.sampled_from(["I", "U", "D"])
+_batches = st.lists(
+    st.lists(
+        st.tuples(_ops, st.integers(0, 11), st.integers(0, 4),
+                  st.floats(10.0, 4000.0, allow_nan=False, width=32)),
+        min_size=1, max_size=5,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_batches)
+def test_chain_matches_full_on_random_streams(spark, tmp_path_factory, batches):
+    customers = fixtures.make_customers(6, seed=3)
+    merchants = fixtures.make_merchants(seed=3)
+    products = fixtures.make_products(seed=3)
+    tx = fixtures.make_transactions(customers, products, merchants, n=24,
+                                    orphan_frac=0.0, seed=3)
+    tmp = tmp_path_factory.mktemp("chain-prop")
+    store = ParquetTableStore(str(tmp / "store"))
+    p = CDCPipeline(spark, store)
+    p.bootstrap({"transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA)})
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(DynamicTable("customer_spend", _spend_view, fact_table="transactions",
+                            fact_key="transaction_id", view_key="customer_id",
+                            group_col="customer_id"))
+    mgr.create(DynamicTable("band_counts", _band_view, fact_table="customer_spend",
+                            fact_key="customer_id", view_key="band", group_col="band"))
+    mgr.create(DynamicTable("vip_customers", _vip_view, fact_table="customer_spend",
+                            fact_key="customer_id", view_key="customer_id"))
+    mgr.attach(p)
+
+    lsn = 10_000
+    for batch in batches:
+        rows = []
+        for op, pk_slot, cust_slot, amount in batch:
+            lsn += 1
+            pk = f"TXP{pk_slot}"
+            if op == "D":
+                rows.append(("D", lsn, {"transaction_id": pk}))
+            else:
+                rows.append((op, lsn, _tx_row(
+                    tx[pk_slot % len(tx)], transaction_id=pk,
+                    customer_id=customers[cust_slot][0],
+                    transaction_category="Purchase",
+                    total_price=round(float(amount), 2))))
+        _apply(spark, p, {"transactions": rows})
+        _assert_chain_matches_full(spark, store, mgr)
