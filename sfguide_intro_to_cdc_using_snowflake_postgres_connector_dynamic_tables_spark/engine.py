@@ -98,5 +98,10 @@ class Engine:
     def connector_stats(self) -> DataFrame:
         return connector_stats(self.spark, self._query)
 
+    def refresh_history(self, last: int | None = None) -> DataFrame:
+        """Per-refresh audit trail of every dynamic table (the
+        DYNAMIC_TABLE_REFRESH_HISTORY analogue)."""
+        return self.manager.refresh_history(last)
+
     def freshness_lag(self) -> float | None:
         return freshness_lag_seconds(self._query)

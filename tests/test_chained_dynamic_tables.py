@@ -438,3 +438,45 @@ def test_chain_matches_full_on_random_streams(spark, tmp_path_factory, batches):
                     total_price=round(float(amount), 2))))
         _apply(spark, p, {"transactions": rows})
         _assert_chain_matches_full(spark, store, mgr)
+
+
+def test_chain_over_partitioned_stores(spark, tmp_path):
+    """The O(delta-bucket) partitioned merge composes with chaining:
+    both levels materialized with partition_buckets still cascade and
+    stay equal to a full recompute under inserts and deletes."""
+    customers = fixtures.make_customers(12, seed=17)
+    merchants = fixtures.make_merchants(seed=17)
+    products = fixtures.make_products(seed=17)
+    tx = fixtures.make_transactions(customers, products, merchants, n=60,
+                                    orphan_frac=0.0, seed=17)
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store)
+    p.bootstrap({"transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA)})
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(DynamicTable("customer_spend", _spend_view, fact_table="transactions",
+                            fact_key="transaction_id", view_key="customer_id",
+                            group_col="customer_id", partition_buckets=8))
+    mgr.create(DynamicTable("band_counts", _band_view, fact_table="customer_spend",
+                            fact_key="customer_id", view_key="band", group_col="band",
+                            partition_buckets=4))
+    mgr.attach(p)
+
+    def assert_levels_match():
+        level1 = _spend_view({"transactions": store.read(spark, "transactions")})
+        assert _canon(mgr.read("customer_spend")) == _canon(level1)
+        assert _canon(mgr.read("band_counts")) == _canon(_band_view({"customer_spend": level1}))
+
+    assert_levels_match()
+    _apply(spark, p, {
+        "transactions": [
+            ("I", 9401, _tx_row(tx[0], transaction_id="TXPB1",
+                                customer_id=customers[2][0],
+                                transaction_category="Purchase", total_price=250.0)),
+        ]
+    })
+    assert_levels_match()
+    _apply(spark, p, {
+        "transactions": [("D", 9402, {"transaction_id": "TXPB1"}),
+                          ("D", 9403, {"transaction_id": tx[1][0]})]
+    })
+    assert_levels_match()
