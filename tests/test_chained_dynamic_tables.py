@@ -480,3 +480,56 @@ def test_chain_over_partitioned_stores(spark, tmp_path):
                           ("D", 9403, {"transaction_id": tx[1][0]})]
     })
     assert_levels_match()
+
+
+def test_sql_defined_view_chains_on_a_view(spark, tmp_path):
+    """The product surface: a SQL-text dynamic table defined OVER
+    another dynamic table (CREATE DYNAMIC TABLE ... AS SELECT ... FROM
+    <other_dt>) must participate in the cascade like any chained
+    view."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        dynamic_table_from_sql,
+    )
+
+    customers = fixtures.make_customers(10, seed=23)
+    merchants = fixtures.make_merchants(seed=23)
+    products = fixtures.make_products(seed=23)
+    tx = fixtures.make_transactions(customers, products, merchants, n=50,
+                                    orphan_frac=0.0, seed=23)
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store)
+    p.bootstrap({"transactions": spark.createDataFrame(tx, TRANSACTIONS_SCHEMA)})
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(DynamicTable("customer_spend", _spend_view, fact_table="transactions",
+                            fact_key="transaction_id", view_key="customer_id",
+                            group_col="customer_id"))
+    mgr.create(dynamic_table_from_sql(
+        spark, store, "band_counts_sql",
+        "SELECT band, count(*) AS n_customers, sum(total_price) AS band_total "
+        "FROM customer_spend GROUP BY band",
+        fact_table="customer_spend",
+        fact_key="customer_id",
+        view_key="band",
+        dims={},
+        group_col="band",
+    ))
+    mgr.attach(p)
+
+    def assert_matches():
+        level1 = _spend_view({"transactions": store.read(spark, "transactions")})
+        assert _canon(mgr.read("customer_spend")) == _canon(level1)
+        assert _canon(mgr.read("band_counts_sql")) == _canon(_band_view({"customer_spend": level1}))
+
+    assert_matches()
+    _apply(spark, p, {
+        "transactions": [
+            ("I", 9501, _tx_row(tx[0], transaction_id="TXSQL1",
+                                customer_id=customers[4][0],
+                                transaction_category="Purchase", total_price=333.0)),
+        ]
+    })
+    assert_matches()
+    _apply(spark, p, {
+        "transactions": [("D", 9502, {"transaction_id": "TXSQL1"})]
+    })
+    assert_matches()
