@@ -552,9 +552,18 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         for fourcc, data, size in _riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 walk(data + 4, data + size)
-            elif fourcc == b"strh" and size >= 48:
+            elif fourcc == b"strh":
+                # EVERY strh advances the hdrl stream numbering -- a
+                # short/truncated header still occupies a stream slot,
+                # and skipping it would desync '##db' chunk-id binding
+                # for every later stream.  Only the vids-specific field
+                # parsing needs the full 48-byte header.
                 stream_idx += 1
-                if payload[data : data + 4] != b"vids" or vids_idx is not None:
+                if (
+                    size < 48
+                    or payload[data : data + 4] != b"vids"
+                    or vids_idx is not None
+                ):
                     continue
                 vids_idx = stream_idx
                 vids_db = b"%02ddb" % vids_idx

@@ -46,14 +46,50 @@ def approx_percentiles_by(
     value_col: str,
     percentiles: list[float] = (0.5, 0.95, 0.99),
     accuracy: int = 10_000,
+    require_exact: bool = False,
 ) -> DataFrame:
     """Per-group approximate percentiles (Greenwald-Khanna).  Error is
     bounded by rank: each returned value's true rank is within
-    n/accuracy of the requested one -- the guarantee tests pin."""
-    return df.groupBy(*group_cols).agg(
-        F.percentile_approx(
-            value_col, F.array(*[F.lit(p) for p in percentiles]), accuracy
-        ).alias("approx_percentiles"),
+    n/accuracy of the requested one -- the guarantee tests pin.
+
+    ``require_exact=True`` asserts the EXACT mode: with ``accuracy``
+    >= the group row count the rank error drops below one rank and the
+    sketch returns exact discrete quantiles.  Callers relying on that
+    (e.g. a hash-match gate against another engine's quantile_disc)
+    would otherwise regress SILENTLY when the data outgrows the
+    accuracy budget -- percentile_approx just reverts to approximate
+    output.  The guard rides the same single aggregation (a count in
+    the same HashAggregate, a codegen conditional on top): any group
+    bigger than ``accuracy`` fails the job loudly instead of returning
+    almost-right values."""
+    percs = F.percentile_approx(
+        value_col, F.array(*[F.lit(p) for p in percentiles]), accuracy
+    ).alias("approx_percentiles")
+    if not require_exact:
+        return df.groupBy(*group_cols).agg(percs)
+    out = df.groupBy(*group_cols).agg(
+        percs, F.count(value_col).alias("_group_n")
+    )
+    return out.select(
+        *group_cols,
+        F.when(
+            F.col("_group_n") > accuracy,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "approx_percentiles_by(require_exact=True): group "
+                        "size "
+                    ),
+                    F.col("_group_n").cast("string"),
+                    F.lit(
+                        f" exceeds accuracy={accuracy}; results would be "
+                        "approximate -- raise accuracy or drop require_exact"
+                    ),
+                )
+            ).cast(out.schema["approx_percentiles"].dataType),
+        )
+        .otherwise(F.col("approx_percentiles"))
+        .alias("approx_percentiles"),
     )
 
 

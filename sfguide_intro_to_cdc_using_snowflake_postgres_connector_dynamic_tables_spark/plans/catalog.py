@@ -546,7 +546,13 @@ def q_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     x 3 groups before gating (the two engines' discrete-rank
     conventions agree on this data; ties in l_quantity make boundary
     conventions moot).  The approximate mode's rank-error contract
-    stays pinned in tests/test_sketches.py."""
+    stays pinned in tests/test_sketches.py.
+
+    ``require_exact=True`` guards the premise: if a larger scale
+    factor ever pushes a group past the accuracy budget, the entry
+    fails LOUDLY with the group size in the message instead of going
+    red on an unexplained hash mismatch (percentile_approx silently
+    reverts to approximate output past the budget)."""
     from ..operators.sketches import approx_percentiles_by
 
     out = approx_percentiles_by(
@@ -555,6 +561,7 @@ def q_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         [0.25, 0.5, 0.9],
         accuracy=10_000_000,
+        require_exact=True,
     )
     p = F.col("approx_percentiles")
     return out.select(
@@ -643,23 +650,13 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 6).  Reset this set at the start of each round.
+#: current round (round 7).  Reset this set at the start of each round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "text_embed",              # gate projection -> s0..s15 lanes
-        "bloom_decontaminate",     # single-broadcast dense-bitmap probe
-        "boilerplate_ratio",       # Arrow gram builder
-        "repeated_spans",          # Arrow grams + hash-prefixed window key
-        "ngram_jaccard_dup",       # Arrow gram builder
-        "heavy_hitters_exact",     # new entry (weighted MG)
-        "approx_percentile_exact", # new entry (GK exact mode)
-        "video_decode_features",   # decode_avi stream-index binding
-        "frame_sample",            # rides decode_avi
-        "multimodal_features",     # rides decode_avi
-        "q11_important_parts",     # new entry (Q11 HAVING-over-global shape)
-        "q21_waiting_suppliers",   # new entry (Q21 EXISTS/NOT-EXISTS shape)
-        "bm25_topk",               # new entry (Okapi BM25 retrieval)
-        "global_sort",             # new entry (total-order sort / TeraSort)
+        "approx_percentile_exact",  # exact-mode group-size guard
+        "video_decode_features",    # decode_avi per-strh stream numbering
+        "frame_sample",             # rides decode_avi
+        "multimodal_features",      # rides decode_avi
     }
 )
 
@@ -691,7 +688,18 @@ def _recorded_rounds() -> list[tuple[int, dict]]:
     return out
 
 
+#: Forced entries (new/red/touched) beyond the ``_GATE_WINDOW``
+#: capacity, recorded by :func:`_reorder_for_gate`.  Import NEVER
+#: raises on overflow (a checkout without the CORRECTNESS_r*.json
+#: artifacts sees every entry as "never recorded", and the library
+#: must stay importable there); instead the overflow is surfaced as a
+#: test failure in ``tests/test_gate_policy.py`` -- which only runs in
+#: the artifact-bearing repo, where overflow means a real policy bug.
+_GATE_FORCED_OVERFLOW: tuple[str, ...] = ()
+
+
 def _reorder_for_gate() -> None:
+    global _GATE_FORCED_OVERFLOW
     records = _recorded_rounds()
     last_green: dict[str, int] = {}
     for rnd, rec in records:
@@ -714,12 +722,7 @@ def _reorder_for_gate() -> None:
         for n in names
         if n not in last_green or n in red_latest or n in _TOUCHED_THIS_ROUND
     )
-    if len(forced) > _GATE_WINDOW:
-        raise RuntimeError(
-            f"{len(forced)} forced gate entries (new/red/touched) exceed "
-            f"the {_GATE_WINDOW}-entry driver window -- stop adding "
-            "entries or split the round"
-        )
+    _GATE_FORCED_OVERFLOW = tuple(forced[_GATE_WINDOW:])
     forced_set = set(forced)
     rest = sorted(
         (n for n in names if n not in forced_set),

@@ -153,9 +153,46 @@ class DynamicTableManager:
                     f"target_lag={up_dt.target_lag_seconds}s -- a view cannot "
                     "be fresher than its upstream"
                 )
+        # ... and the same invariant from the other side: re-creating
+        # an upstream with a LOOSER lag (create overwrites registry
+        # entries) must not silently break downstreams that already
+        # promised a tighter one
+        for down_name, down in self.registry.items():
+            if down_name == table.name:
+                continue
+            if table.name in (down.fact_table, *down.dims.keys()) and (
+                down.target_lag_seconds < table.target_lag_seconds
+            ):
+                raise ValueError(
+                    f"dynamic table {table.name!r} declares target_lag="
+                    f"{table.target_lag_seconds}s but downstream view "
+                    f"{down_name!r} reads it with target_lag="
+                    f"{down.target_lag_seconds}s -- loosening an upstream "
+                    "would break the downstream's freshness promise"
+                )
         self.registry[table.name] = table
         if initialize:
             self.full_refresh(table.name)
+            # chained views consume this view's emitted change batches,
+            # which prepend an ('op', 'lsn') envelope to the view
+            # columns; a view whose own schema uses those names would
+            # emit duplicate columns and fail ambiguously downstream.
+            # The schema is only knowable once the defining query has
+            # run, so check here (and again at emit time for
+            # initialize=False creations).
+            self._check_envelope_collision(
+                table.name, self.store.read(self.spark, table.name).columns
+            )
+
+    @staticmethod
+    def _check_envelope_collision(name: str, view_cols: list[str]) -> None:
+        clash = [c for c in view_cols if c.lower() in ("op", "lsn")]
+        if clash:
+            raise ValueError(
+                f"dynamic table {name!r} has column(s) {clash} that collide "
+                "with the change-batch envelope ('op', 'lsn') used for "
+                "chained views -- rename them in the defining query"
+            )
 
     def read(self, name: str) -> DataFrame:
         return self.store.read(self.spark, name)
@@ -300,6 +337,9 @@ class DynamicTableManager:
             new_rows = self.store.read(self.spark, name).join(
                 F.broadcast(affected_view_keys), on=dt.view_key, how="left_semi"
             )
+            # the create(initialize=False) path never saw the view
+            # schema -- re-validate before prepending the envelope
+            self._check_envelope_collision(name, new_rows.columns)
             envelope = [
                 F.lit("U").alias("op"),
                 F.lit(lsn).cast("long").alias("lsn"),

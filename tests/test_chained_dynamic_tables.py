@@ -317,6 +317,74 @@ def test_unsatisfiable_target_lag_rejected(spark, tmp_path):
     )
 
 
+def test_loosening_upstream_lag_rejected(spark, tmp_path):
+    """The same invariant from the other side: re-creating an UPSTREAM
+    with a looser lag (create() overwrites registry entries) must not
+    silently break a downstream that already promised a tighter one."""
+    store = ParquetTableStore(str(tmp_path / "store"))
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(
+        DynamicTable("level1", _spend_view, fact_table="transactions",
+                     fact_key="transaction_id", view_key="customer_id",
+                     group_col="customer_id", target_lag_seconds=60),
+        initialize=False,
+    )
+    mgr.create(
+        DynamicTable("level2", _band_view, fact_table="level1",
+                     fact_key="customer_id", view_key="band",
+                     group_col="band", target_lag_seconds=60),
+        initialize=False,
+    )
+    with pytest.raises(ValueError, match="loosening an upstream"):
+        mgr.create(
+            DynamicTable("level1", _spend_view, fact_table="transactions",
+                         fact_key="transaction_id", view_key="customer_id",
+                         group_col="customer_id", target_lag_seconds=600),
+            initialize=False,
+        )
+    # re-creating with the same (or tighter) lag stays legal
+    mgr.create(
+        DynamicTable("level1", _spend_view, fact_table="transactions",
+                     fact_key="transaction_id", view_key="customer_id",
+                     group_col="customer_id", target_lag_seconds=30),
+        initialize=False,
+    )
+
+
+def test_envelope_column_collision_rejected(spark, setup):
+    """A view whose own schema contains 'op' or 'lsn' would emit
+    duplicate column names in its chained change batch -- create()
+    must reject it at initialize time, and the emit path must reject
+    an initialize=False creation the first time it emits."""
+    p, store, mgr, (customers, tx) = setup
+
+    def bad_view(t):
+        return t["transactions"].select(
+            "transaction_id", "customer_id", F.lit("x").alias("op")
+        )  # 'op' collides with the envelope
+
+    with pytest.raises(ValueError, match="collide"):
+        mgr.create(
+            DynamicTable("bad_dt", bad_view, fact_table="transactions",
+                         fact_key="transaction_id", view_key="transaction_id")
+        )
+    # initialize=False defers the schema check to emit time
+    mgr.create(
+        DynamicTable("bad_dt", bad_view, fact_table="transactions",
+                     fact_key="transaction_id", view_key="transaction_id"),
+        initialize=False,
+    )
+    mgr.full_refresh("bad_dt")
+    delta = spark.createDataFrame(
+        [("D", 9000, str(tx[0][0]))],
+        "op string, lsn long, transaction_id string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        mgr.incremental_refresh(
+            "bad_dt", {"transactions": delta}, emit_delta=True, lsn=9000
+        )
+
+
 def test_diamond_dag_with_view_as_dim(spark, setup):
     """Diamond: transactions -> customer_spend -> vip_customers, and a
     sink view reading transactions as FACT and vip_customers as DIM

@@ -476,6 +476,23 @@ def test_avi_multistream_binds_vids_and_rejects_compressed():
     except ValueError:
         pass
 
+    # a SHORT (<48-byte) strh still occupies a stream slot: stream 0's
+    # header here is a truncated 12-byte blob, so the vids stream is
+    # stream 1 and its frames live in '01db'.  Pre-fix the short header
+    # didn't advance the numbering, the vids stream was miscounted as
+    # stream 0, '01db' never matched, and decode failed with "no
+    # frames".
+    strl_short = chunk(
+        b"LIST", b"strl" + chunk(b"strh", b"auds" + b"\x00" * 8)
+    )
+    hdrl2 = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl_short + strl_v)
+    body2 = b"AVI " + hdrl2 + movi
+    frames2, fps2 = decode_avi(
+        b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    )
+    assert fps2 == fps
+    assert np.array_equal(frames2, src)
+
 
 def test_sample_video_frames_real_bridge(spark):
     """video -> image bridge: sampled frames decode back pixel-exact

@@ -55,6 +55,30 @@ def test_approx_percentile_rank_bound(spark):
             assert abs(rank - p * n) <= n / 10_000 + 1, (etype, p, rank, n)
 
 
+def test_require_exact_guard_fails_loudly_past_accuracy(spark):
+    """require_exact=True must raise with the group size in the
+    message when a group outgrows the accuracy budget (instead of
+    percentile_approx silently reverting to approximate output), and
+    stay silent when every group fits."""
+    import pytest
+
+    df = spark.range(90).selectExpr(
+        "id % 3 AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    ok = approx_percentiles_by(
+        df, ["g"], "v", [0.5], accuracy=1000, require_exact=True
+    )
+    assert ok.count() == 3
+    bad = approx_percentiles_by(
+        df, ["g"], "v", [0.5], accuracy=10, require_exact=True
+    )
+    with pytest.raises(Exception, match="group size 30 exceeds accuracy=10"):
+        bad.collect()
+    # the guard must not add a second pass over the data: one scan
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1, plan
+
+
 def test_sketch_aggs_are_partial_plus_final(spark):
     ev = load_table(spark, SF, "events")
     df = approx_distinct_by(ev, ["event_type"], "user_id")
