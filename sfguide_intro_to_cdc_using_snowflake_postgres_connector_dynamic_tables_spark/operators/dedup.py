@@ -473,6 +473,79 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse k-means
+    quantizer, then prune near-duplicates WITHIN each cluster only --
+    the trick that turns O(n^2) all-pairs semantic dedup into
+    Sum(cell^2), with ``n_cells`` as the scale lever (the paper uses
+    ~100k clusters for billions of docs; cross-cluster near-dups are
+    the accepted recall loss).
+
+    Returns one row per input vector: (``id_col``, cell, kept).  Keep
+    rule (greedy keep-first, deterministic): a vector is dropped iff
+    SOME lower-id vector in its cell has cosine >= ``threshold``
+    against it -- the SQL-expressible form of "keep one representative
+    per duplicate set" (for a chain a-b-c where only adjacent pairs
+    match, b drops against a, and c drops only if it matches a lower
+    id itself).
+
+    Physical shape: the quantizer is a seeded k-means over a bounded
+    (<=4096 row) driver-side sample, assignment is one Arrow-vectorized
+    scan (`similarity.assign_cells`), and the verdicts come from ONE
+    shuffle: groupBy(cell) -> applyInPandas kernel that normalizes the
+    cell's vectors, runs a single BLAS multiply, and emits every row's
+    verdict in place -- no pair materialization, no second join, no
+    driver collect.  Per-task memory is O(max cell size * dim); size
+    ``n_cells`` so cells fit an executor, exactly like the block lever
+    of :func:`embedding_cosine_pairs_exact`."""
+    import pandas as pd
+
+    from .similarity import _kmeans_centroids, assign_cells
+
+    if emb.select(vec_col).first() is None:
+        # empty input: empty verdict set, not an IndexError from the
+        # quantizer sample (same contract as the LSH variant)
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell int, kept boolean"
+        )
+    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    assigned = assign_cells(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        centroids,
+        "v",
+        out_col="cell",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        cell = pdf["cell"].to_numpy()
+        if len(ids) < 2:
+            kept = np.ones(len(ids), dtype=bool)
+            return pd.DataFrame({"id": ids, "cell": cell, "kept": kept})
+        order = np.argsort(ids)
+        ids, cell = ids[order], cell[order]
+        V = np.array([list(x) for x in pdf["v"].iloc[order]], dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        # dropped iff any strictly-lower-id row in the cell matches
+        dup_below = ((S >= threshold) & np.tri(len(ids), k=-1, dtype=bool)).any(axis=1)
+        return pd.DataFrame({"id": ids, "cell": cell, "kept": ~dup_below})
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(kernel, "id long, cell int, kept boolean")
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def _cut_lineage(df: DataFrame, policy: str) -> DataFrame:
     """Cut plan lineage between loop iterations (an iterative-join loop
     otherwise compounds the logical plan exponentially).

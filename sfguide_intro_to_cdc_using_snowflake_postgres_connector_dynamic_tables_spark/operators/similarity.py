@@ -93,6 +93,35 @@ def _kmeans_centroids(
     return kmeans_on_sample(X, n_cells, seed, iters)
 
 
+def assign_cells(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str,
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row as an extra column.
+
+    Fully distributed: the centroid matrix is a Spark broadcast, the
+    argmin is one vectorized Arrow batch per partition (first-tie
+    argmin, matching DuckDB's ``list_position(dl, list_min(dl))`` the
+    generated oracles use).  Shared by IVF search and semantic dedup.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        # vectorized argmin over the broadcast centroid matrix
+        cm = bc.value
+        X = np.array([[float(x) for x in v] for v in vecs], dtype=np.float64)
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = ((X[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return emb.withColumn(out_col, cell_of(F.col(vec_col)))
+
+
 def topk_cosine_ivf(
     emb: DataFrame,
     query_vec: list[float],
@@ -115,26 +144,11 @@ def topk_cosine_ivf(
     that sample is still constant-size, and assignment stays fully
     distributed.
     """
-    from pyspark.sql.functions import pandas_udf
-
     centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
-    C = np.array(centroids, dtype=np.float64)
-    bc = emb.sparkSession.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        # vectorized argmin over the broadcast centroid matrix
-        cm = bc.value
-        X = np.array([[float(x) for x in v] for v in vecs], dtype=np.float64)
-        if len(X) == 0:
-            return pd.Series([], dtype="int32")
-        d2 = ((X[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
-
     qv = [float(x) for x in query_vec]
     probed = probe_cells(centroids, qv, n_probe)
 
-    assigned = emb.withColumn("__cell", cell_of(F.col(vec_col)))
+    assigned = assign_cells(emb, centroids, vec_col)
     pruned = assigned.filter(F.col("__cell").isin(probed))
     return topk_cosine(pruned.drop("__cell"), qv, k, vec_col, id_col)
 

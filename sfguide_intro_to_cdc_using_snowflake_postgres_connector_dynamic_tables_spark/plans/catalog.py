@@ -238,6 +238,48 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 
 
 # ---------------------------------------------------------------------------
+# J3b: FULL OUTER join -- completes the outer-join family (left/semi/
+# anti are separate entries).  Two aggregates with mutually exclusive
+# key slices (high-spend customers vs recently-active customers) so
+# BOTH null sides are exercised: 33 big-only and 874 recent-only keys
+# at sf0.01.  Both inputs aggregate on the join key, so the planner
+# co-partitions them on o_custkey -- the join itself adds no exchange.
+# ---------------------------------------------------------------------------
+
+def q_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spend"))
+        .filter(F.col("total_spend") > 3_000_000)
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("recent_orders"))
+    )
+    # USING-style join: the key column is coalesced across sides in
+    # both engines
+    return big.join(recent, on="o_custkey", how="full").select(
+        "o_custkey", "total_spend", "recent_orders"
+    )
+
+
+SQL_FULL_JOIN = """
+WITH big AS (
+  SELECT o_custkey, sum(o_totalprice) AS total_spend
+  FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 3000000
+),
+recent AS (
+  SELECT o_custkey, count(*) AS recent_orders
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-06-01' GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend, recent_orders
+FROM big FULL JOIN recent USING (o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # P10: distinct.
 # ---------------------------------------------------------------------------
 
@@ -597,6 +639,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "left_join": (q_left_join, SQL_LEFT_JOIN),
+    "full_join": (q_full_join, SQL_FULL_JOIN),
     "distinct": (q_distinct, SQL_DISTINCT),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "grouped_count": (q_grouped_count, SQL_GROUPED_COUNT),
@@ -657,6 +700,8 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "video_decode_features",    # decode_avi per-strh stream numbering
         "frame_sample",             # rides decode_avi
         "multimodal_features",      # rides decode_avi
+        "similarity_topk_ivf",      # assignment refactored into assign_cells
+        # semantic_dedup / full_join are NEW (never recorded -> forced)
     }
 )
 

@@ -392,6 +392,84 @@ except Exception:  # testdata absent (non-driver environments): rows-only
     SQL_SIMILARITY_TOPK_IVF = None
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: coarse k-means clusters, near-dup pruning within each
+    # cell only (Sum(cell^2) work, n_cells the scale lever).  Same
+    # deterministic seeded quantizer as the IVF entry, so the generated
+    # oracle rebuilds identical cells and the greedy keep-first rule is
+    # plain SQL -- hash-match gated.
+    # threshold 0.4 matches the exact-pairs entry (the synthetic
+    # embeddings' cosine range tops out ~0.51; the nearest pair to the
+    # 0.4 boundary sits >=1e-5 away at every SF, far above cross-engine
+    # float noise); at sf0.01 the greedy rule drops a ~10% slice.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, threshold=0.4, n_cells=16, seed=42)
+
+
+def semantic_dedup_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> str:
+    """Generate the DuckDB oracle for ``semantic_dedup``.
+
+    Like :func:`ivf_oracle_sql`: the quantizer is data-dependent, so
+    the same sample rows run through the same seeded numpy k-means and
+    the centroids are embedded as SQL literals.  The within-cell
+    pairwise prune and the greedy keep-first verdict are then ordinary
+    SQL (a self-join on cell with a < b and a LEFT JOIN for the kept
+    flag)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    X = np.array(vecs[:sample_cap])
+    centroids = similarity.kmeans_on_sample(X, n_cells, seed)
+
+    lits = ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in centroids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT [{lits}] AS cs),
+cells AS (
+  SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell
+  FROM (
+    SELECT vec_id, v,
+           list_transform(cs, c ->
+             list_sum(list_transform(range(1, len(v) + 1), j -> (v[j] - c[j]) ** 2))) AS dl
+    FROM e, cent
+  )
+),
+norm AS (
+  SELECT vec_id, cell,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM cells
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM norm a JOIN norm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2])) >= {threshold}
+)
+SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+try:
+    SQL_SEMANTIC_DEDUP: str | None = semantic_dedup_oracle_sql()
+except Exception:  # testdata absent (non-driver environments): rows-only
+    SQL_SEMANTIC_DEDUP = None
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -897,6 +975,7 @@ EXT_CATALOG: dict[str, tuple] = {
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, SQL_SIMILARITY_TOPK_IVF),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),

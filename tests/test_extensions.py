@@ -104,6 +104,44 @@ def test_embedding_lsh_vs_bruteforce(spark):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_semantic_dedup_matches_numpy_model(spark):
+    """semantic_dedup (SemDeDup shape) must equal a pure-numpy model of
+    the greedy keep-first rule over the same centroids: dropped iff a
+    strictly-lower-id vector in the SAME k-means cell has cosine >=
+    threshold.  On tight planted clusters every label keeps at least
+    one representative and drops most of the rest."""
+    import numpy as np
+
+    emb = _clustered_embeddings(spark)
+    out = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in dedup.semantic_dedup(emb, threshold=0.99, n_cells=8, seed=3).collect()
+    }
+
+    cents = np.array(similarity._kmeans_centroids(emb, "embedding", 8, 3))
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in emb.collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows])
+    cell = np.argmin(((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    dup_below = (
+        (S >= 0.99) & np.tri(len(ids), k=-1, dtype=bool) & (cell[:, None] == cell[None, :])
+    ).any(axis=1)
+    model = {int(i): (int(c), bool(not d)) for i, c, d in zip(ids, cell, dup_below)}
+    assert out == model
+
+    kept_labels = {r[2] for r, k in zip(rows, dup_below) if not k}
+    assert kept_labels == {r[2] for r in rows}  # every label keeps >=1
+    n_kept = int((~dup_below).sum())
+    # tight clusters: most rows are near-dups of a lower id in-cell
+    assert n_kept < len(ids) // 2
+    assert n_kept >= 5  # at least one per planted cluster
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04", {"width": 2, "height": 2, "duration_ms": None, "codec": "raw"}),
@@ -145,6 +183,10 @@ def test_embedding_lsh_empty_input(spark):
     out = embedding_cosine_pairs_lsh(empty, threshold=0.5)
     assert out.columns == ["id_a", "id_b", "cosine"]
     assert out.count() == 0
+
+    sem = dedup.semantic_dedup(empty, threshold=0.5)
+    assert sem.columns == ["vec_id", "cell", "kept"]
+    assert sem.count() == 0
 
 
 def test_image_decoders_roundtrip_exact():
