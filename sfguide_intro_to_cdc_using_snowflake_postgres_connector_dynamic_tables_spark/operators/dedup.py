@@ -546,6 +546,83 @@ def semantic_dedup(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training vectors
+    semantically too close to ANY test/benchmark vector -- the third
+    tier of the decontamination family (exact 8-gram overlap
+    ``corpus.decontaminate``, constant-memory ``bloom_decontaminate``,
+    and this one for paraphrase-level contamination n-grams miss).
+
+    Same cluster-then-compare skeleton as :func:`semantic_dedup`: the
+    coarse quantizer is a seeded k-means over a bounded sample of the
+    TEST side (cells center on the benchmark; the test set is the small
+    side), both sides are assigned cells in one Arrow-vectorized scan
+    each, and ONE groupBy(cell) shuffle cross-compares each cell's
+    train rows against its test rows in a single BLAS multiply.
+    A train/test near-pair split across cells is the accepted recall
+    loss, exactly as in SemDeDup; raise ``n_cells`` resolution only as
+    the data grows.
+
+    Returns one row per TRAIN vector: (``id_col``, contaminated)."""
+    import pandas as pd
+
+    from .similarity import _kmeans_centroids, assign_cells
+
+    if test.select(vec_col).first() is None:
+        # no benchmark rows: nothing can be contaminated
+        return train.select(
+            F.col(id_col), F.lit(False).alias("contaminated")
+        )
+    centroids = _kmeans_centroids(test, vec_col, n_cells, seed)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return assign_cells(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.lit(tag).alias("side"),
+            ),
+            centroids,
+            "v",
+            out_col="cell",
+        )
+
+    both = side(train, "T").unionByName(side(test, "B"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmask = (pdf["side"] == "T").to_numpy()
+        tids = pdf.loc[tmask, "id"].to_numpy()
+        if not len(tids):
+            return pd.DataFrame(
+                {"id": pd.array([], dtype="int64"),
+                 "contaminated": pd.array([], dtype="bool")}
+            )
+        if not (~tmask).any():
+            return pd.DataFrame(
+                {"id": tids, "contaminated": np.zeros(len(tids), dtype=bool)}
+            )
+        T = np.array([list(x) for x in pdf.loc[tmask, "v"]], dtype=np.float64)
+        B = np.array([list(x) for x in pdf.loc[~tmask, "v"]], dtype=np.float64)
+        T = T / np.linalg.norm(T, axis=1, keepdims=True)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        hit = ((T @ B.T) >= threshold).any(axis=1)
+        return pd.DataFrame({"id": tids, "contaminated": hit})
+
+    return (
+        both.groupBy("cell")
+        .applyInPandas(kernel, "id long, contaminated boolean")
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def _cut_lineage(df: DataFrame, policy: str) -> DataFrame:
     """Cut plan lineage between loop iterations (an iterative-join loop
     otherwise compounds the logical plan exponentially).

@@ -470,6 +470,175 @@ except Exception:  # testdata absent (non-driver environments): rows-only
     SQL_SEMANTIC_DEDUP = None
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space benchmark decontamination, third tier of the
+    # family (exact 8-gram `decontaminate`, `bloom_decontaminate`).
+    # Benchmark split = vec_id % 10 == 0 (the md5-split analogue kept
+    # integer-cheap on an integer key); quantizer cells center on the
+    # benchmark side.  threshold 0.35 flags a ~7% train slice here;
+    # nearest cross-pair to the boundary is >=7e-5 away at every SF.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.35,
+        n_cells=16,
+        seed=42,
+    )
+
+
+def semantic_decontaminate_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> str:
+    """Generated DuckDB oracle for ``semantic_decontaminate`` -- same
+    scheme as :func:`semantic_dedup_oracle_sql`, with the k-means run
+    over the TEST side's sample rows (vec_id % 10 == 0, file order)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    test_vecs = [v for i, v in zip(ids, vecs) if i % 10 == 0]
+    X = np.array(test_vecs[:sample_cap])
+    centroids = similarity.kmeans_on_sample(X, n_cells, seed)
+
+    lits = ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in centroids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT [{lits}] AS cs),
+cells AS (
+  SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell
+  FROM (
+    SELECT vec_id, v,
+           list_transform(cs, c ->
+             list_sum(list_transform(range(1, len(v) + 1), j -> (v[j] - c[j]) ** 2))) AS dl
+    FROM e, cent
+  )
+),
+norm AS (
+  SELECT vec_id, cell,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM cells
+),
+hits AS (
+  SELECT DISTINCT t.vec_id
+  FROM norm t JOIN norm b ON t.cell = b.cell
+  WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+    AND list_sum(list_transform(list_zip(t.u, b.u), p -> p[1] * p[2])) >= {threshold}
+)
+SELECT c.vec_id, (h.vec_id IS NOT NULL) AS contaminated
+FROM cells c LEFT JOIN hits h ON c.vec_id = h.vec_id
+WHERE c.vec_id % 10 <> 0
+"""
+
+
+try:
+    SQL_SEMANTIC_DECONTAMINATE: str | None = semantic_decontaminate_oracle_sql()
+except Exception:  # testdata absent (non-driver environments): rows-only
+    SQL_SEMANTIC_DECONTAMINATE = None
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ asymmetric-distance top-k (Jegou et al. 2011): the third ANN
+    # tier after brute-force and IVF.  Codebooks come from the same
+    # bounded seeded sample as the IVF quantizer, so the generated
+    # oracle rebuilds identical codes and distance tables.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_pq(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def pq_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> str:
+    """Generated DuckDB oracle for ``pq_topk``: the same seeded
+    per-subspace k-means runs over the same sample rows, and both the
+    codebooks (for the argmin code assignment) and the ADC distance
+    tables (for the lookup sum) are embedded as SQL literals.  Term
+    addition order matches the engine expression (t0 + t1 + ...)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    X = np.array(vecs[:sample_cap])
+    d = X.shape[1]
+    sub = d // m
+    codebooks = [
+        similarity.kmeans_on_sample(X[:, s * sub : (s + 1) * sub], n_codes, seed + s)
+        for s in range(m)
+    ]
+    qv = vecs[ids.index(0)]
+    tables = similarity.pq_distance_tables(codebooks, qv)
+
+    def lits(cb):
+        return "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in cb
+        ) + "]"
+
+    dist_exprs = []
+    code_exprs = []
+    for s in range(m):
+        off = s * sub
+        sq = " + ".join(f"(v[{off + j + 1}] - c[{j + 1}]) ** 2" for j in range(sub))
+        code_exprs.append(
+            f"list_position(d{s}, list_min(d{s})) - 1 AS c{s}"
+        )
+        dist_exprs.append(
+            f"list_transform({lits(codebooks[s])}::DOUBLE[][], c -> {sq}) AS d{s}"
+        )
+    # ::DOUBLE[] -- DuckDB types a bare decimal-literal list as
+    # DECIMAL[], which would surface as unrounded Decimal cells in the
+    # comparison frame instead of doubles
+    tlits = ", ".join(
+        "[" + ", ".join(repr(x) for x in t) + "]::DOUBLE[]" + f" AS t{s}"
+        for s, t in enumerate(tables)
+    )
+    total = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, {", ".join(code_exprs)}
+  FROM (SELECT vec_id, {", ".join(dist_exprs)} FROM e)
+),
+tabs AS (SELECT {tlits})
+SELECT vec_id, {total} AS approx_dist
+FROM codes, tabs
+ORDER BY approx_dist ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+try:
+    SQL_PQ_TOPK: str | None = pq_oracle_sql()
+except Exception:  # testdata absent (non-driver environments): rows-only
+    SQL_PQ_TOPK = None
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -976,6 +1145,11 @@ EXT_CATALOG: dict[str, tuple] = {
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_ivf": (q_similarity_topk_ivf, SQL_SIMILARITY_TOPK_IVF),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "semantic_decontaminate": (
+        q_semantic_decontaminate,
+        SQL_SEMANTIC_DECONTAMINATE,
+    ),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),

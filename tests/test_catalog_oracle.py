@@ -30,20 +30,21 @@ def con():
 @pytest.mark.parametrize("name", sorted(CATALOG.keys()))
 def test_oracle_match(spark, con, name):
     fn, sql = CATALOG[name]
-    if name in ("similarity_topk_ivf", "semantic_dedup"):
+    generated = {
+        "similarity_topk_ivf": "ivf_oracle_sql",
+        "semantic_dedup": "semantic_dedup_oracle_sql",
+        "semantic_decontaminate": "semantic_decontaminate_oracle_sql",
+        "pq_topk": "pq_oracle_sql",
+    }
+    if name in generated:
         # data-dependent oracles: the registered SQL embeds centroids
         # derived from the driver's sf0.01 tables; regenerate for the
         # scale this suite runs at
-        from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_ext import (
-            ivf_oracle_sql,
-            semantic_dedup_oracle_sql,
+        from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+            catalog_ext,
         )
 
-        gen = {
-            "similarity_topk_ivf": ivf_oracle_sql,
-            "semantic_dedup": semantic_dedup_oracle_sql,
-        }[name]
-        sql = gen(SF_DIR)
+        sql = getattr(catalog_ext, generated[name])(SF_DIR)
     df = fn(spark, SF_DIR)
     if sql is None:
         assert df.count() >= 0  # rows-only check, like the driver

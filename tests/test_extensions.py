@@ -82,6 +82,46 @@ def test_ivf_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"IVF recall {recall} on tightly clustered data"
 
 
+def test_pq_topk_recall_and_compression(spark):
+    """PQ asymmetric-distance top-k must (a) reach high recall against
+    the exact L2 top-k on clustered data, and (b) encode to exactly m
+    small codes per vector (the 16x-scan-compression claim)."""
+    import numpy as np
+
+    emb = _clustered_embeddings(spark)
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows])
+    q = V[0]
+    exact = set(ids[np.argsort(((V - q) ** 2).sum(axis=1))][:10].tolist())
+
+    approx = [
+        r["vec_id"]
+        for r in similarity.topk_pq(emb, list(q), k=10, m=4, n_codes=16, seed=3).collect()
+    ]
+    # within a tight cluster the true neighbor ranking sits BELOW the
+    # quantization resolution (all 20 members are near-equidistant), so
+    # pin the guarantee PQ actually makes: every returned neighbor is
+    # from the query's cluster, and most of the exact set survives
+    cluster0 = {int(i) for i in ids if i < 20}
+    assert set(approx) <= cluster0, f"PQ returned out-of-cluster ids: {approx}"
+    recall = len(exact & set(approx)) / 10
+    assert recall >= 0.6, f"PQ recall {recall}"
+
+    cb = similarity.pq_train(emb, m=4, k=16, seed=3)
+    assert len(cb) == 4 and all(len(c) == 16 for c in cb)
+    enc = similarity.pq_encode(emb, cb).select("pq_codes").first()["pq_codes"]
+    assert len(enc) == 4 and all(0 <= c < 16 for c in enc)
+
+    # indivisible subspace split must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=5)
+
+
 def test_embedding_exact_matches_bruteforce(spark):
     # the gated distributed broadcast-join variant must agree exactly
     # with the single-node BLAS baseline
@@ -140,6 +180,37 @@ def test_semantic_dedup_matches_numpy_model(spark):
     # tight clusters: most rows are near-dups of a lower id in-cell
     assert n_kept < len(ids) // 2
     assert n_kept >= 5  # at least one per planted cluster
+
+
+def test_semantic_decontaminate_flags_planted_overlap(spark):
+    """A training vector that duplicates a benchmark vector must be
+    flagged (identical vectors land in the same quantizer cell by
+    construction); training vectors from distant clusters must not."""
+    emb = _clustered_embeddings(spark)
+    test = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
+    leak = test.limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    train = (
+        emb.filter(F.col("label") != 0)
+        .select("vec_id", "embedding")
+        .unionByName(leak)
+    )
+    out = {
+        r["vec_id"]: r["contaminated"]
+        for r in dedup.semantic_decontaminate(
+            train, test, threshold=0.99, n_cells=4, seed=3
+        ).collect()
+    }
+    assert len(out) == 81  # 4 clusters x 20 + the planted leak
+    assert out[10_000 + test.first()["vec_id"]] is True
+    assert sum(out.values()) == 1  # distant clusters stay clean
+
+    # no benchmark rows -> nothing contaminated, schema intact
+    empty_test = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    clean = dedup.semantic_decontaminate(train, empty_test, threshold=0.5)
+    assert clean.columns == ["vec_id", "contaminated"]
+    assert clean.filter("contaminated").count() == 0
 
 
 def test_multimodal_plumbing(spark):
