@@ -240,6 +240,7 @@ def topk_pq(
     m: int = 4,
     n_codes: int = 16,
     seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: encode once (in a
     real deployment the codes column is precomputed and stored), then
@@ -251,8 +252,11 @@ def topk_pq(
     cell pruning (`topk_cosine_ivf`, reads ~n_probe/n_cells of the
     data), and PQ (reads ALL rows but only m code bytes each + no
     float math per dimension).  IVF-PQ composition = assign cells with
-    `assign_cells`, filter to probed cells, then this scorer."""
-    codebooks = pq_train(emb, vec_col, m, n_codes, seed)
+    `assign_cells`, filter to probed cells, then this scorer
+    (:func:`topk_pq_ivf`); pass ``codebooks`` to score a pruned subset
+    with codebooks trained on the full table."""
+    if codebooks is None:
+        codebooks = pq_train(emb, vec_col, m, n_codes, seed)
     tables = pq_distance_tables(codebooks, query_vec)
     encoded = pq_encode(emb, codebooks, vec_col)
     dist = None
@@ -266,6 +270,39 @@ def topk_pq(
         encoded.select(F.col(id_col), dist.alias("approx_dist"))
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def topk_pq_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composition real large-scale ANN deployments run
+    (FAISS IVFx,PQy) -- coarse cells prune the candidate set to
+    ~n_probe/n_cells of the data, PQ codes score the survivors without
+    touching raw vectors.  Both quantizers train on the SAME bounded
+    driver-side sample (IVF with ``seed``, PQ subspaces with
+    ``seed + s``), so the whole path stays deterministic and
+    oracle-reproducible.  In a stored deployment both the cell id and
+    the code array are precomputed columns partitioned by cell: a
+    query reads n_probe partitions x m ints per row."""
+    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    codebooks = pq_train(emb, vec_col, m, n_codes, seed)
+    qv = [float(x) for x in query_vec]
+    probed = probe_cells(centroids, qv, n_probe)
+
+    assigned = assign_cells(emb, centroids, vec_col)
+    pruned = assigned.filter(F.col("__cell").isin(probed)).drop("__cell")
+    return topk_pq(
+        pruned, qv, k, vec_col, id_col, m, n_codes, seed, codebooks=codebooks
     )
 
 

@@ -639,6 +639,105 @@ except Exception:  # testdata absent (non-driver environments): rows-only
     SQL_PQ_TOPK = None
 
 
+def q_pq_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ (FAISS-style): coarse cells prune to ~n_probe/n_cells of
+    # the data, PQ codes score the survivors.  Both quantizers ride
+    # the same bounded seeded sample, so the generated oracle rebuilds
+    # cells, codes, and tables identically.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_pq_ivf(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def pq_ivf_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_cap: int = 4096,
+) -> str:
+    """Generated DuckDB oracle for ``pq_topk_ivf``: IVF cell pruning
+    (centroid literals + probed-cell list, as :func:`ivf_oracle_sql`)
+    feeding the PQ code/table scoring (as :func:`pq_oracle_sql`)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    X = np.array(vecs[:sample_cap])
+    d = X.shape[1]
+    sub = d // m
+    centroids = similarity.kmeans_on_sample(X, n_cells, seed)
+    codebooks = [
+        similarity.kmeans_on_sample(X[:, s * sub : (s + 1) * sub], n_codes, seed + s)
+        for s in range(m)
+    ]
+    qv = vecs[ids.index(0)]
+    probed = similarity.probe_cells(centroids, qv, n_probe)
+    tables = similarity.pq_distance_tables(codebooks, qv)
+
+    def lits(cb):
+        return "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in cb
+        ) + "]"
+
+    dist_exprs = []
+    code_exprs = []
+    for s in range(m):
+        off = s * sub
+        sq = " + ".join(f"(v[{off + j + 1}] - c[{j + 1}]) ** 2" for j in range(sub))
+        code_exprs.append(f"list_position(d{s}, list_min(d{s})) - 1 AS c{s}")
+        dist_exprs.append(
+            f"list_transform({lits(codebooks[s])}::DOUBLE[][], c -> {sq}) AS d{s}"
+        )
+    tlits = ", ".join(
+        "[" + ", ".join(repr(x) for x in t) + "]::DOUBLE[]" + f" AS t{s}"
+        for s, t in enumerate(tables)
+    )
+    total = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT {lits(centroids)}::DOUBLE[][] AS cs),
+cells AS (
+  SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell
+  FROM (
+    SELECT vec_id, v,
+           list_transform(cs, c ->
+             list_sum(list_transform(range(1, len(v) + 1), j -> (v[j] - c[j]) ** 2))) AS dl
+    FROM e, cent
+  )
+),
+pruned AS (
+  SELECT vec_id, v FROM cells WHERE cell IN ({", ".join(str(p) for p in probed)})
+),
+codes AS (
+  SELECT vec_id, {", ".join(code_exprs)}
+  FROM (SELECT vec_id, {", ".join(dist_exprs)} FROM pruned)
+),
+tabs AS (SELECT {tlits})
+SELECT vec_id, {total} AS approx_dist
+FROM codes, tabs
+ORDER BY approx_dist ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+try:
+    SQL_PQ_TOPK_IVF: str | None = pq_ivf_oracle_sql()
+except Exception:  # testdata absent (non-driver environments): rows-only
+    SQL_PQ_TOPK_IVF = None
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1150,6 +1249,7 @@ EXT_CATALOG: dict[str, tuple] = {
         SQL_SEMANTIC_DECONTAMINATE,
     ),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "pq_topk_ivf": (q_pq_topk_ivf, SQL_PQ_TOPK_IVF),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),

@@ -35,6 +35,7 @@ def test_oracle_match(spark, con, name):
         "semantic_dedup": "semantic_dedup_oracle_sql",
         "semantic_decontaminate": "semantic_decontaminate_oracle_sql",
         "pq_topk": "pq_oracle_sql",
+        "pq_topk_ivf": "pq_ivf_oracle_sql",
     }
     if name in generated:
         # data-dependent oracles: the registered SQL embeds centroids

@@ -121,6 +121,18 @@ def test_pq_topk_recall_and_compression(spark):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(emb, m=5)
 
+    # IVF-PQ composition: the probed cells contain the query's
+    # cluster, and PQ scoring over the pruned set keeps the same
+    # guarantee as the full scan
+    ivfpq = [
+        r["vec_id"]
+        for r in similarity.topk_pq_ivf(
+            emb, list(q), k=10, m=4, n_codes=16, n_cells=8, n_probe=2, seed=3
+        ).collect()
+    ]
+    assert set(ivfpq) <= cluster0, f"IVF-PQ returned out-of-cluster ids: {ivfpq}"
+    assert len(ivfpq) == 10
+
 
 def test_embedding_exact_matches_bruteforce(spark):
     # the gated distributed broadcast-join variant must agree exactly
