@@ -24,6 +24,7 @@ SF = "/root/testdata/sf0.001"
 # sf0.001 explicitly keeps the smoke run at the smallest scale even
 # where the default is sf0.01)
 EXAMPLES: dict[str, list[str]] = {
+    "ann_pipeline.py": [SF],
     "quickstart.py": [],
     "chained_views.py": [],
     "corpus_pipeline.py": [SF],

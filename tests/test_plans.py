@@ -363,3 +363,41 @@ def test_bm25_single_corpus_scan_for_postings(spark):
     final = executed.split("+- == Initial Plan ==")[0]
     assert "ReusedExchange" in final
     assert final.count("FileScan parquet") == 2
+
+
+def test_pq_topk_codegen_scoring_takeordered(spark):
+    """PQ scoring must stay a single pass: one FileScan, ONE
+    ArrowEvalPython (the vectorized encode), the distance as codegen
+    element_at lookups (no per-row Python), and TakeOrderedAndProject
+    for the top-k -- never a global sort or an exchange."""
+    plan = plan_of(CATALOG["pq_topk"][0](spark, SF), mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("element_at") == 4  # m=4 table lookups, codegen
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """Semantic dedup is ONE keyed exchange (groupBy cell feeding the
+    in-kernel verdict pass) -- no self-join, no second exchange, no
+    broadcast of a pair set."""
+    plan = plan_of(CATALOG["semantic_dedup"][0](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_pq_ivf_prunes_before_scoring(spark):
+    """IVF-PQ: the probed-cell filter must sit between the assignment
+    and the scorer (pruning happens before any distance math), and the
+    whole path stays exchange-free like the flat PQ scan."""
+    plan = plan_of(CATALOG["pq_topk_ivf"][0](spark, SF), mode="simple")
+    # two Arrow passes (cell assignment, code encode) with the
+    # probed-cell IN filter between them
+    assert plan.count("ArrowEvalPython") == 2
+    assert " IN (" in plan
+    assert plan.index("Filter") > plan.index("TakeOrderedAndProject")  # filter deeper than the top-k
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
