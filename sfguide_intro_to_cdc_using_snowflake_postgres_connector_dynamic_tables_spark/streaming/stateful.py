@@ -55,3 +55,62 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_first_seen(
+    stream: DataFrame, key_col: str = "content_fp", ttl_ms: int | None = None
+) -> DataFrame:
+    """Exact streaming dedup with TTL-bounded state: emit each key's
+    FIRST row only; later arrivals -- same micro-batch or any later
+    one -- are dropped against a per-key seen-marker in the state
+    store.
+
+    ``ttl_ms`` bounds the state by WALL CLOCK via a processing-time
+    timeout: a key quiet for the TTL is evicted and re-admits -- the
+    retention form ``dropDuplicates`` cannot express (its state only
+    grows) and ``dropDuplicatesWithinWatermark`` only approximates by
+    event time.  State is one tinyint per live key, RocksDB-backed on
+    a cluster; the shuffle is the groupBy's key partitioning, reused
+    every batch.
+
+    Implementation note: on Spark 4 this maps 1:1 onto
+    ``transformWithStateInPandas`` with a TTL'd ``ValueState``
+    (``handle.getValueState("seen", ..., ttlDurationMs=ttl_ms)``), but
+    that API's control channel needs the ``protobuf`` package, which
+    this runtime does not ship -- so the operator rides the stable
+    ``applyInPandasWithState`` + ``ProcessingTimeTimeout`` form with
+    identical semantics and state shape."""
+    schema = stream.schema
+    use_ttl = ttl_ms is not None
+
+    def first_seen(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # quiet past the TTL: evict the marker so the key re-admits
+            state.remove()
+            return
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf.head(1)
+                    break
+            state.update((1,))
+        else:
+            for _ in pdfs:  # drain: duplicates are dropped
+                pass
+        if use_ttl:
+            # (re)arm the eviction clock on every sighting
+            state.setTimeoutDuration(ttl_ms)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=schema,
+        stateStructType="seen tinyint",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -65,3 +65,106 @@ def test_running_totals_accumulate(spark, tmp_path):
     assert final[1] == (3, 17.5)  # accumulated: 2 events + 1 new
     assert final[3] == (1, 7.0)
     assert 2 not in final  # untouched user not re-emitted in update mode
+
+
+def test_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
+    """transformWithStateInPandas dedup: the first row per key is
+    emitted, later arrivals (same batch, later batch, or after a query
+    RESTART on the same checkpoint) are dropped."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    _write_batch(feed, "b1", [
+        {"content_fp": "A", "doc_id": 1},
+        {"content_fp": "A", "doc_id": 2},   # same-batch dup
+        {"content_fp": "B", "doc_id": 3},
+    ])
+
+    stream = spark.readStream.schema("content_fp string, doc_id long").json(feed)
+    deduped = streaming_first_seen(stream, key_col="content_fp")
+
+    def sink(batch, bid):
+        out.append(sorted((r["content_fp"], r["doc_id"]) for r in batch.collect()))
+
+    def run():
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    emitted = [p for batch in out for p in batch]
+    assert ("B", 3) in emitted
+    # exactly one A row survived, and it is the batch's first
+    assert [p for p in emitted if p[0] == "A"] == [("A", 1)]
+
+    # restart on the same checkpoint: A suppressed by restored state,
+    # C is new
+    _write_batch(feed, "b2", [
+        {"content_fp": "A", "doc_id": 4},
+        {"content_fp": "C", "doc_id": 5},
+    ])
+    out.clear()
+    run()
+    emitted = [p for batch in out for p in batch]
+    assert emitted == [("C", 5)]
+
+
+def test_first_seen_ttl_readmits_quiet_keys(spark, tmp_path):
+    """With ttl_ms, a key quiet past the TTL is evicted from the state
+    store and re-admits -- bounded state by wall clock."""
+    import time as _time
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    _write_batch(feed, "b1", [{"content_fp": "A", "doc_id": 1}])
+    stream = spark.readStream.schema("content_fp string, doc_id long").json(feed)
+    deduped = streaming_first_seen(stream, key_col="content_fp", ttl_ms=500)
+
+    def sink(batch, bid):
+        out.append(sorted((r["content_fp"], r["doc_id"]) for r in batch.collect()))
+
+    def run(expect_rows: int):
+        # availableNow + ProcessingTimeTimeout keeps scheduling batches
+        # to fire pending timers, so the query never self-terminates:
+        # poll the sink for the expected rows, then stop explicitly.
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 90
+        while (
+            _time.time() < deadline
+            and q.isActive
+            and sum(len(b) for b in out) < expect_rows
+        ):
+            _time.sleep(0.25)
+        q.stop()
+        q.awaitTermination(30)
+
+    run(expect_rows=1)
+    assert [p for b in out for p in b] == [("A", 1)]
+
+    _time.sleep(2.0)  # >> ttl: the seen-marker must have expired
+    _write_batch(feed, "b2", [{"content_fp": "A", "doc_id": 2}])
+    out.clear()
+    run(expect_rows=1)
+    assert [p for b in out for p in b] == [("A", 2)]
