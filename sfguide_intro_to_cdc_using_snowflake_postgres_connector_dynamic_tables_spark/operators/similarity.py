@@ -306,6 +306,74 @@ def topk_pq_ivf(
     )
 
 
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ index as parquet PARTITIONED BY cell:
+    each row stores only (id, pq_codes) -- m small ints instead of d
+    floats -- under its coarse cell's directory.  Returns the
+    (centroids, codebooks) pair the searcher needs; persist them next
+    to the index in a real deployment (they are a few KB).
+
+    This is the storage layout the IVF literature assumes: a query
+    later reads ONLY the n_probe matching partitions (directory-level
+    pruning, verified by plan in tests) and only the codes column --
+    the double win that makes ANN over 100 TB of vectors a
+    few-partition scan."""
+    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    codebooks = pq_train(emb, vec_col, m, n_codes, seed)
+    assigned = assign_cells(emb, centroids, vec_col, out_col="cell")
+    encoded = pq_encode(assigned, codebooks, vec_col)
+    (
+        encoded.select(F.col(id_col), F.col("pq_codes"), F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return centroids, codebooks
+
+
+def search_pq_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a :func:`build_pq_index` layout: filter to the n_probe
+    nearest cells (a PARTITION filter -- Spark prunes the directories,
+    never opening the rest), score the stored codes with the ADC
+    tables, TakeOrdered the k best.  No raw vectors are read at all;
+    re-rank the returned ids against the vector table if exact order
+    matters (see examples/ann_pipeline.py for the rerank shape)."""
+    qv = [float(x) for x in query_vec]
+    probed = probe_cells(centroids, qv, n_probe)
+    tables = pq_distance_tables(codebooks, qv)
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    dist = None
+    for s, t in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in t]),
+            F.col("pq_codes")[s] + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        idx.select(F.col(id_col), dist.alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def probe_cells(centroids: list[list[float]], qv: list[float], n_probe: int) -> list[int]:
     """The n_probe cells whose centroids sit closest to the query --
     shared by the engine and the oracle generator."""

@@ -134,6 +134,42 @@ def test_pq_topk_recall_and_compression(spark):
     assert len(ivfpq) == 10
 
 
+def test_pq_index_partition_pruning_and_parity(spark, tmp_path):
+    """The stored IVF-PQ index must (a) return exactly what the inline
+    IVF-PQ path returns (same seeded quantizers), and (b) physically
+    prune to the n_probe cell directories -- the scan may touch no
+    other partition's files."""
+    emb = _clustered_embeddings(spark)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "pq_index")
+    cents, cbs = similarity.build_pq_index(
+        emb, path, m=4, n_codes=16, n_cells=8, seed=3
+    )
+
+    hits = similarity.search_pq_index(
+        spark, path, cents, cbs, q, k=10, n_probe=2
+    )
+    inline = similarity.topk_pq_ivf(
+        emb, q, k=10, m=4, n_codes=16, n_cells=8, n_probe=2, seed=3
+    )
+    got = [(r["vec_id"], round(r["approx_dist"], 9)) for r in hits.collect()]
+    want = [(r["vec_id"], round(r["approx_dist"], 9)) for r in inline.collect()]
+    assert got == want
+
+    # directory-level pruning: the cell predicate must land in
+    # PartitionFilters (pruned BEFORE any file opens -- inputFiles()
+    # can't show this, it lists the unpruned relation), and as a pure
+    # partition filter, not a post-scan data filter
+    probed = similarity.probe_cells(cents, q, 2)
+    plan = hits._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line and all(str(c) in pf_line for c in probed)
+    df_lines = [l for l in plan.splitlines() if "DataFilters" in l]
+    assert all("cell" not in l for l in df_lines)  # never a post-scan filter
+
+
 def test_embedding_exact_matches_bruteforce(spark):
     # the gated distributed broadcast-join variant must agree exactly
     # with the single-node BLAS baseline
