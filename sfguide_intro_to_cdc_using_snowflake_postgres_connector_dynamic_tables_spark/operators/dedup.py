@@ -480,6 +480,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_cells: int = 16,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse k-means
@@ -516,7 +517,8 @@ def semantic_dedup(
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, cell int, kept boolean"
         )
-    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    if centroids is None:
+        centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
     assigned = assign_cells(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         centroids,
@@ -546,56 +548,14 @@ def semantic_dedup(
     )
 
 
-def semantic_decontaminate(
-    train: DataFrame,
-    test: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.95,
-    n_cells: int = 16,
-    seed: int = 42,
-) -> DataFrame:
-    """Embedding-space benchmark decontamination: flag training vectors
-    semantically too close to ANY test/benchmark vector -- the third
-    tier of the decontamination family (exact 8-gram overlap
-    ``corpus.decontaminate``, constant-memory ``bloom_decontaminate``,
-    and this one for paraphrase-level contamination n-grams miss).
-
-    Same cluster-then-compare skeleton as :func:`semantic_dedup`: the
-    coarse quantizer is a seeded k-means over a bounded sample of the
-    TEST side (cells center on the benchmark; the test set is the small
-    side), both sides are assigned cells in one Arrow-vectorized scan
-    each, and ONE groupBy(cell) shuffle cross-compares each cell's
-    train rows against its test rows in a single BLAS multiply.
-    A train/test near-pair split across cells is the accepted recall
-    loss, exactly as in SemDeDup; raise ``n_cells`` resolution only as
-    the data grows.
-
-    Returns one row per TRAIN vector: (``id_col``, contaminated)."""
+def cross_cell_hits(both: DataFrame, threshold: float) -> DataFrame:
+    """Per-cell cross comparison over a pre-assigned union frame with
+    columns (id, v, side, cell): for every side='T' row, whether any
+    side='B' row in the same cell reaches ``cosine >= threshold``.
+    ONE groupBy(cell) shuffle, verdicts emitted in-kernel.  The shared
+    engine of :func:`semantic_decontaminate` and the streaming
+    semantic-ingest probe (which brings its own stored-side cells)."""
     import pandas as pd
-
-    from .similarity import _kmeans_centroids, assign_cells
-
-    if test.select(vec_col).first() is None:
-        # no benchmark rows: nothing can be contaminated
-        return train.select(
-            F.col(id_col), F.lit(False).alias("contaminated")
-        )
-    centroids = _kmeans_centroids(test, vec_col, n_cells, seed)
-
-    def side(df: DataFrame, tag: str) -> DataFrame:
-        return assign_cells(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-                F.lit(tag).alias("side"),
-            ),
-            centroids,
-            "v",
-            out_col="cell",
-        )
-
-    both = side(train, "T").unionByName(side(test, "B"))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         tmask = (pdf["side"] == "T").to_numpy()
@@ -616,11 +576,62 @@ def semantic_decontaminate(
         hit = ((T @ B.T) >= threshold).any(axis=1)
         return pd.DataFrame({"id": tids, "contaminated": hit})
 
-    return (
-        both.groupBy("cell")
-        .applyInPandas(kernel, "id long, contaminated boolean")
-        .withColumnRenamed("id", id_col)
+    return both.groupBy("cell").applyInPandas(
+        kernel, "id long, contaminated boolean"
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training vectors
+    semantically too close to ANY test/benchmark vector -- the third
+    tier of the decontamination family (exact 8-gram overlap
+    ``corpus.decontaminate``, constant-memory ``bloom_decontaminate``,
+    and this one for paraphrase-level contamination n-grams miss).
+
+    Same cluster-then-compare skeleton as :func:`semantic_dedup`: the
+    coarse quantizer is a seeded k-means over a bounded sample of the
+    TEST side (cells center on the benchmark; the test set is the small
+    side), both sides are assigned cells in one Arrow-vectorized scan
+    each, and ONE groupBy(cell) shuffle cross-compares each cell's
+    train rows against its test rows in a single BLAS multiply.
+    A train/test near-pair split across cells is the accepted recall
+    loss, exactly as in SemDeDup; raise ``n_cells`` resolution only as
+    the data grows.
+
+    Returns one row per TRAIN vector: (``id_col``, contaminated)."""
+    from .similarity import _kmeans_centroids, assign_cells
+
+    if test.select(vec_col).first() is None:
+        # no benchmark rows: nothing can be contaminated
+        return train.select(
+            F.col(id_col), F.lit(False).alias("contaminated")
+        )
+    if centroids is None:
+        centroids = _kmeans_centroids(test, vec_col, n_cells, seed)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return assign_cells(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.lit(tag).alias("side"),
+            ),
+            centroids,
+            "v",
+            out_col="cell",
+        )
+
+    both = side(train, "T").unionByName(side(test, "B"))
+    return cross_cell_hits(both, threshold).withColumnRenamed("id", id_col)
 
 
 def _cut_lineage(df: DataFrame, policy: str) -> DataFrame:

@@ -183,6 +183,146 @@ def _near_dup_filter(
         new_bands.unpersist()
 
 
+def cells_table_name(table: str) -> str:
+    return f"{table}__cells"
+
+
+def centroids_table_name(table: str) -> str:
+    return f"{table}__centroids"
+
+
+def _embed_double(docs: DataFrame, dim: int) -> DataFrame:
+    """(doc_id, embedding array<double>) via the hashing trick; docs
+    with no tokens produce no row (they cannot semantically match
+    anything and pass through unharmed)."""
+    from ..operators.corpus import hashing_embed
+
+    return hashing_embed(docs, dim=dim).select(
+        "doc_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _load_centroids(store: ParquetTableStore, spark: SparkSession, table: str):
+    rows = (
+        store.read(spark, centroids_table_name(table)).orderBy("cell").collect()
+    )
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def _write_semantic_index(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    docs: DataFrame,
+    centroids,
+    dim: int,
+    n_buckets: int,
+    bootstrap: bool,
+) -> None:
+    """(doc_id, embedding, cell) rows for ``docs`` into the
+    cell-bucketed ``<table>__cells`` index (append is bucket-pruned --
+    same non-unique-key path the band index uses)."""
+    from ..operators.similarity import assign_cells
+
+    idx = assign_cells(_embed_double(docs, dim), centroids, "embedding", out_col="cell")
+    if bootstrap:
+        store.overwrite(
+            cells_table_name(table), idx, partition_key="cell", n_buckets=n_buckets
+        )
+    else:
+        store.append(spark, cells_table_name(table), idx)
+
+
+def _semantic_filter(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    new_rows: DataFrame,
+    threshold: float,
+    dim: int,
+    n_cells: int,
+    n_buckets: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop batch docs whose hashing-trick embedding reaches
+    ``cosine >= threshold`` against (a) a lower-id doc in the SAME
+    batch or (b) anything already stored -- the semantic
+    (paraphrase-level) tier next to the exact-fp and MinHash tiers.
+
+    The quantizer is trained ONCE (on the stored corpus at index
+    bootstrap) and persisted in ``<table>__centroids``; every batch
+    assigns with those same cells, so the ``<table>__cells`` index
+    stays consistent and each tick reads only the cell buckets the
+    batch's own vectors land in."""
+    from ..operators.dedup import cross_cell_hits, semantic_dedup
+    from ..operators.similarity import _kmeans_centroids, assign_cells
+
+    cells_name = cells_table_name(table)
+    if not store.exists(cells_name):
+        # one-time backfill: train the quantizer on the stored corpus
+        # (bounded driver sample), persist it, index the stored docs
+        stored_emb = _embed_double(store.read(spark, table), dim)
+        centroids = _kmeans_centroids(stored_emb, "embedding", n_cells, seed)
+        store.overwrite(
+            centroids_table_name(table),
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)],
+                "cell int, centroid array<double>",
+            ),
+        )
+        _write_semantic_index(
+            store, spark, table, store.read(spark, table), centroids, dim,
+            n_buckets, bootstrap=True,
+        )
+    else:
+        centroids = _load_centroids(store, spark, table)
+
+    emb_new = _embed_double(new_rows, dim).cache()
+    try:
+        if emb_new.isEmpty():
+            return new_rows  # tokenless batch: nothing to compare
+        # (a) batch-internal semantic dedup under the SHARED cells
+        verdicts = semantic_dedup(
+            emb_new, id_col="doc_id", threshold=threshold, centroids=centroids
+        )
+        intra_dups = verdicts.filter(~F.col("kept")).select("doc_id")
+        kept_emb = emb_new.join(intra_dups, "doc_id", "left_anti")
+
+        # (b) probe ONLY the stored cell buckets this batch touches
+        assigned = assign_cells(kept_emb, centroids, "embedding", out_col="cell")
+        _key, B = store.partition_spec(cells_name)
+        batch_buckets = [
+            r[0]
+            for r in assigned.select(store.bucket_expr("cell", B).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        stored_idx = store.read_buckets(spark, cells_name, batch_buckets)
+        both = assigned.select(
+            F.col("doc_id").alias("id"),
+            F.col("embedding").alias("v"),
+            F.lit("T").alias("side"),
+            "cell",
+        ).unionByName(
+            stored_idx.select(
+                F.col("doc_id").alias("id"),
+                F.col("embedding").alias("v"),
+                F.lit("B").alias("side"),
+                "cell",
+            )
+        )
+        cross_dups = (
+            cross_cell_hits(both, threshold)
+            .filter(F.col("contaminated"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        drop = intra_dups.unionByName(cross_dups).distinct()
+        return new_rows.join(drop, "doc_id", "left_anti")
+    finally:
+        emb_new.unpersist()
+
+
 def ingest_batch(
     store: ParquetTableStore,
     spark: SparkSession,
@@ -194,12 +334,19 @@ def ingest_batch(
     near_threshold: float = 0.8,
     num_hashes: int = 6,
     band_size: int = 2,
+    semantic: bool = False,
+    sem_threshold: float = 0.9,
+    sem_dim: int = 16,
+    sem_cells: int = 16,
 ) -> None:
     """Apply one micro-batch: quality-gate, drop docs whose exact
     content already exists in the store, optionally drop NEAR
     duplicates of stored content (``near_dup=True``: MinHash-LSH band
-    index probe + exact Jaccard verify), upsert the rest (and the new
-    fingerprints/band keys into their bucketed index tables)."""
+    index probe + exact Jaccard verify; ``semantic=True``:
+    hashing-trick embedding cosine vs the cell-bucketed index --
+    paraphrase-level dups token-set Jaccard misses), upsert the rest
+    (and the new fingerprints/band keys/cell rows into their bucketed
+    index tables)."""
     scored = quality_score(batch).filter(F.col("quality") >= min_quality)
     keep = batch.join(scored.select("doc_id"), "doc_id", "left_semi").withColumn(
         "content_fp", F.md5(F.encode(F.col("text"), "UTF-8"))
@@ -233,7 +380,42 @@ def ingest_batch(
                     "doc_id",
                     "left_anti",
                 )
+            sem_centroids = None
+            if semantic:
+                from ..operators.dedup import semantic_dedup
+                from ..operators.similarity import _kmeans_centroids
+
+                emb0 = _embed_double(keep, sem_dim)
+                if emb0.first() is not None:
+                    # the quantizer trains ONCE, on the seed batch, and
+                    # is persisted -- all later batches share its cells
+                    sem_centroids = _kmeans_centroids(
+                        emb0, "embedding", sem_cells, 42
+                    )
+                    verd = semantic_dedup(
+                        emb0,
+                        id_col="doc_id",
+                        threshold=sem_threshold,
+                        centroids=sem_centroids,
+                    )
+                    keep = keep.join(
+                        verd.filter(~F.col("kept")).select("doc_id"),
+                        "doc_id",
+                        "left_anti",
+                    )
             store.overwrite(table, keep, partition_key="doc_id", n_buckets=n_buckets)
+            if sem_centroids is not None:
+                store.overwrite(
+                    centroids_table_name(table),
+                    spark.createDataFrame(
+                        [(i, c) for i, c in enumerate(sem_centroids)],
+                        "cell int, centroid array<double>",
+                    ),
+                )
+                _write_semantic_index(
+                    store, spark, table, keep, sem_centroids, sem_dim,
+                    n_buckets, bootstrap=True,
+                )
             store.overwrite(
                 fp_name, keep.select("content_fp"), partition_key="content_fp", n_buckets=n_buckets
             )
@@ -259,6 +441,11 @@ def ingest_batch(
                 num_hashes,
                 band_size,
                 n_buckets,
+            )
+        if semantic:
+            new_rows = _semantic_filter(
+                store, spark, table, new_rows, sem_threshold, sem_dim,
+                sem_cells, n_buckets,
             )
         new_rows = new_rows.cache()
         try:
@@ -287,6 +474,12 @@ def ingest_batch(
                         new_rows, num_hashes=num_hashes, band_size=band_size
                     ),
                 )
+            if semantic:
+                _write_semantic_index(
+                    store, spark, table, new_rows,
+                    _load_centroids(store, spark, table), sem_dim, n_buckets,
+                    bootstrap=False,
+                )
         finally:
             new_rows.unpersist()
     finally:
@@ -303,11 +496,16 @@ def start_corpus_ingest(
     min_quality: float = 0.2,
     near_dup: bool = False,
     near_threshold: float = 0.8,
+    semantic: bool = False,
+    sem_threshold: float = 0.9,
 ):
     """Start the ingestion stream (availableNow-compatible).  Returns
     the StreamingQuery.  ``near_dup=True`` additionally drops documents
     whose token-set Jaccard vs ANY stored document reaches
     ``near_threshold`` (band-indexed MinHash probe, O(batch bands)
+    reads per tick); ``semantic=True`` drops documents whose
+    hashing-trick embedding cosine vs ANY stored document reaches
+    ``sem_threshold`` (cell-bucketed index probe, O(batch cells)
     reads per tick)."""
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(feed_dir)
     deduped = dedup_stream(stream, keys=("doc_id",), ts_col="ts", watermark=watermark)
@@ -323,6 +521,8 @@ def start_corpus_ingest(
                 min_quality=min_quality,
                 near_dup=near_dup,
                 near_threshold=near_threshold,
+                semantic=semantic,
+                sem_threshold=sem_threshold,
             )
         )
         .trigger(availableNow=True)

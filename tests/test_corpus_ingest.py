@@ -201,3 +201,63 @@ def test_corpus_ingest_near_dup_batch_internal(spark, tmp_path):
     )
     ingest_batch(store, spark, batch, min_quality=0.0, near_dup=True, near_threshold=0.7)
     assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {7}
+
+
+def test_corpus_ingest_semantic_stream(spark, tmp_path):
+    """semantic=True drops documents whose hashing-trick embedding
+    cosine vs stored content clears the threshold -- driven through two
+    live runs so the centroids persist and the cell index is built,
+    probed, and appended across ticks.  The run-2 dup is a DOUBLED copy
+    of a stored doc: different text (exact-fp passes it) but an
+    identical count-vector direction (cosine 1.0)."""
+    feed = str(tmp_path / "feed")
+    store = ParquetTableStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    distinct = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    _write(feed, "b1", [
+        {"doc_id": 1, "ts": "2024-01-01 00:00:00", "text": base, "lang": "en"},
+        {"doc_id": 2, "ts": "2024-01-01 00:00:01", "text": distinct, "lang": "en"},
+    ])
+    q = start_corpus_ingest(
+        spark, feed, store, ckpt, min_quality=0.0, semantic=True, sem_threshold=0.9
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {1, 2}
+
+    fresh = (
+        "red orange yellow green blue indigo violet crimson teal "
+        "magenta cyan maroon olive navy silver golden bronze pearl"
+    )
+    _write(feed, "b2", [
+        # doubled copy of stored doc 1: cosine 1.0, exact fp differs
+        {"doc_id": 10, "ts": "2024-01-01 00:10:00", "text": base + " " + base, "lang": "en"},
+        {"doc_id": 11, "ts": "2024-01-01 00:10:01", "text": fresh, "lang": "en"},
+        # batch-internal semantic dup of 11 (one word changed)
+        {"doc_id": 12, "ts": "2024-01-01 00:10:02", "text": fresh.replace("teal", "TEAL9"), "lang": "en"},
+    ])
+    q = start_corpus_ingest(
+        spark, feed, store, ckpt, min_quality=0.0, semantic=True, sem_threshold=0.9
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in store.read(spark, "corpus").collect()}
+    assert got == {1, 2, 11}
+
+    # the cell index covers exactly the stored docs, under the
+    # persisted quantizer
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        cells_table_name,
+        centroids_table_name,
+    )
+
+    idx = store.read(spark, cells_table_name("corpus")).collect()
+    assert {r["doc_id"] for r in idx} == {1, 2, 11}
+    # quantizer size caps at the seed batch (k = min(n_cells, sample))
+    assert 1 <= store.read(spark, centroids_table_name("corpus")).count() <= 16
