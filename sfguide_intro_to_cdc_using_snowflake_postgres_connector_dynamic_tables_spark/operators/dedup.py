@@ -506,7 +506,14 @@ def semantic_dedup(
     verdict in place -- no pair materialization, no second join, no
     driver collect.  Per-task memory is O(max cell size * dim); size
     ``n_cells`` so cells fit an executor, exactly like the block lever
-    of :func:`embedding_cosine_pairs_exact`."""
+    of :func:`embedding_cosine_pairs_exact`.
+
+    Norm caveat: the threshold is cosine (scale-invariant) but the
+    CELLS are Euclidean -- if your embeddings vary in magnitude,
+    L2-normalize them first or a scaled near-copy can land in a
+    different cell and never be compared (SemDeDup clusters normalized
+    embeddings for this reason; the streaming ingest's
+    ``_embed_double`` does the same)."""
     import pandas as pd
 
     from .similarity import _kmeans_centroids, assign_cells

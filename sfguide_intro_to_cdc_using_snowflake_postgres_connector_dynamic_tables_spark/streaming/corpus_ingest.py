@@ -192,14 +192,21 @@ def centroids_table_name(table: str) -> str:
 
 
 def _embed_double(docs: DataFrame, dim: int) -> DataFrame:
-    """(doc_id, embedding array<double>) via the hashing trick; docs
-    with no tokens produce no row (they cannot semantically match
+    """(doc_id, embedding array<double>) via the hashing trick,
+    L2-NORMALIZED: the dedup threshold is cosine (scale-invariant) but
+    the quantizer cells are Euclidean, so clustering must happen on
+    the unit sphere or a scaled near-copy (e.g. a doc pasted twice --
+    cosine 1.0) lands in a different cell and is never compared.
+    SemDeDup clusters normalized embeddings for exactly this reason.
+    Docs with no tokens produce no row (they cannot semantically match
     anything and pass through unharmed)."""
     from ..operators.corpus import hashing_embed
 
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     return hashing_embed(docs, dim=dim).select(
         "doc_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        F.transform(v, lambda x: x / norm).alias("embedding"),
     )
 
 
@@ -263,6 +270,13 @@ def _semantic_filter(
         # one-time backfill: train the quantizer on the stored corpus
         # (bounded driver sample), persist it, index the stored docs
         stored_emb = _embed_double(store.read(spark, table), dim)
+        if stored_emb.first() is None:
+            # store holds no embeddable docs (e.g. an all-filtered seed
+            # batch): train on the incoming batch instead -- the sample
+            # must be non-empty or the k-means init indexes into nothing
+            stored_emb = _embed_double(new_rows, dim)
+            if stored_emb.first() is None:
+                return new_rows  # nothing embeddable anywhere yet
         centroids = _kmeans_centroids(stored_emb, "embedding", n_cells, seed)
         store.overwrite(
             centroids_table_name(table),

@@ -261,3 +261,31 @@ def test_corpus_ingest_semantic_stream(spark, tmp_path):
     assert {r["doc_id"] for r in idx} == {1, 2, 11}
     # quantizer size caps at the seed batch (k = min(n_cells, sample))
     assert 1 <= store.read(spark, centroids_table_name("corpus")).count() <= 16
+
+
+def test_corpus_ingest_semantic_empty_seed_self_heals(spark, tmp_path):
+    """semantic=True with an all-filtered seed batch: the store exists
+    but holds nothing embeddable, so the index backfill must train the
+    quantizer on the first real batch instead of crashing on an empty
+    k-means sample -- and dedup works from that batch onward."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    junk = spark.createDataFrame(
+        [(1, "x", "en")], "doc_id long, text string, lang string"
+    )
+    ingest_batch(store, spark, junk, min_quality=0.5, semantic=True)
+    assert store.read(spark, "corpus").count() == 0
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    batch = spark.createDataFrame(
+        [(2, base, "en"), (3, base + " " + base, "en")],  # 3 = semantic dup of 2
+        "doc_id long, text string, lang string",
+    )
+    ingest_batch(store, spark, batch, min_quality=0.0, semantic=True, sem_threshold=0.9)
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {2}
