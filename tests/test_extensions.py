@@ -744,3 +744,67 @@ def test_bm25_topk_matches_python_model(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gid, gs), (wid, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-9, (gid, gs, ws)
+
+
+def test_semantic_dedup_hypothesis_differential(spark):
+    """Engine verdicts must equal the pure-numpy model of the greedy
+    keep-first rule on random near-dup-rich inputs: vectors drawn from
+    a small base pool plus tiny jitter, so threshold crossings and
+    shared cells actually occur."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+        n_bases = data.draw(st.integers(2, 4))
+        n = data.draw(st.integers(5, 24))
+        dim = 8
+        bases = rng.normal(size=(n_bases, dim))
+        picks = rng.integers(0, n_bases, size=n)
+        V = bases[picks] + rng.normal(scale=0.02, size=(n, dim))
+        ids = np.arange(n) * 3 + 1  # non-contiguous ids
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+            "vec_id long, embedding array<float>",
+        )
+        # floats survive the float32 column: recompute the model from
+        # the values Spark actually holds
+        rows = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.collect()
+        )
+        mids = np.array([r[0] for r in rows])
+        MV = np.array([r[1] for r in rows])
+        n_cells = data.draw(st.integers(2, 6))
+        threshold = data.draw(st.sampled_from([0.9, 0.95, 0.99]))
+
+        out = {
+            r["vec_id"]: (r["cell"], r["kept"])
+            for r in dedup.semantic_dedup(
+                emb, threshold=threshold, n_cells=n_cells, seed=7
+            ).collect()
+        }
+        cents = np.array(similarity._kmeans_centroids(emb, "embedding", n_cells, 7))
+        cell = np.argmin(
+            ((MV[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        U = MV / np.linalg.norm(MV, axis=1, keepdims=True)
+        S = U @ U.T
+        dup_below = (
+            (S >= threshold)
+            & np.tri(len(mids), k=-1, dtype=bool)
+            & (cell[:, None] == cell[None, :])
+        ).any(axis=1)
+        model = {
+            int(i): (int(c), bool(not d))
+            for i, c, d in zip(mids, cell, dup_below)
+        }
+        assert out == model
+
+    run()
