@@ -536,16 +536,27 @@ def semantic_dedup(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         cell = pdf["cell"].to_numpy()
-        if len(ids) < 2:
-            kept = np.ones(len(ids), dtype=bool)
+        n = len(ids)
+        if n < 2:
+            kept = np.ones(n, dtype=bool)
             return pd.DataFrame({"id": ids, "cell": cell, "kept": kept})
         order = np.argsort(ids)
         ids, cell = ids[order], cell[order]
         V = np.array([list(x) for x in pdf["v"].iloc[order]], dtype=np.float64)
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = V @ V.T
-        # dropped iff any strictly-lower-id row in the cell matches
-        dup_below = ((S >= threshold) & np.tri(len(ids), k=-1, dtype=bool)).any(axis=1)
+        # chunked multiply: a skew-heavy cell must not materialize the
+        # full n x n similarity matrix -- memory stays O(chunk * n)
+        # while compute remains the inherent Sum(cell^2).  Cells under
+        # the chunk size take the single-multiply path unchanged.
+        CHUNK = 4096
+        dup_below = np.zeros(n, dtype=bool)
+        cols = np.arange(n)[None, :]
+        for s0 in range(0, n, CHUNK):
+            e0 = min(s0 + CHUNK, n)
+            Sb = V[s0:e0] @ V.T
+            # dropped iff any strictly-lower-id row in the cell matches
+            below = cols < np.arange(s0, e0)[:, None]
+            dup_below[s0:e0] = ((Sb >= threshold) & below).any(axis=1)
         return pd.DataFrame({"id": ids, "cell": cell, "kept": ~dup_below})
 
     return (
@@ -580,7 +591,13 @@ def cross_cell_hits(both: DataFrame, threshold: float) -> DataFrame:
         B = np.array([list(x) for x in pdf.loc[~tmask, "v"]], dtype=np.float64)
         T = T / np.linalg.norm(T, axis=1, keepdims=True)
         B = B / np.linalg.norm(B, axis=1, keepdims=True)
-        hit = ((T @ B.T) >= threshold).any(axis=1)
+        # chunked over the T side: memory O(chunk * |B-side|) even in a
+        # skew-heavy cell (see semantic_dedup's kernel)
+        CHUNK = 4096
+        hit = np.zeros(len(tids), dtype=bool)
+        for s0 in range(0, len(tids), CHUNK):
+            e0 = min(s0 + CHUNK, len(tids))
+            hit[s0:e0] = ((T[s0:e0] @ B.T) >= threshold).any(axis=1)
         return pd.DataFrame({"id": tids, "contaminated": hit})
 
     return both.groupBy("cell").applyInPandas(
