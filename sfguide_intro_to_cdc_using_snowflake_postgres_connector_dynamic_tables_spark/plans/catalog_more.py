@@ -802,6 +802,41 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-based): per-user
+    trailing-1-hour event sum/count.  A physically distinct frame mode
+    from ``window_frames``' ROWS frames -- the frame boundary follows
+    the ORDER-BY VALUE (epoch seconds), so tied timestamps are peers
+    and sparse gaps shrink the frame; the classic 'rolling metric over
+    the last N minutes' shape.  One exchange on user_id."""
+    e = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        ep.alias("ep"),
+        F.sum("value").over(w).alias("hr_sum"),
+        F.count(F.lit(1)).over(w).alias("hr_n"),
+    )
+
+
+SQL_RANGE_WINDOW = """
+-- floor(), not CAST: DuckDB's double->BIGINT cast ROUNDS while
+-- Spark's timestamp->long cast truncates sub-second parts
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+       sum(value) OVER w AS hr_sum,
+       count(*) OVER w AS hr_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 SQL_WINDOW_FRAMES = """
 SELECT user_id, event_id, value,
        ntile(4) OVER w AS quartile,
@@ -1041,6 +1076,7 @@ MORE_CATALOG: dict[str, tuple] = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
+    "range_window": (q_range_window, SQL_RANGE_WINDOW),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
