@@ -70,7 +70,7 @@ FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> np.ndarray:
     """Pure-numpy image decode -> (H, W, 3) uint8 RGB.
 
-    Real byte-layout parsing for the two container-free formats:
+    Real byte-layout parsing for three library-free formats:
 
     - **PPM P6** (netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
       ``#`` comments, a single whitespace byte, then ``h*w*3`` raw RGB
@@ -78,9 +78,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     - **BMP**: 14-byte file header (``BM``), BITMAPINFOHEADER (40
       bytes), 24 bpp, BI_RGB (uncompressed); pixel rows are stored
       bottom-up, BGR, padded to 4-byte multiples.
+    - **QOI** (qoiformat.org): the COMPRESSED tier -- run-length,
+      64-slot color index, and delta chunks; RGB (channels=3) subset,
+      full chunk grammar (see ``_decode_qoi``).
 
     Raises ``ValueError`` on anything else -- truncated data, other
-    bit depths, compressed BMPs, P3 (ASCII) PPMs.
+    bit depths, compressed BMPs, P3 (ASCII) PPMs, RGBA QOI.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("payload too short to be an image")
@@ -88,6 +91,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:4] == b"qoif":
+        return _decode_qoi(payload)
     raise ValueError(f"unsupported image magic {payload[:2]!r}")
 
 
@@ -178,6 +183,148 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     padded = np.zeros((h, row_bytes), dtype=np.uint8)
     padded[:, : w * 3] = bgr.reshape(h, w * 3)
     return header + padded[::-1].tobytes()  # bottom-up row order
+
+
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_index(r: int, g: int, b: int, a: int = 255) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> QOI bytes (qoiformat.org, channels=3,
+    srgb colorspace): the COMPRESSED image tier next to raw PPM/BMP --
+    run-length for repeats, a 64-slot rolling color index, 2-bit DIFF
+    and LUMA delta chunks, literal RGB otherwise.  The decoder's
+    round-trip partner; spec-exact so external QOI tools read the
+    output."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.shape[0] < 1 or arr.shape[1] < 1:
+        raise ValueError(f"expected (H, W, 3) pixels, got {arr.shape}")
+    h, w, _ = arr.shape
+    out = bytearray(b"qoif")
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x03\x00"
+    index = [(0, 0, 0)] * 64
+    pr = pg = pb = 0
+    first = True  # spec start pixel is (0,0,0,255); track "prev seen"
+    prev = (0, 0, 0)
+    run = 0
+    flat = arr.reshape(-1, 3)
+    for r, g, b in map(tuple, flat.tolist()):
+        if (r, g, b) == prev and not first:
+            run += 1
+            if run == 62:
+                out.append(0b11000000 | (run - 1))
+                run = 0
+            continue
+        if first and (r, g, b) == (0, 0, 0):
+            # equal to the implicit start pixel: still a run
+            first = False
+            run += 1
+            if run == 62:
+                out.append(0b11000000 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0b11000000 | (run - 1))
+            run = 0
+        first = False
+        idx = _qoi_index(r, g, b)
+        if index[idx] == (r, g, b):
+            out.append(idx)
+        else:
+            index[idx] = (r, g, b)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0b01000000 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0b10000000 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0b11111110)
+                out += bytes((r, g, b))
+        prev = (r, g, b)
+        pr, pg, pb = r, g, b
+        # a matched-or-inserted index slot also applies to run starts:
+        # the index entry for the START pixel must exist before runs
+        index[idx] = (r, g, b)
+    if run:
+        out.append(0b11000000 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def _decode_qoi(payload: bytes) -> np.ndarray:
+    """QOI -> (H, W, 3) uint8 RGB.  Full chunk grammar (RUN / INDEX /
+    DIFF / LUMA / RGB / RGBA tags); channels=4 files are rejected (the
+    media schema is RGB, matching the 24bpp-only BMP policy), as are
+    truncated streams, pixel under/overflow, and a missing end
+    marker."""
+    if len(payload) < 14 + len(_QOI_END):
+        raise ValueError("truncated QOI header")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    channels, colorspace = payload[12], payload[13]
+    if channels != 3:
+        raise ValueError(f"only RGB (channels=3) QOI supported, got {channels}")
+    if colorspace not in (0, 1):
+        raise ValueError(f"bad QOI colorspace {colorspace}")
+    if w < 1 or h < 1 or w * h > 400_000_000:
+        raise ValueError(f"bad QOI dimensions {w}x{h}")
+    if payload[-len(_QOI_END):] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    data = payload[14 : -len(_QOI_END)]
+    n = w * h
+    px = np.empty((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0)] * 64
+    r = g = b = 0
+    i = pos = 0
+    while i < n:
+        if pos >= len(data):
+            raise ValueError("QOI stream ended before all pixels")
+        byte = data[pos]
+        pos += 1
+        if byte == 0b11111110:  # RGB
+            if pos + 3 > len(data):
+                raise ValueError("truncated QOI RGB chunk")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0b11111111:  # RGBA tag in an RGB file
+            raise ValueError("RGBA chunk in channels=3 QOI stream")
+        else:
+            tag = byte >> 6
+            if tag == 0b00:  # INDEX
+                r, g, b = index[byte & 0x3F]
+            elif tag == 0b01:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 0b10:  # LUMA
+                if pos >= len(data):
+                    raise ValueError("truncated QOI LUMA chunk")
+                dg = (byte & 0x3F) - 32
+                nb = data[pos]
+                pos += 1
+                r = (r + dg + ((nb >> 4) & 0x0F) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (nb & 0x0F) - 8) % 256
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overflows pixel count")
+                px[i : i + run] = (r, g, b)
+                i += run
+                index[_qoi_index(r, g, b)] = (r, g, b)
+                continue
+        index[_qoi_index(r, g, b)] = (r, g, b)
+        px[i] = (r, g, b)
+        i += 1
+    if pos != len(data):
+        raise ValueError("trailing bytes after final QOI pixel")
+    return px.reshape(h, w, 3)
 
 
 def _image_features(pixels: np.ndarray, dim: int = 8) -> list[float]:
@@ -301,7 +448,7 @@ def resize_image(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize over Arrow batches: decode (PPM/BMP byte
+    """REAL image resize over Arrow batches: decode (PPM/BMP/QOI byte
     layouts, ``decode_image``), nearest-neighbor resample in numpy
     (``resize_image``), re-encode in the source format, and rewrite
     the metadata to the new geometry.  Undecodable payloads pass
@@ -316,7 +463,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         except ValueError:
             return payload
         out = resize_image(arr, width, height)
-        return encode_ppm(out) if bytes(payload)[:2] == b"P6" else encode_bmp(out)
+        magic = bytes(payload)[:4]
+        if magic[:2] == b"P6":
+            return encode_ppm(out)
+        if magic == b"qoif":
+            return encode_qoi(out)
+        return encode_bmp(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -459,6 +459,7 @@ def test_resize_images_real_kernel(spark):
         decode_image,
         encode_bmp,
         encode_ppm,
+        encode_qoi,
         resize_image,
         resize_images,
     )
@@ -466,6 +467,7 @@ def test_resize_images_real_kernel(spark):
     rng = np.random.RandomState(7)
     ppm_src = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
     bmp_src = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    qoi_src = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
     rows = [
         (1, "image", bytearray(encode_ppm(ppm_src)),
          {"width": 9, "height": 6, "duration_ms": None, "codec": "ppm"}),
@@ -475,6 +477,8 @@ def test_resize_images_real_kernel(spark):
          {"width": None, "height": None, "duration_ms": None, "codec": "raw"}),
         (4, "audio", None,
          {"width": None, "height": None, "duration_ms": 800, "codec": "pcm"}),
+        (5, "image", bytearray(encode_qoi(qoi_src)),
+         {"width": 5, "height": 7, "duration_ms": None, "codec": "qoi"}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in resize_images(media, 3, 4).collect()}
@@ -489,6 +493,11 @@ def test_resize_images_real_kernel(spark):
     assert got_bmp.shape == (4, 3, 3)
     assert np.array_equal(got_bmp, resize_image(bmp_src, 3, 4))
     assert bytes(out[2]["payload"])[:2] == b"BM"
+
+    got_qoi = decode_image(bytes(out[5]["payload"]))
+    assert got_qoi.shape == (4, 3, 3)
+    assert np.array_equal(got_qoi, resize_image(qoi_src, 3, 4))
+    assert bytes(out[5]["payload"])[:4] == b"qoif"  # stays compressed
 
     # metadata rewritten only where the kernel actually ran
     assert out[1]["meta"]["width"] == 3 and out[1]["meta"]["height"] == 4
@@ -808,3 +817,71 @@ def test_semantic_dedup_hypothesis_differential(spark):
         assert out == model
 
     run()
+
+
+def test_qoi_roundtrip_and_grammar():
+    """QOI codec: pixel-exact round-trip across inputs that force every
+    chunk type (RUN / INDEX / DIFF / LUMA / RGB), a hand-pinned byte
+    vector for spec conformance, compression on runs-heavy data, and
+    loud rejection of malformed streams."""
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        _QOI_END,
+        decode_image,
+        encode_qoi,
+    )
+
+    rng = np.random.default_rng(11)
+
+    # random noise: RGB/INDEX-heavy
+    noise = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    # smooth gradient: DIFF/LUMA-heavy
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    for y in range(16):
+        for x in range(16):
+            grad[y, x] = ((y + x) % 256, (y + x + 1) % 256, (y + x) % 256)
+    # constant blocks incl. >62-run and a leading BLACK region (the
+    # implicit (0,0,0) start pixel must run-encode)
+    blocks = np.zeros((10, 20, 3), dtype=np.uint8)
+    blocks[5:] = (200, 30, 90)
+    # palette image: repeated colors -> INDEX hits
+    palette = np.array([(10, 20, 30), (200, 100, 50), (10, 20, 30), (0, 0, 0)] * 12,
+                       dtype=np.uint8).reshape(6, 8, 3)
+    for arr in (noise, grad, blocks, palette, np.zeros((1, 1, 3), np.uint8)):
+        payload = encode_qoi(arr)
+        assert payload[:4] == b"qoif" and payload.endswith(_QOI_END)
+        np.testing.assert_array_equal(decode_image(payload), arr)
+
+    # runs-heavy data must actually compress vs raw
+    assert len(encode_qoi(blocks)) < blocks.size // 4
+
+    # hand-pinned spec vector: 1x3 image [(10,20,30), (10,20,30), (9,19,29)]
+    # -> header, QOI_OP_RGB(10,20,30), QOI_OP_RUN(1), QOI_OP_DIFF(-1,-1,-1)
+    img = np.array([[(10, 20, 30), (10, 20, 30), (9, 19, 29)]], dtype=np.uint8)
+    expect = (
+        b"qoif" + (3).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x03\x00"
+        + bytes([0b11111110, 10, 20, 30])          # RGB literal
+        + bytes([0b11000000 | 0])                  # run of 1
+        + bytes([0b01000000 | (1 << 4) | (1 << 2) | 1])  # DIFF -1,-1,-1 (bias 2)
+        + _QOI_END
+    )
+    assert encode_qoi(img) == expect
+    np.testing.assert_array_equal(decode_image(expect), img)
+
+    # rejections
+    import pytest
+
+    good = encode_qoi(noise)
+    with pytest.raises(ValueError, match="channels=3"):
+        decode_image(good[:12] + b"\x04" + good[13:])  # claim RGBA
+    with pytest.raises(ValueError, match="end marker"):
+        decode_image(good[:-1])
+    with pytest.raises(ValueError, match="before all pixels"):
+        # double the claimed height: stream runs dry
+        decode_image(good[:8] + (26).to_bytes(4, "big") + good[12:])
+    with pytest.raises(ValueError, match="RGBA chunk"):
+        decode_image(
+            b"qoif" + (1).to_bytes(4, "big") * 2 + b"\x03\x00"
+            + bytes([0b11111111, 1, 2, 3, 4]) + _QOI_END
+        )
