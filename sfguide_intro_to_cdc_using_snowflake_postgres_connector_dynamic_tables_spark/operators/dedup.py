@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens
 
@@ -241,6 +241,79 @@ def ngram_jaccard_pairs(
     # shingle sets feed the shared LSH engine directly -- no re-serialize/
     # re-tokenize round trip
     return lsh_pairs_from_tokens(gram_docs, threshold=threshold)
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 8,
+    block_len: int = 24,
+    max_block: int = 64,
+) -> DataFrame:
+    """Edit-distance near-dup tier: blocked candidate generation +
+    banded Levenshtein verification.
+
+    The record-linkage classic that the token-set tiers (MinHash /
+    n-gram Jaccard / SimHash) cannot express: character-level edits
+    (typos, small insertions) that leave most shingles intact but are
+    best scored by true edit distance.  Two blocking passes generate
+    candidates -- documents sharing their first ``block_len``
+    characters, and documents sharing their last ``block_len``
+    characters -- so an edit inside one key region is still caught by
+    the other pass.  Blocks larger than ``max_block`` docs (degenerate
+    keys: empty strings, boilerplate prefixes) are dropped whole, the
+    same skew lever as ``lsh_pairs_from_tokens``'s band-bucket cap.
+
+    Verification is Spark's 3-arg ``levenshtein(l, r, threshold)``:
+    the DP is banded to the threshold diagonal, O(len * threshold) per
+    pair instead of O(len^2), and returns -1 past the bound -- the
+    standard trick that makes edit-distance verification affordable on
+    long documents.  Cost model at scale: two keyed self-joins whose
+    block sizes are bounded by ``max_block`` (never all-pairs), one
+    window-count shuffle shared with the join partitioning, and a
+    join-back for the two text payloads -- candidates carry only id
+    pairs through the heavy exchange.
+
+    Returns (doc_a, doc_b, edit_dist) with doc_a < doc_b.
+    """
+    t = F.col(text_col)
+    did = F.col(id_col).cast("long").alias("doc_id")
+    pre = docs.select(did, F.substring(t, 1, block_len).alias("__k"), F.lit("p").alias("__pass"))
+    # right() (not negative-start substring) for the suffix key: both
+    # engines return the whole string when it is shorter than the key,
+    # while negative-start substring diverges on out-of-range starts
+    suf = docs.select(
+        did,
+        F.expr(f"right({text_col}, {int(block_len)})").alias("__k"),
+        F.lit("s").alias("__pass"),
+    )
+    keyed = pre.unionByName(suf)
+    # degenerate-block guard: one window count on the same (__pass, __k)
+    # partitioning the self-join below shuffles on (AQE reuses the
+    # exchange); blocks past the cap are dropped whole
+    wspec = Window.partitionBy("__pass", "__k")
+    keyed = keyed.withColumn("__bn", F.count(F.lit(1)).over(wspec)).filter(
+        F.col("__bn") <= max_block
+    )
+    a = keyed.select(F.col("__pass"), F.col("__k"), F.col("doc_id").alias("doc_a"))
+    b = keyed.select(F.col("__pass"), F.col("__k"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["__pass", "__k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = docs.select(F.col(id_col).cast("long").alias("doc_a"), t.alias("__ta"))
+    db = docs.select(F.col(id_col).cast("long").alias("doc_b"), t.alias("__tb"))
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), threshold)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
 
 
 def embedding_cosine_pairs_bruteforce(

@@ -152,6 +152,38 @@ WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.6
 """
 
 
+def q_edit_distance_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=8, block_len=24, max_block=64
+    )
+
+
+# same blocking passes (24-char prefix / 24-char suffix, blocks capped
+# at 64 docs) and the same full-text Levenshtein verification; DuckDB's
+# unbanded levenshtein(...) <= t equals Spark's banded 3-arg form on
+# every kept pair
+SQL_EDIT_DISTANCE_DUP = """
+WITH keyed AS (
+  SELECT doc_id, substr(text, 1, 24) AS k, 'p' AS pass FROM documents
+  UNION ALL
+  SELECT doc_id, right(text, 24), 's' FROM documents
+),
+guarded AS (
+  SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY pass, k) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM guarded a
+  JOIN guarded b ON a.pass = b.pass AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS edit_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE levenshtein(da.text, db.text) <= 8
+"""
+
+
 def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -1238,6 +1270,7 @@ EXT_CATALOG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
     "ngram_jaccard_dup": (q_ngram_jaccard_dup, SQL_NGRAM_JACCARD_DUP),
+    "edit_distance_dup": (q_edit_distance_dup, SQL_EDIT_DISTANCE_DUP),
     "simhash_dup": (q_simhash_dup, SQL_SIMHASH_DUP),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS_LSH),

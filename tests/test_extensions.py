@@ -47,6 +47,34 @@ def test_minhash_finds_planted_dups(spark):
     assert (1, 101) in pairs  # near dup -> high token-set jaccard
 
 
+def test_edit_distance_pairs_planted(spark):
+    docs = _docs_with_near_dups(spark)
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in dedup.edit_distance_pairs(docs, threshold=12).collect()
+    }
+    assert rows.get((0, 100)) == 0  # exact dup
+    # near dup: one mid-document word swapped for "changed" -- a small
+    # character edit both blocking passes survive (the edit sits past
+    # the 24-char prefix key and before the 24-char suffix key)
+    assert (1, 101) in rows and 0 < rows[(1, 101)] <= 12
+    # unrelated random docs never sit within the threshold
+    assert all(a in (0, 1) for a, _ in rows)
+
+
+def test_edit_distance_block_guard(spark):
+    # 80 docs sharing prefix AND suffix keys blow past max_block=64:
+    # the degenerate block is dropped whole, no candidate explosion
+    shared = "x" * 30
+    rows = [(i, f"{shared} mid{i} {shared}") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.edit_distance_pairs(docs, threshold=20, max_block=64)
+    assert out.count() == 0
+    # raising the cap readmits the block and finds the near-identical texts
+    out2 = dedup.edit_distance_pairs(docs, threshold=20, max_block=200)
+    assert out2.count() > 0
+
+
 def test_simhash_properties(spark):
     docs = _docs_with_near_dups(spark)
     groups = simhash_dup_groups(docs).collect()
