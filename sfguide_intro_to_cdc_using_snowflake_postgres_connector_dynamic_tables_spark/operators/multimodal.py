@@ -205,7 +205,13 @@ def encode_qoi(arr: np.ndarray) -> bytes:
     h, w, _ = arr.shape
     out = bytearray(b"qoif")
     out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x03\x00"
-    index = [(0, 0, 0)] * 64
+    # index entries are FOUR components zero-initialized -- exactly
+    # qoi.h's zeroed qoi_rgba_t array.  The current pixel always
+    # carries a=255 (channels=3), so a slot never written in this
+    # stream can never compare equal and the encoder never emits an
+    # OP_INDEX a spec decoder (whose zeroed slots hold a=0) would
+    # desync on.
+    index = [(0, 0, 0, 0)] * 64
     pr = pg = pb = 0
     first = True  # spec start pixel is (0,0,0,255); track "prev seen"
     prev = (0, 0, 0)
@@ -231,10 +237,10 @@ def encode_qoi(arr: np.ndarray) -> bytes:
             run = 0
         first = False
         idx = _qoi_index(r, g, b)
-        if index[idx] == (r, g, b):
+        if index[idx] == (r, g, b, 255):
             out.append(idx)
         else:
-            index[idx] = (r, g, b)
+            index[idx] = (r, g, b, 255)
             dr = (r - pr + 128) % 256 - 128
             dg = (g - pg + 128) % 256 - 128
             db = (b - pb + 128) % 256 - 128
@@ -248,9 +254,6 @@ def encode_qoi(arr: np.ndarray) -> bytes:
                 out += bytes((r, g, b))
         prev = (r, g, b)
         pr, pg, pb = r, g, b
-        # a matched-or-inserted index slot also applies to run starts:
-        # the index entry for the START pixel must exist before runs
-        index[idx] = (r, g, b)
     if run:
         out.append(0b11000000 | (run - 1))
     out += _QOI_END
@@ -279,8 +282,14 @@ def _decode_qoi(payload: bytes) -> np.ndarray:
     data = payload[14 : -len(_QOI_END)]
     n = w * h
     px = np.empty((n, 3), dtype=np.uint8)
-    index = [(0, 0, 0)] * 64
+    # 4-component index zero-initialized and a tracked alpha, exactly
+    # qoi.h's decode state: a conformant stream never reads an
+    # unwritten slot, but a stream that does must poison alpha to 0
+    # (and thus subsequent hashes) the same way qoi.h does, or this
+    # decoder diverges from spec decoders on the rest of the stream.
+    index = [(0, 0, 0, 0)] * 64
     r = g = b = 0
+    a = 255
     i = pos = 0
     while i < n:
         if pos >= len(data):
@@ -297,7 +306,7 @@ def _decode_qoi(payload: bytes) -> np.ndarray:
         else:
             tag = byte >> 6
             if tag == 0b00:  # INDEX
-                r, g, b = index[byte & 0x3F]
+                r, g, b, a = index[byte & 0x3F]
             elif tag == 0b01:  # DIFF
                 r = (r + ((byte >> 4) & 3) - 2) % 256
                 g = (g + ((byte >> 2) & 3) - 2) % 256
@@ -317,9 +326,9 @@ def _decode_qoi(payload: bytes) -> np.ndarray:
                     raise ValueError("QOI run overflows pixel count")
                 px[i : i + run] = (r, g, b)
                 i += run
-                index[_qoi_index(r, g, b)] = (r, g, b)
+                index[_qoi_index(r, g, b, a)] = (r, g, b, a)
                 continue
-        index[_qoi_index(r, g, b)] = (r, g, b)
+        index[_qoi_index(r, g, b, a)] = (r, g, b, a)
         px[i] = (r, g, b)
         i += 1
     if pos != len(data):

@@ -65,6 +65,8 @@ def kmeans_on_sample(
     spread init.  Pure numpy on an in-memory sample so the engine and
     the oracle generator (plans/catalog_ext.py) derive bit-identical
     centroids from the same rows."""
+    if len(X) == 0:
+        raise ValueError("k-means needs at least one sample vector")
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
     # k-means++ init
@@ -82,15 +84,25 @@ def kmeans_on_sample(
     return [list(map(float, c)) for c in C]
 
 
+def _sample_matrix(emb: DataFrame, vec_col: str, sample_cap: int = 4096) -> "np.ndarray":
+    """The shared constant-size (<= sample_cap rows, scan order)
+    driver-side training sample: ONE collect job feeds every quantizer
+    built from it (IVF centroids and all PQ subspace codebooks), so
+    composed builders never risk two limits returning different row
+    sets under multi-file scan ordering.  Empty input returns an empty
+    (0, 0) matrix -- callers decide between an empty result and a
+    loud error."""
+    rows = emb.select(vec_col).limit(sample_cap).collect()
+    return np.array([[float(x) for x in r[0]] for r in rows])
+
+
 def _kmeans_centroids(
     emb: DataFrame, vec_col: str, n_cells: int, seed: int, iters: int = 8,
     sample_cap: int = 4096,
 ) -> list[list[float]]:
     """Constant-size (<= sample_cap rows) driver-side sample in scan
     order, quantized by :func:`kmeans_on_sample`."""
-    rows = emb.select(vec_col).limit(sample_cap).collect()
-    X = np.array([[float(x) for x in r[0]] for r in rows])
-    return kmeans_on_sample(X, n_cells, seed, iters)
+    return kmeans_on_sample(_sample_matrix(emb, vec_col, sample_cap), n_cells, seed, iters)
 
 
 def assign_cells(
@@ -144,7 +156,10 @@ def topk_cosine_ivf(
     that sample is still constant-size, and assignment stays fully
     distributed.
     """
-    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
+    X = _sample_matrix(emb, vec_col)
+    if X.size == 0:
+        return emb.select(F.col(id_col), F.lit(0.0).alias("cosine")).limit(0)
+    centroids = kmeans_on_sample(X, n_cells, seed)
     qv = [float(x) for x in query_vec]
     probed = probe_cells(centroids, qv, n_probe)
 
@@ -167,8 +182,17 @@ def pq_train(
     same bounded driver-side sample the IVF quantizer uses.  Returns
     ``m`` codebooks of ``k`` centroids each -- constant-size driver
     state at any data scale."""
-    rows = emb.select(vec_col).limit(sample_cap).collect()
-    X = np.array([[float(x) for x in r[0]] for r in rows])
+    return pq_train_on_sample(_sample_matrix(emb, vec_col, sample_cap), m, k, seed)
+
+
+def pq_train_on_sample(
+    X: "np.ndarray", m: int, k: int, seed: int
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks from an in-memory sample (the matrix
+    half of :func:`pq_train`, shared with composed builders that train
+    IVF and PQ from the SAME collected sample)."""
+    if X.size == 0:
+        raise ValueError("pq_train needs at least one vector to train codebooks")
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -231,6 +255,22 @@ def pq_distance_tables(
     return tables
 
 
+def _adc_dist(tables: list[list[float]], codes_col) -> "F.Column":
+    """The ADC scoring expression: approximate distance as the SUM of
+    m ``element_at`` lookups into literal per-subspace tables -- pure
+    whole-stage-codegen, no Python in the scan.  The ONE place the
+    scoring convention lives (inline top-k and stored-index search
+    both compile through it, so a tweak cannot drift between them)."""
+    dist = None
+    for s, t in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in t]),
+            codes_col[s] + 1,
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def topk_pq(
     emb: DataFrame,
     query_vec: list[float],
@@ -256,18 +296,21 @@ def topk_pq(
     (:func:`topk_pq_ivf`); pass ``codebooks`` to score a pruned subset
     with codebooks trained on the full table."""
     if codebooks is None:
-        codebooks = pq_train(emb, vec_col, m, n_codes, seed)
+        X = _sample_matrix(emb, vec_col)
+        if X.size == 0:
+            # nothing to train on OR score: an empty top-k, not an
+            # IndexError (composed pipelines legitimately filter
+            # everything away upstream)
+            return emb.select(
+                F.col(id_col), F.lit(0.0).alias("approx_dist")
+            ).limit(0)
+        codebooks = pq_train_on_sample(X, m, n_codes, seed)
     tables = pq_distance_tables(codebooks, query_vec)
     encoded = pq_encode(emb, codebooks, vec_col)
-    dist = None
-    for s, t in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in t]),
-            F.col("pq_codes")[s] + 1,
-        )
-        dist = term if dist is None else dist + term
     return (
-        encoded.select(F.col(id_col), dist.alias("approx_dist"))
+        encoded.select(
+            F.col(id_col), _adc_dist(tables, F.col("pq_codes")).alias("approx_dist")
+        )
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
@@ -294,8 +337,11 @@ def topk_pq_ivf(
     oracle-reproducible.  In a stored deployment both the cell id and
     the code array are precomputed columns partitioned by cell: a
     query reads n_probe partitions x m ints per row."""
-    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
-    codebooks = pq_train(emb, vec_col, m, n_codes, seed)
+    X = _sample_matrix(emb, vec_col)
+    if X.size == 0:
+        return emb.select(F.col(id_col), F.lit(0.0).alias("approx_dist")).limit(0)
+    centroids = kmeans_on_sample(X, n_cells, seed)
+    codebooks = pq_train_on_sample(X, m, n_codes, seed)
     qv = [float(x) for x in query_vec]
     probed = probe_cells(centroids, qv, n_probe)
 
@@ -327,8 +373,11 @@ def build_pq_index(
     pruning, verified by plan in tests) and only the codes column --
     the double win that makes ANN over 100 TB of vectors a
     few-partition scan."""
-    centroids = _kmeans_centroids(emb, vec_col, n_cells, seed)
-    codebooks = pq_train(emb, vec_col, m, n_codes, seed)
+    X = _sample_matrix(emb, vec_col)
+    if X.size == 0:
+        raise ValueError("build_pq_index: no vectors to index")
+    centroids = kmeans_on_sample(X, n_cells, seed)
+    codebooks = pq_train_on_sample(X, m, n_codes, seed)
     assigned = assign_cells(emb, centroids, vec_col, out_col="cell")
     encoded = pq_encode(assigned, codebooks, vec_col)
     (
@@ -360,15 +409,10 @@ def search_pq_index(
     probed = probe_cells(centroids, qv, n_probe)
     tables = pq_distance_tables(codebooks, qv)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    dist = None
-    for s, t in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in t]),
-            F.col("pq_codes")[s] + 1,
-        )
-        dist = term if dist is None else dist + term
     return (
-        idx.select(F.col(id_col), dist.alias("approx_dist"))
+        idx.select(
+            F.col(id_col), _adc_dist(tables, F.col("pq_codes")).alias("approx_dist")
+        )
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )

@@ -128,7 +128,12 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     shape for LLM training corpora."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
-    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    # tokenless docs are zero-diversity, not a divide-by-zero (ANSI
+    # mode makes 0/0 a hard task failure, so one empty document in a
+    # 100 TB corpus must not kill the whole scoring job)
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(F.lit(0.0))
     length_component = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     stop_component = F.least(stop_hits / F.lit(5.0), F.lit(1.0))

@@ -702,6 +702,13 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_features",      # rides decode_avi
         "similarity_topk_ivf",      # assignment refactored into assign_cells
         # semantic_dedup / full_join are NEW (never recorded -> forced)
+        "image_decode_features",    # QOI index alpha-model fix (decode path)
+        "quality_score",            # tokenless-doc divide-by-zero guard
+        "dedup_keep_best",          # rides quality_score
+        "corpus_filter",            # rides quality_score
+        "quality_topfrac",          # rides quality_score
+        "pq_topk",                  # pq_train empty-input guard / ADC refactor
+        "pq_topk_ivf",              # shared sample collect + ADC refactor
     }
 )
 

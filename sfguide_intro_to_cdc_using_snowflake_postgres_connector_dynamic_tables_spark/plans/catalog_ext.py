@@ -591,6 +591,55 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_pq(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def _embedding_vectors(sf_dir: str) -> tuple[list, list[list[float]]]:
+    """(vec_ids, float vectors) straight off the parquet -- the shared
+    input both PQ oracle generators (and their Spark counterparts, via
+    the engine's own scan-order sample) derive quantizers from."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    return ids, vecs
+
+
+def _cb_lits(cb) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in cb
+    ) + "]"
+
+
+def _pq_scoring_fragments(codebooks, tables, sub: int):
+    """The PQ scoring SQL fragments (code assignment per subspace, ADC
+    tables, lookup-sum) shared by :func:`pq_oracle_sql` and
+    :func:`pq_ivf_oracle_sql` -- one generator, so the scoring
+    convention pinned against the engine's ``_adc_dist`` cannot drift
+    between the inline and IVF-composed oracles."""
+    m = len(codebooks)
+    dist_exprs = []
+    code_exprs = []
+    for s in range(m):
+        off = s * sub
+        sq = " + ".join(f"(v[{off + j + 1}] - c[{j + 1}]) ** 2" for j in range(sub))
+        code_exprs.append(f"list_position(d{s}, list_min(d{s})) - 1 AS c{s}")
+        dist_exprs.append(
+            f"list_transform({_cb_lits(codebooks[s])}::DOUBLE[][], c -> {sq}) AS d{s}"
+        )
+    # ::DOUBLE[] -- DuckDB types a bare decimal-literal list as
+    # DECIMAL[], which would surface as unrounded Decimal cells in the
+    # comparison frame instead of doubles
+    tlits = ", ".join(
+        "[" + ", ".join(repr(x) for x in t) + "]::DOUBLE[]" + f" AS t{s}"
+        for s, t in enumerate(tables)
+    )
+    total = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
+    return ", ".join(code_exprs), ", ".join(dist_exprs), tlits, total
+
+
 def pq_oracle_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     k: int = 10,
@@ -604,58 +653,25 @@ def pq_oracle_sql(
     codebooks (for the argmin code assignment) and the ADC distance
     tables (for the lookup sum) are embedded as SQL literals.  Term
     addition order matches the engine expression (t0 + t1 + ...)."""
-    import os
-
     import numpy as np
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = tbl.column("vec_id").to_pylist()
-    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    ids, vecs = _embedding_vectors(sf_dir)
     X = np.array(vecs[:sample_cap])
-    d = X.shape[1]
-    sub = d // m
-    codebooks = [
-        similarity.kmeans_on_sample(X[:, s * sub : (s + 1) * sub], n_codes, seed + s)
-        for s in range(m)
-    ]
+    sub = X.shape[1] // m
+    codebooks = similarity.pq_train_on_sample(X, m, n_codes, seed)
     qv = vecs[ids.index(0)]
     tables = similarity.pq_distance_tables(codebooks, qv)
-
-    def lits(cb):
-        return "[" + ", ".join(
-            "[" + ", ".join(repr(x) for x in c) + "]" for c in cb
-        ) + "]"
-
-    dist_exprs = []
-    code_exprs = []
-    for s in range(m):
-        off = s * sub
-        sq = " + ".join(f"(v[{off + j + 1}] - c[{j + 1}]) ** 2" for j in range(sub))
-        code_exprs.append(
-            f"list_position(d{s}, list_min(d{s})) - 1 AS c{s}"
-        )
-        dist_exprs.append(
-            f"list_transform({lits(codebooks[s])}::DOUBLE[][], c -> {sq}) AS d{s}"
-        )
-    # ::DOUBLE[] -- DuckDB types a bare decimal-literal list as
-    # DECIMAL[], which would surface as unrounded Decimal cells in the
-    # comparison frame instead of doubles
-    tlits = ", ".join(
-        "[" + ", ".join(repr(x) for x in t) + "]::DOUBLE[]" + f" AS t{s}"
-        for s, t in enumerate(tables)
+    code_exprs, dist_exprs, tlits, total = _pq_scoring_fragments(
+        codebooks, tables, sub
     )
-    total = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 codes AS (
-  SELECT vec_id, {", ".join(code_exprs)}
-  FROM (SELECT vec_id, {", ".join(dist_exprs)} FROM e)
+  SELECT vec_id, {code_exprs}
+  FROM (SELECT vec_id, {dist_exprs} FROM e)
 ),
 tabs AS (SELECT {tlits})
 SELECT vec_id, {total} AS approx_dist
@@ -692,54 +708,27 @@ def pq_ivf_oracle_sql(
 ) -> str:
     """Generated DuckDB oracle for ``pq_topk_ivf``: IVF cell pruning
     (centroid literals + probed-cell list, as :func:`ivf_oracle_sql`)
-    feeding the PQ code/table scoring (as :func:`pq_oracle_sql`)."""
-    import os
-
+    feeding the PQ code/table scoring via the same
+    :func:`_pq_scoring_fragments` :func:`pq_oracle_sql` uses."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = tbl.column("vec_id").to_pylist()
-    vecs = [[float(x) for x in v] for v in tbl.column("embedding").to_pylist()]
+    ids, vecs = _embedding_vectors(sf_dir)
     X = np.array(vecs[:sample_cap])
-    d = X.shape[1]
-    sub = d // m
+    sub = X.shape[1] // m
     centroids = similarity.kmeans_on_sample(X, n_cells, seed)
-    codebooks = [
-        similarity.kmeans_on_sample(X[:, s * sub : (s + 1) * sub], n_codes, seed + s)
-        for s in range(m)
-    ]
+    codebooks = similarity.pq_train_on_sample(X, m, n_codes, seed)
     qv = vecs[ids.index(0)]
     probed = similarity.probe_cells(centroids, qv, n_probe)
     tables = similarity.pq_distance_tables(codebooks, qv)
-
-    def lits(cb):
-        return "[" + ", ".join(
-            "[" + ", ".join(repr(x) for x in c) + "]" for c in cb
-        ) + "]"
-
-    dist_exprs = []
-    code_exprs = []
-    for s in range(m):
-        off = s * sub
-        sq = " + ".join(f"(v[{off + j + 1}] - c[{j + 1}]) ** 2" for j in range(sub))
-        code_exprs.append(f"list_position(d{s}, list_min(d{s})) - 1 AS c{s}")
-        dist_exprs.append(
-            f"list_transform({lits(codebooks[s])}::DOUBLE[][], c -> {sq}) AS d{s}"
-        )
-    tlits = ", ".join(
-        "[" + ", ".join(repr(x) for x in t) + "]::DOUBLE[]" + f" AS t{s}"
-        for s, t in enumerate(tables)
+    code_exprs, dist_exprs, tlits, total = _pq_scoring_fragments(
+        codebooks, tables, sub
     )
-    total = " + ".join(f"t{s}[c{s} + 1]" for s in range(m))
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-cent AS (SELECT {lits(centroids)}::DOUBLE[][] AS cs),
+cent AS (SELECT {_cb_lits(centroids)}::DOUBLE[][] AS cs),
 cells AS (
   SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell
   FROM (
@@ -753,8 +742,8 @@ pruned AS (
   SELECT vec_id, v FROM cells WHERE cell IN ({", ".join(str(p) for p in probed)})
 ),
 codes AS (
-  SELECT vec_id, {", ".join(code_exprs)}
-  FROM (SELECT vec_id, {", ".join(dist_exprs)} FROM pruned)
+  SELECT vec_id, {code_exprs}
+  FROM (SELECT vec_id, {dist_exprs} FROM pruned)
 ),
 tabs AS (SELECT {tlits})
 SELECT vec_id, {total} AS approx_dist
@@ -852,7 +841,9 @@ WITH t AS (
 )
 SELECT doc_id,
        least(n_chars / 500.0, 1.0) * 0.4
-       + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.4
+       + (CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks)) * 1.0 / len(toks)
+               ELSE 0.0 END) * 0.4
        + least(len(list_filter(toks,
              x -> x IN ('the','a','an','and','of','to','in','is'))) / 5.0, 1.0) * 0.2
          AS quality

@@ -251,7 +251,7 @@ def _semantic_filter(
     n_cells: int,
     n_buckets: int,
     seed: int = 42,
-) -> DataFrame:
+) -> tuple[DataFrame, list | None]:
     """Drop batch docs whose hashing-trick embedding reaches
     ``cosine >= threshold`` against (a) a lower-id doc in the SAME
     batch or (b) anything already stored -- the semantic
@@ -261,7 +261,12 @@ def _semantic_filter(
     bootstrap) and persisted in ``<table>__centroids``; every batch
     assigns with those same cells, so the ``<table>__cells`` index
     stays consistent and each tick reads only the cell buckets the
-    batch's own vectors land in."""
+    batch's own vectors land in.
+
+    Returns ``(filtered_rows, centroids)``; ``centroids`` is None when
+    nothing is embeddable anywhere yet (no quantizer exists -- the
+    caller must then skip the index append rather than re-load a
+    centroids table that was never created)."""
     from ..operators.dedup import cross_cell_hits, semantic_dedup
     from ..operators.similarity import _kmeans_centroids, assign_cells
 
@@ -276,7 +281,7 @@ def _semantic_filter(
             # must be non-empty or the k-means init indexes into nothing
             stored_emb = _embed_double(new_rows, dim)
             if stored_emb.first() is None:
-                return new_rows  # nothing embeddable anywhere yet
+                return new_rows, None  # nothing embeddable anywhere yet
         centroids = _kmeans_centroids(stored_emb, "embedding", n_cells, seed)
         store.overwrite(
             centroids_table_name(table),
@@ -295,7 +300,7 @@ def _semantic_filter(
     emb_new = _embed_double(new_rows, dim).cache()
     try:
         if emb_new.isEmpty():
-            return new_rows  # tokenless batch: nothing to compare
+            return new_rows, centroids  # tokenless batch: nothing to compare
         # (a) batch-internal semantic dedup under the SHARED cells
         verdicts = semantic_dedup(
             emb_new, id_col="doc_id", threshold=threshold, centroids=centroids
@@ -332,7 +337,7 @@ def _semantic_filter(
             .select(F.col("id").alias("doc_id"))
         )
         drop = intra_dups.unionByName(cross_dups).distinct()
-        return new_rows.join(drop, "doc_id", "left_anti")
+        return new_rows.join(drop, "doc_id", "left_anti"), centroids
     finally:
         emb_new.unpersist()
 
@@ -456,8 +461,9 @@ def ingest_batch(
                 band_size,
                 n_buckets,
             )
+        sem_centroids = None
         if semantic:
-            new_rows = _semantic_filter(
+            new_rows, sem_centroids = _semantic_filter(
                 store, spark, table, new_rows, sem_threshold, sem_dim,
                 sem_cells, n_buckets,
             )
@@ -488,11 +494,13 @@ def ingest_batch(
                         new_rows, num_hashes=num_hashes, band_size=band_size
                     ),
                 )
-            if semantic:
+            if semantic and sem_centroids is not None:
+                # centroids threaded from _semantic_filter (no re-read);
+                # None means no quantizer exists yet (nothing embeddable
+                # anywhere) and there is no index to append into
                 _write_semantic_index(
-                    store, spark, table, new_rows,
-                    _load_centroids(store, spark, table), sem_dim, n_buckets,
-                    bootstrap=False,
+                    store, spark, table, new_rows, sem_centroids,
+                    sem_dim, n_buckets, bootstrap=False,
                 )
         finally:
             new_rows.unpersist()

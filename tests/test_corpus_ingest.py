@@ -289,3 +289,37 @@ def test_corpus_ingest_semantic_empty_seed_self_heals(spark, tmp_path):
     )
     ingest_batch(store, spark, batch, min_quality=0.0, semantic=True, sem_threshold=0.9)
     assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {2}
+
+
+def test_corpus_ingest_semantic_tokenless_batches_survive(spark, tmp_path):
+    """semantic=True where the stored corpus AND an incoming batch are
+    both tokenless (nothing embeddable anywhere): no quantizer can
+    exist yet, and the tick must still merge the novel rows instead of
+    dying on a centroids table that was never created (regression:
+    FileNotFoundError in the index append)."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    seed = spark.createDataFrame(
+        [(1, "", "en")], "doc_id long, text string, lang string"
+    )
+    ingest_batch(store, spark, seed, min_quality=0.0, semantic=True)
+    # novel fingerprint, still tokenless -> previously crashed
+    batch2 = spark.createDataFrame(
+        [(2, "   ", "en")], "doc_id long, text string, lang string"
+    )
+    ingest_batch(store, spark, batch2, min_quality=0.0, semantic=True)
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {1, 2}
+    # the first embeddable batch then bootstraps the quantizer and dedups
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    batch3 = spark.createDataFrame(
+        [(3, base, "en"), (4, base + " " + base, "en")],
+        "doc_id long, text string, lang string",
+    )
+    ingest_batch(store, spark, batch3, min_quality=0.0, semantic=True, sem_threshold=0.9)
+    assert {r["doc_id"] for r in store.read(spark, "corpus").collect()} == {1, 2, 3}

@@ -52,6 +52,49 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _uf_components(edges)
 
 
+def _lev(a: str, b: str) -> int:
+    """Reference DP edit distance."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(st.text(alphabet="ab", max_size=8), min_size=2, max_size=25),
+    threshold=st.integers(0, 4),
+)
+def test_edit_distance_pairs_matches_model(spark, texts, threshold):
+    """Blocked + banded-levenshtein pairs == the pure-Python model over
+    the same blocking predicate (prefix OR suffix key match) -- tiny
+    alphabet so key collisions, near-dups, and empty strings all occur."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    bl = 3
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(
+            docs, threshold=threshold, block_len=bl, max_block=1000
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            b = texts[j]
+            if a[:bl] == b[:bl] or a[-bl:] == b[-bl:]:
+                d = _lev(a, b)
+                if d <= threshold:
+                    want[(i, j)] = d
+    assert got == want
+
+
 def test_connected_components_star_equals_propagation_200_graphs(spark):
     """Differential test of the two component engines over 200 seeded
     random graphs, batched into ONE edge list via disjoint id spaces

@@ -162,6 +162,21 @@ def test_pq_topk_recall_and_compression(spark):
     assert len(ivfpq) == 10
 
 
+def test_ann_tiers_empty_input(spark, tmp_path):
+    """Every ANN tier must return an EMPTY top-k (not IndexError) when
+    a composed pipeline filters all rows away upstream; only the index
+    builder, which cannot produce anything useful, raises loudly."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = [0.0] * 16
+    assert similarity.topk_pq(empty, q, k=5).collect() == []
+    assert similarity.topk_pq_ivf(empty, q, k=5).collect() == []
+    assert similarity.topk_cosine_ivf(empty, q, k=5).collect() == []
+    with pytest.raises(ValueError, match="no vectors"):
+        similarity.build_pq_index(empty, str(tmp_path / "idx"))
+
+
 def test_pq_index_partition_pruning_and_parity(spark, tmp_path):
     """The stored IVF-PQ index must (a) return exactly what the inline
     IVF-PQ path returns (same seeded quantizers), and (b) physically
@@ -913,3 +928,83 @@ def test_qoi_roundtrip_and_grammar():
             b"qoif" + (1).to_bytes(4, "big") * 2 + b"\x03\x00"
             + bytes([0b11111111, 1, 2, 3, 4]) + _QOI_END
         )
+
+
+def _qoi_reference_decode(payload: bytes):
+    """qoi.h-faithful decoder (full RGBA state model, zero-initialized
+    index with alpha=0) for conformance testing our encoder against
+    EXTERNAL tools, not our own decoder's assumptions."""
+    import numpy as np
+
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    data = payload[14:-8]
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    out = np.empty((w * h, 3), dtype=np.uint8)
+    i = pos = 0
+    while i < w * h:
+        b1 = data[pos]
+        pos += 1
+        if b1 == 0xFE:
+            px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+            pos += 3
+        elif b1 == 0xFF:
+            px = (data[pos], data[pos + 1], data[pos + 2], data[pos + 3])
+            pos += 4
+        elif b1 >> 6 == 0:
+            px = index[b1 & 0x3F]
+        elif b1 >> 6 == 1:
+            px = (
+                (px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                (px[2] + (b1 & 3) - 2) % 256,
+                px[3],
+            )
+        elif b1 >> 6 == 2:
+            dg = (b1 & 0x3F) - 32
+            nb = data[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((nb >> 4) & 0x0F) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (nb & 0x0F) - 8) % 256,
+                px[3],
+            )
+        else:
+            run = (b1 & 0x3F) + 1
+            out[i : i + run] = px[:3]
+            i += run
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out[i] = px[:3]
+        i += 1
+    return out.reshape(h, w, 3)
+
+
+def test_qoi_external_decoder_conformance():
+    """The encoder must never rely on index slots a SPEC decoder has
+    not seen written: qoi.h zero-initializes its index with alpha=0,
+    so an OP_INDEX into an unwritten slot desyncs the whole remaining
+    stream (regression: black pixels used to hit the encoder's own
+    (0,0,0)-seeded slots)."""
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        encode_qoi,
+    )
+
+    # the falsifying image: black appears after other colors, then
+    # previously-seen colors recur through INDEX chunks
+    adversarial = np.array(
+        [[(10, 10, 10), (0, 0, 0), (200, 50, 30), (10, 10, 10), (200, 50, 30)]],
+        dtype=np.uint8,
+    )
+    rng = np.random.default_rng(23)
+    noise = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    noise[::3, ::2] = 0  # salt with black so index slots interact
+    leading_black = np.zeros((4, 7, 3), dtype=np.uint8)
+    leading_black[2:] = (40, 80, 120)
+    for arr in (adversarial, noise, leading_black):
+        np.testing.assert_array_equal(_qoi_reference_decode(encode_qoi(arr)), arr)
