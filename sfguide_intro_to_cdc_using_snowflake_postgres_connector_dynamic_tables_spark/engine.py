@@ -43,8 +43,19 @@ class Engine:
     def bootstrap(self, seed: dict[str, DataFrame]) -> None:
         self.pipeline.bootstrap(seed)
 
-    def start(self, feed_dir: str, checkpoint_dir: str, trigger: dict | None = None):
-        self._query = self.pipeline.start_stream(feed_dir, checkpoint_dir, trigger)
+    def start(
+        self,
+        feed_dir: str,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        transactional: bool = False,
+    ):
+        """``transactional=True`` parses tx_id/commit-marker envelopes
+        and applies only complete transactions (see
+        ``CDCPipeline.apply_envelope_batch``)."""
+        self._query = self.pipeline.start_stream(
+            feed_dir, checkpoint_dir, trigger, transactional=transactional
+        )
         return self._query
 
     def apply_batch(self, envelope: DataFrame) -> None:
@@ -78,6 +89,19 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.store.read(self.spark, name)
 
+    def consistent_table(self, name: str) -> DataFrame:
+        """Read ``name`` at the pipeline's last group snapshot: every
+        table resolves to the versions published together after a
+        micro-batch's merges, so joins across replicated tables never
+        observe a half-applied batch/transaction (falls back to the
+        current read before any group snapshot exists)."""
+        from .streaming.changefeed import CDC_GROUP
+
+        try:
+            return self.store.read_group(self.spark, CDC_GROUP, name)
+        except (FileNotFoundError, KeyError):
+            return self.store.read(self.spark, name)
+
     def sql(self, query: str, tables: list[str] | None = None) -> DataFrame:
         """SQL over the store's committed tables (S6)."""
         for t in tables or []:
@@ -91,7 +115,9 @@ class Engine:
 
         tables = sorted(
             d for d in os.listdir(self.store.root)
-            if self.store.current_version(d) is not None
+            # underscore names are engine-internal (_txn_pending buffer,
+            # _groups snapshots), not replicated tables
+            if not d.startswith("_") and self.store.current_version(d) is not None
         )
         return replication_state(self.spark, self.store, tables)
 

@@ -45,6 +45,25 @@ FEED_SCHEMA = T.StructType(
     ]
 )
 
+#: transactional feeds: rows of one source transaction share a tx_id
+#: and are followed (in lsn order) by an op='C' commit marker; NULL =
+#: non-transactional row, always applied.  Feed files written without
+#: the field parse with tx_id NULL, so one stream can mix both.
+FEED_SCHEMA_TXN = T.StructType(
+    FEED_SCHEMA.fields + [T.StructField("tx_id", T.LongType(), True)]
+)
+
+#: table_name carried by op='C' commit-marker rows (never a real table)
+TXN_COMMIT_TABLE = "_commit"
+
+#: group name under which the pipeline publishes consistent multi-table
+#: snapshots (ParquetTableStore.read_group(spark, CDC_GROUP, table))
+CDC_GROUP = "cdc"
+
+#: store table buffering data rows of transactions whose commit marker
+#: has not arrived yet (bounded by open transactions, not history)
+TXN_PENDING_TABLE = "_txn_pending"
+
 
 def write_feed_batch(feed_dir: str, batch: dict[str, list[tuple]]) -> str:
     """Append one change batch to the feed as a JSON-lines file.
@@ -74,6 +93,103 @@ def write_feed_batch(feed_dir: str, batch: dict[str, list[tuple]]) -> str:
     final = os.path.join(feed_dir, f"batch-{records[0]['lsn'] if records else 0}-{uuid.uuid4().hex[:8]}.json")
     os.replace(tmp, final)  # file appears atomically
     return final
+
+
+def write_feed_transactions(
+    feed_dir: str,
+    committed: list[tuple[int, dict[str, list[tuple]]]],
+    open_txs: list[tuple[int, dict[str, list[tuple]]]] = (),
+    marker_lsns: dict[int, int] | None = None,
+) -> str:
+    """Append transactional change batches to the feed.
+
+    ``committed``: ``[(tx_id, {table: [(op, lsn, row), ...]}), ...]`` --
+    each transaction's data rows are written with its tx_id, followed by
+    an op='C' commit marker at the transaction's max lsn (the WAL shape:
+    the commit record trails every change it covers).  ``open_txs``:
+    same shape but NO marker is written -- their commit must arrive in a
+    later file, and the consumer defers the rows until it does.
+
+    A committed tx with NO data rows in this file (its rows went out
+    earlier as ``open_txs``) MUST provide its commit lsn via
+    ``marker_lsns[tx_id]``: a marker defaulting to lsn 0 would be
+    silently dropped by a snapshot-LSN watermark and the buffered
+    transaction would never apply.
+    """
+    os.makedirs(feed_dir, exist_ok=True)
+    records = []
+
+    def _data_rows(tx_id, changes):
+        out = []
+        for table, rows in changes.items():
+            for op, lsn, row in rows:
+                out.append(
+                    {
+                        "op": op,
+                        "lsn": lsn,
+                        "commit_ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+                        "table_name": table,
+                        "after_json": json.dumps(row, default=str),
+                        "tx_id": tx_id,
+                    }
+                )
+        return out
+
+    for tx_id, changes in committed:
+        rows = _data_rows(tx_id, changes)
+        if not rows and tx_id not in (marker_lsns or {}):
+            raise ValueError(
+                f"committed tx {tx_id} has no data rows in this file; "
+                "pass its commit lsn via marker_lsns"
+            )
+        records.extend(rows)
+        records.append(
+            {
+                "op": "C",
+                "lsn": (marker_lsns or {}).get(
+                    tx_id, max(r["lsn"] for r in rows) if rows else 0
+                ),
+                "commit_ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+                "table_name": TXN_COMMIT_TABLE,
+                "after_json": None,
+                "tx_id": tx_id,
+            }
+        )
+    for tx_id, changes in open_txs:
+        records.extend(_data_rows(tx_id, changes))
+    records.sort(key=lambda r: (r["lsn"], r["op"] == "C"))
+    tmp = os.path.join(feed_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    final = os.path.join(
+        feed_dir,
+        f"batch-{records[0]['lsn'] if records else 0}-{uuid.uuid4().hex[:8]}.json",
+    )
+    os.replace(tmp, final)
+    return final
+
+
+def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ready, deferred) data rows of an envelope batch under
+    complete-transaction semantics.
+
+    Ready = rows with no tx_id (non-transactional sources) plus rows
+    whose transaction has an op='C' commit marker in the same envelope
+    set; deferred = data rows of still-open transactions, which the
+    pipeline buffers and re-presents (unioned with the next batch) until
+    their marker arrives.  Commit markers themselves never reach the
+    apply path.  In WAL order a commit record trails every change it
+    covers, so a marker can only arrive with or after its data -- never
+    before."""
+    data = envelope.filter(F.col("op") != "C")
+    committed = envelope.filter(F.col("op") == "C").select("tx_id").distinct()
+    tx_rows = data.filter(F.col("tx_id").isNotNull())
+    ready = data.filter(F.col("tx_id").isNull()).unionByName(
+        tx_rows.join(committed, "tx_id", "left_semi")
+    )
+    deferred = tx_rows.join(committed, "tx_id", "left_anti")
+    return ready, deferred
 
 
 def parse_table_changes(envelope: DataFrame, table: str) -> DataFrame:
@@ -208,9 +324,27 @@ class CDCPipeline:
         are dropped (already reflected in the bootstrap snapshot --
         see ``bootstrap_then_tail``); the filter compiles to a codegen
         comparison, zero cost when no watermark is set.
+
+        Transactional envelopes (a ``tx_id`` column is present): only
+        COMPLETE transactions apply -- rows whose commit marker hasn't
+        arrived are buffered in ``_txn_pending`` and re-presented with
+        the next batch, so a transaction split across micro-batches is
+        never half-applied.  After the per-table merges the pipeline
+        publishes a ``CDC_GROUP`` snapshot
+        (``store.read_group(spark, CDC_GROUP, table)``), which flips
+        atomically: a reader joining two tables through the group sees
+        every transaction of a batch entirely or not at all, even
+        between the batch's individual merge commits.
         """
         if self.snapshot_lsn >= 0:
             envelope = envelope.filter(F.col("lsn") > F.lit(self.snapshot_lsn))
+        deferred = None
+        if "tx_id" in envelope.columns:
+            if self.store.exists(TXN_PENDING_TABLE):
+                envelope = envelope.unionByName(
+                    self.store.read(self.spark, TXN_PENDING_TABLE)
+                )
+            envelope, deferred = split_complete_transactions(envelope)
         envelope = envelope.cache()
         deltas: dict[str, DataFrame] = {}
         try:
@@ -229,6 +363,20 @@ class CDCPipeline:
                     )
                     self.store.overwrite(table, apply_changes(current, changes, key))
                 deltas[table] = changes
+            if deferred is not None:
+                # buffer open transactions (bounded by in-flight txs,
+                # not history); written before the group commit so a
+                # replayed batch re-derives the same ready set
+                self.store.overwrite(TXN_PENDING_TABLE, deferred)
+            # atomic multi-table visibility: pin every replicated
+            # table's post-merge version under one group pointer
+            members = [
+                t
+                for t in ("customers", "merchants", "products", "transactions")
+                if self.store.exists(t)
+            ]
+            if members:
+                self.store.commit_group(CDC_GROUP, members)
             for hook in self._on_batch_applied:
                 hook(batch_id, deltas)
         finally:
@@ -251,16 +399,22 @@ class CDCPipeline:
         feed_dir: str,
         checkpoint_dir: str,
         trigger: dict | None = None,
+        transactional: bool = False,
     ):
         """Tail the feed directory; one micro-batch per trigger tick.
 
         ``trigger`` defaults to ``availableNow`` (drain-and-stop, used
         by tests); pass ``{"processingTime": "60 seconds"}`` for the
-        reference's 1-minute freshness SLO (C5).
+        reference's 1-minute freshness SLO (C5).  ``transactional``
+        parses the feed with :data:`FEED_SCHEMA_TXN` and turns on
+        complete-transaction gating (see ``apply_envelope_batch``);
+        non-transactional feed files still work (tx_id parses NULL).
         """
         os.makedirs(feed_dir, exist_ok=True)  # tailing an empty feed is valid
         stream = (
-            self.spark.readStream.schema(FEED_SCHEMA)
+            self.spark.readStream.schema(
+                FEED_SCHEMA_TXN if transactional else FEED_SCHEMA
+            )
             .json(feed_dir)
         )
         writer = (

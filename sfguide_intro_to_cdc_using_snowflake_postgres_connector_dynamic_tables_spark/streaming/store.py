@@ -305,10 +305,15 @@ class ParquetTableStore:
     def _gc(self, name: str, current: int) -> None:
         tdir = self._table_dir(name)
         floor = current - self.keep_versions
+        # group-pinned versions survive retention: a consistent-read
+        # group manifest may lawfully point below the floor (e.g. a
+        # crash between a transaction's per-table merges delays the
+        # group re-commit by one apply)
+        pinned = self._group_pinned_versions(name)
         # referenced stage dirs across all KEPT partitioned versions
         referenced: set[str] = set()
         kept_any_manifest = False
-        for v in range(max(1, floor + 1), current + 1):
+        for v in sorted(set(range(max(1, floor + 1), current + 1)) | pinned):
             m = self._read_manifest(name, v)
             if m is None:
                 continue
@@ -318,11 +323,11 @@ class ParquetTableStore:
         for entry in os.listdir(tdir):
             path = os.path.join(tdir, entry)
             if entry.startswith("v") and entry[1:].isdigit():
-                if int(entry[1:]) <= floor:
+                if int(entry[1:]) <= floor and int(entry[1:]) not in pinned:
                     shutil.rmtree(path, ignore_errors=True)
             elif entry.startswith("manifest-v"):
                 v = int(entry[len("manifest-v"):-len(".json")])
-                if v <= floor:
+                if v <= floor and v not in pinned:
                     os.unlink(path)
             elif entry.startswith("commit-claim-"):
                 # a committed version KEEPS its claim marker while the
@@ -376,6 +381,104 @@ class ParquetTableStore:
         if v is None:
             raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
         return self._read_version(spark, name, v)
+
+    # -- consistent multi-table snapshots (group commits) --------------------
+    #
+    # Per-table version pointers swap independently, so a reader joining
+    # two replicated tables between a transaction's two merges can see
+    # half of it (the order without its lineitems).  A GROUP is a second,
+    # atomically-swapped pointer over a SET of tables: ``commit_group``
+    # publishes {table: current version} as one manifest, and
+    # ``read_group`` resolves every table through that manifest -- readers
+    # see the whole group pre- or post-commit, never a mix.  The CDC
+    # pipeline commits the group once per micro-batch AFTER all per-table
+    # merges, making each batch's transactions visible atomically.
+    # ``_gc`` exempts group-pinned versions from retention so a crash
+    # between merges can never strand the group manifest on a deleted
+    # version.
+
+    def _groups_dir(self) -> str:
+        return os.path.join(self.root, "_groups")
+
+    def _group_version_file(self, group: str) -> str:
+        return os.path.join(self._groups_dir(), f"{group}.version")
+
+    def _group_manifest_path(self, group: str, v: int) -> str:
+        return os.path.join(self._groups_dir(), f"{group}-manifest-v{v}.json")
+
+    def current_group_version(self, group: str) -> int | None:
+        try:
+            with open(self._group_version_file(group)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def group_versions(self, group: str) -> dict[str, int]:
+        """{table: pinned version} of the group's latest snapshot."""
+        gv = self.current_group_version(group)
+        if gv is None:
+            raise FileNotFoundError(f"group {group!r} has no committed snapshot")
+        with open(self._group_manifest_path(group, gv)) as f:
+            return {t: int(v) for t, v in json.load(f).items()}
+
+    def commit_group(self, group: str, tables: list[str]) -> int:
+        """Atomically publish the CURRENT versions of ``tables`` as the
+        group's snapshot.  One ``os.replace`` of the group pointer:
+        concurrent ``read_group`` callers resolve entirely against the
+        old snapshot or entirely against the new one."""
+        versions: dict[str, int] = {}
+        for t in tables:
+            v = self.current_version(t)
+            if v is None:
+                raise FileNotFoundError(f"group member {t!r} has no committed version")
+            versions[t] = v
+        os.makedirs(self._groups_dir(), exist_ok=True)
+        gv = (self.current_group_version(group) or 0) + 1
+        mpath = self._group_manifest_path(group, gv)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(versions, f)
+        os.replace(tmp, mpath)
+        vtmp = self._group_version_file(group) + ".tmp"
+        with open(vtmp, "w") as f:
+            f.write(str(gv))
+        os.replace(vtmp, self._group_version_file(group))
+        # prune superseded group manifests (keep the live one plus one
+        # back, mirroring table retention)
+        for entry in os.listdir(self._groups_dir()):
+            if entry.startswith(f"{group}-manifest-v") and entry.endswith(".json"):
+                old = int(entry[len(f"{group}-manifest-v"):-len(".json")])
+                if old <= gv - 2:
+                    os.unlink(os.path.join(self._groups_dir(), entry))
+        return gv
+
+    def read_group(self, spark: SparkSession, group: str, name: str) -> DataFrame:
+        """Read ``name`` at the version pinned by the group snapshot --
+        consistent across every table the group covers."""
+        versions = self.group_versions(group)
+        if name not in versions:
+            raise KeyError(f"table {name!r} is not part of group {group!r}")
+        return self._read_version(spark, name, versions[name])
+
+    def _group_pinned_versions(self, name: str) -> set[int]:
+        """Versions of ``name`` referenced by any retained group
+        manifest (these must survive _gc regardless of retention)."""
+        pinned: set[int] = set()
+        try:
+            entries = os.listdir(self._groups_dir())
+        except OSError:
+            return pinned
+        for entry in entries:
+            if "-manifest-v" not in entry or not entry.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._groups_dir(), entry)) as f:
+                    versions = json.load(f)
+                if name in versions:
+                    pinned.add(int(versions[name]))
+            except (OSError, ValueError):
+                continue
+        return pinned
 
     def bucket_paths(self, name: str, bucket_ids) -> list[str]:
         """Data directories of the given hash buckets in the current

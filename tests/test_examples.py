@@ -32,6 +32,7 @@ EXAMPLES: dict[str, list[str]] = {
     "media_pipeline.py": [],
     "retrieval_pipeline.py": [SF],
     "training_prep.py": [SF],
+    "transactional_cdc.py": [],
 }
 
 

@@ -1,0 +1,300 @@
+"""Transactional CDC: complete-transaction gating + atomic multi-table
+visibility (group snapshots).
+
+The reference's transport (Postgres WAL -> connector) ships whole
+transactions; a replicator applying per-table merges can still expose a
+half-applied transaction to readers between two merge commits, and a
+micro-batch boundary can split a transaction's rows across batches.
+These tests pin both guarantees: (1) rows of an uncommitted transaction
+are buffered, never half-applied; (2) ``read_group`` flips atomically
+over all tables, even across an injected crash between merges.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import fixtures
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+    CUSTOMERS_SCHEMA,
+    MERCHANTS_SCHEMA,
+    PRODUCTS_SCHEMA,
+    TRANSACTIONS_SCHEMA,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+    CDC_GROUP,
+    FEED_SCHEMA_TXN,
+    TXN_PENDING_TABLE,
+    CDCPipeline,
+    split_complete_transactions,
+    write_feed_transactions,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+
+def _txn_envelope_df(spark, committed, open_txs=()):
+    """In-memory equivalent of write_feed_transactions' file shape."""
+    rows = []
+    for tx_id, changes in committed:
+        lsns = []
+        for table, tchanges in changes.items():
+            for op, lsn, row in tchanges:
+                rows.append((op, lsn, None, table, json.dumps(row, default=str), tx_id))
+                lsns.append(lsn)
+        rows.append(("C", max(lsns) if lsns else 0, None, "_commit", None, tx_id))
+    for tx_id, changes in open_txs:
+        for table, tchanges in changes.items():
+            for op, lsn, row in tchanges:
+                rows.append((op, lsn, None, table, json.dumps(row, default=str), tx_id))
+    return spark.createDataFrame(rows, FEED_SCHEMA_TXN)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store, partition_spec={"transactions": 8})
+    customers = fixtures.make_customers(20, seed=7)
+    merchants = fixtures.make_merchants(seed=7)
+    products = fixtures.make_products(seed=7)
+    transactions = fixtures.make_transactions(
+        customers, products, merchants, n=50, seed=7
+    )
+    p.bootstrap(
+        {
+            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+            "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+            "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+            "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
+        }
+    )
+    return p, store, customers
+
+
+def _cust_tx(cid, lsn_base, tx_id, age):
+    """One transaction touching customers AND transactions."""
+    cust_row = {
+        "customer_id": cid,
+        "firstname": "t",
+        "lastname": "x",
+        "age": age,
+        "email": "t@x",
+        "phone_number": "1",
+    }
+    txn_row = {
+        "transaction_id": f"tx-{tx_id}-{lsn_base}",
+        "customer_id": cid,
+        "product_id": 1,
+        "merchant_id": 1,
+        "transaction_date": "2024-01-01",
+        "transaction_time": "10:00:00",
+        "quantity": 1,
+        "total_price": 9.99,
+        "transaction_card": "visa",
+        "transaction_category": "purchase",
+    }
+    return {
+        "customers": [("U", lsn_base, cust_row)],
+        "transactions": [("I", lsn_base + 1, txn_row)],
+    }
+
+
+def test_split_complete_transactions(spark):
+    env = _txn_envelope_df(
+        spark,
+        committed=[(1, _cust_tx(1, 1000, 1, 30))],
+        open_txs=[(2, _cust_tx(2, 2000, 2, 40))],
+    )
+    ready, deferred = split_complete_transactions(env)
+    assert ready.filter(F.col("op") == "C").count() == 0  # markers never apply
+    assert {r["tx_id"] for r in ready.collect()} == {1}
+    assert {r["tx_id"] for r in deferred.collect()} == {2}
+    # NULL tx_id rows (non-transactional) are always ready
+    mixed = env.unionByName(
+        spark.createDataFrame(
+            [("U", 3000, None, "customers", json.dumps({"customer_id": 3}), None)],
+            FEED_SCHEMA_TXN,
+        )
+    )
+    ready2, _ = split_complete_transactions(mixed)
+    assert ready2.filter(F.col("tx_id").isNull()).count() == 1
+
+
+def test_open_transaction_defers_until_commit(spark, pipeline):
+    p, store, customers = pipeline
+    cid_a, cid_b = customers[0][0], customers[1][0]
+    n_txn0 = store.read(spark, "transactions").count()
+
+    # batch 1: tx 10 committed, tx 11 open (its marker comes later)
+    p.apply_envelope_batch(
+        _txn_envelope_df(
+            spark,
+            committed=[(10, _cust_tx(cid_a, 9000, 10, 33))],
+            open_txs=[(11, _cust_tx(cid_b, 9100, 11, 55))],
+        )
+    )
+    cust = store.read(spark, "customers")
+    assert cust.filter(F.col("customer_id") == cid_a).first()["age"] == 33
+    assert cust.filter(F.col("customer_id") == cid_b).first()["age"] != 55
+    assert store.read(spark, "transactions").count() == n_txn0 + 1  # only tx 10's row
+    # the open tx is buffered
+    assert store.read(spark, TXN_PENDING_TABLE).count() == 2
+
+    # batch 2: just the commit marker for tx 11
+    marker = spark.createDataFrame(
+        [("C", 9102, None, "_commit", None, 11)], FEED_SCHEMA_TXN
+    )
+    p.apply_envelope_batch(marker)
+    cust = store.read(spark, "customers")
+    assert cust.filter(F.col("customer_id") == cid_b).first()["age"] == 55
+    assert store.read(spark, "transactions").count() == n_txn0 + 2
+    assert store.read(spark, TXN_PENDING_TABLE).count() == 0
+
+
+def test_group_snapshot_is_atomic_across_tables(spark, pipeline):
+    p, store, customers = pipeline
+    cid = customers[2][0]
+    p.apply_envelope_batch(
+        _txn_envelope_df(spark, committed=[(20, _cust_tx(cid, 9200, 20, 61))])
+    )
+    g1 = store.group_versions(CDC_GROUP)
+    # merge one table again WITHOUT a group commit: direct store write
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.cdc_apply import (
+        apply_changes,
+    )
+
+    newer = spark.createDataFrame(
+        [("U", 9300, None, "customers", json.dumps({
+            "customer_id": cid, "firstname": "t", "lastname": "x",
+            "age": 99, "email": "t@x", "phone_number": "1",
+        }), None)],
+        FEED_SCHEMA_TXN,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        parse_table_changes,
+    )
+
+    store.overwrite(
+        "customers",
+        apply_changes(store.read(spark, "customers"), parse_table_changes(newer, "customers"), "customer_id"),
+    )
+    # current read sees 99; the group snapshot still sees the committed 61
+    assert store.read(spark, "customers").filter(F.col("customer_id") == cid).first()["age"] == 99
+    assert (
+        store.read_group(spark, CDC_GROUP, "customers")
+        .filter(F.col("customer_id") == cid)
+        .first()["age"]
+        == 61
+    )
+    assert store.group_versions(CDC_GROUP) == g1
+
+
+def test_crash_between_merges_keeps_group_consistent(spark, pipeline):
+    """Inject a failure after the customers merge but before the
+    transactions merge: the group snapshot must keep serving the
+    pre-batch versions of BOTH tables, and a retry must converge."""
+    p, store, customers = pipeline
+    cid = customers[3][0]
+    p.apply_envelope_batch(
+        _txn_envelope_df(spark, committed=[(30, _cust_tx(cid, 9400, 30, 41))])
+    )
+    g_before = store.group_versions(CDC_GROUP)
+    age_before = (
+        store.read_group(spark, CDC_GROUP, "customers")
+        .filter(F.col("customer_id") == cid)
+        .first()["age"]
+    )
+    n_txn_before = store.read_group(spark, CDC_GROUP, "transactions").count()
+
+    batch = _txn_envelope_df(spark, committed=[(31, _cust_tx(cid, 9500, 31, 77))])
+    real_merge = store.merge
+    calls = {"n": 0}
+
+    def crashing_merge(spark_, name, upserts, touched):
+        if name == "transactions":
+            raise RuntimeError("injected crash before transactions merge")
+        return real_merge(spark_, name, upserts, touched)
+
+    store.merge = crashing_merge
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            p.apply_envelope_batch(batch)
+    finally:
+        store.merge = real_merge
+
+    # customers' CURRENT pointer advanced, but the group still pins the
+    # consistent pre-batch pair -- no reader through the group ever saw
+    # the customer update without its transaction row
+    assert store.group_versions(CDC_GROUP) == g_before
+    assert (
+        store.read_group(spark, CDC_GROUP, "customers")
+        .filter(F.col("customer_id") == cid)
+        .first()["age"]
+        == age_before
+    )
+    assert store.read_group(spark, CDC_GROUP, "transactions").count() == n_txn_before
+
+    # retry (the stream replays the uncommitted batch): idempotent keyed
+    # upserts converge and the group commits the full transaction
+    p.apply_envelope_batch(batch)
+    assert (
+        store.read_group(spark, CDC_GROUP, "customers")
+        .filter(F.col("customer_id") == cid)
+        .first()["age"]
+        == 77
+    )
+    assert store.read_group(spark, CDC_GROUP, "transactions").count() == n_txn_before + 1
+
+
+def test_group_pinned_version_survives_gc(spark, tmp_path):
+    """keep_versions=1 + several post-pin commits: the pinned version's
+    files must survive GC so read_group keeps working."""
+    store = ParquetTableStore(str(tmp_path / "store"), keep_versions=1)
+
+    def df(tag):
+        return spark.createDataFrame([(i, tag) for i in range(5)], "id long, tag string")
+
+    store.overwrite("t", df("a"), partition_key="id", n_buckets=4)
+    store.commit_group("g", ["t"])
+    pinned_v = store.group_versions("g")["t"]
+    for tag in ("b", "c", "d"):
+        store.overwrite("t", df(tag))
+    assert store.current_version("t") >= pinned_v + 3
+    got = {r["tag"] for r in store.read_group(spark, "g", "t").collect()}
+    assert got == {"a"}
+    # re-committing the group advances the pin; the old version is then
+    # collectable on the next table commit
+    store.commit_group("g", ["t"])
+    assert store.group_versions("g")["t"] == store.current_version("t")
+
+
+def test_transactional_stream_end_to_end(spark, tmp_path, pipeline):
+    """Live stream with transactional parsing: a committed tx applies,
+    an open tx waits for its marker in a later feed file."""
+    p, store, customers = pipeline
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    cid_a, cid_b = customers[4][0], customers[5][0]
+
+    write_feed_transactions(
+        feed,
+        committed=[(40, _cust_tx(cid_a, 9600, 40, 21))],
+        open_txs=[(41, _cust_tx(cid_b, 9700, 41, 22))],
+    )
+    q = p.start_stream(feed, ckpt, transactional=True)
+    q.awaitTermination(120)
+    assert store.read(spark, "customers").filter(F.col("customer_id") == cid_a).first()["age"] == 21
+    assert store.read(spark, "customers").filter(F.col("customer_id") == cid_b).first()["age"] != 22
+
+    # second file: only tx 41's commit marker (real lsn: a marker-only
+    # file must carry the commit lsn or a snapshot watermark drops it)
+    write_feed_transactions(feed, committed=[(41, {})], marker_lsns={41: 9702})
+    # marker-only transaction: its data rows are already pending
+    q = p.start_stream(feed, ckpt, transactional=True)
+    q.awaitTermination(120)
+    assert store.read(spark, "customers").filter(F.col("customer_id") == cid_b).first()["age"] == 22
