@@ -181,7 +181,14 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
     their marker arrives.  Commit markers themselves never reach the
     apply path.  In WAL order a commit record trails every change it
     covers, so a marker can only arrive with or after its data -- never
-    before."""
+    before.
+
+    Ordering assumption (holds for any row-locking source, e.g.
+    Postgres): two transactions cannot hold uncommitted writes to the
+    SAME key concurrently -- the second writer blocks until the first
+    commits -- so within a key, lsn order equals commit order, and a
+    deferred row applying in a later micro-batch can never overwrite a
+    younger committed value of its key."""
     data = envelope.filter(F.col("op") != "C")
     committed = envelope.filter(F.col("op") == "C").select("tx_id").distinct()
     tx_rows = data.filter(F.col("tx_id").isNotNull())

@@ -37,23 +37,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: lsn carried by synthesized commit-marker rows: Debezium transaction
+#: END events have no WAL lsn of their own, and a marker must never be
+#: dropped by the snapshot-LSN watermark (its DATA rows carry the real
+#: lsns and are watermark-filtered individually), so markers ride above
+#: any real lsn.
+TXN_MARKER_LSN = 1 << 62
 
-def debezium_to_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+
+def _j(v, path: str):
+    # accept both {"payload": {...}} and flattened events
+    return F.coalesce(
+        F.get_json_object(v, f"$.payload.{path}"),
+        F.get_json_object(v, f"$.{path}"),
+    )
+
+
+def _tx_hash(tx_str):
+    """Debezium transaction ids are strings ('571:53195829'); the
+    envelope's tx_id is a long.  xxhash64 maps them stably -- data
+    events and their END marker hash the same id, which is all the
+    complete-transaction gate needs."""
+    return F.when(tx_str.isNotNull(), F.xxhash64(tx_str))
+
+
+def debezium_to_envelope(
+    raw: DataFrame, value_col: str = "value", transactional: bool = False
+) -> DataFrame:
     """Convert Debezium change-event JSON strings to FEED_SCHEMA rows.
 
     ``raw``: any DataFrame with a string column ``value_col`` holding
     one Debezium event per row.  Returns (op, lsn, commit_ts,
     table_name, after_json) -- the exact shape
     :meth:`CDCPipeline.apply_envelope_batch` consumes.
+
+    ``transactional=True`` (connector configured with
+    ``provide.transaction.metadata=true``) additionally extracts each
+    event's ``transaction.id`` block as a hashed ``tx_id`` column
+    (FEED_SCHEMA_TXN shape); union with
+    :func:`debezium_txn_markers` over the transaction-metadata topic
+    and the pipeline applies complete transactions only.
     """
     v = F.col(value_col)
-
-    def j(path: str):
-        # accept both {"payload": {...}} and flattened events
-        return F.coalesce(
-            F.get_json_object(v, f"$.payload.{path}"),
-            F.get_json_object(v, f"$.{path}"),
-        )
+    j = lambda path: _j(v, path)  # noqa: E731
 
     dbz_op = j("op")
     op = (
@@ -65,10 +91,38 @@ def debezium_to_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     commit_ts = F.timestamp_millis(
         F.coalesce(j("source.ts_ms"), j("ts_ms")).cast("long")
     )
-    return raw.select(
+    cols = [
         op.alias("op"),
         j("source.lsn").cast("long").alias("lsn"),
         commit_ts.alias("commit_ts"),
         j("source.table").alias("table_name"),
         after_json.alias("after_json"),
-    ).filter(F.col("op").isNotNull())
+    ]
+    if transactional:
+        cols.append(_tx_hash(j("transaction.id")).alias("tx_id"))
+    return raw.select(*cols).filter(F.col("op").isNotNull())
+
+
+def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Convert Debezium TRANSACTION-METADATA topic events to op='C'
+    commit-marker envelope rows.
+
+    With ``provide.transaction.metadata=true`` Debezium emits
+    ``{"status": "BEGIN"|"END", "id": "...", "event_count": n,
+    "ts_ms": ...}`` on a dedicated topic; only END events matter here
+    (BEGINs are dropped -- the gate infers "open" from the absence of a
+    marker).  Union the result with the transactional data envelope and
+    feed :meth:`CDCPipeline.apply_envelope_batch`."""
+    v = F.col(value_col)
+    j = lambda path: _j(v, path)  # noqa: E731
+    return (
+        raw.filter(j("status") == "END")
+        .select(
+            F.lit("C").alias("op"),
+            F.lit(TXN_MARKER_LSN).alias("lsn"),
+            F.timestamp_millis(j("ts_ms").cast("long")).alias("commit_ts"),
+            F.lit("_commit").alias("table_name"),
+            F.lit(None).cast("string").alias("after_json"),
+            _tx_hash(j("id")).alias("tx_id"),
+        )
+    )

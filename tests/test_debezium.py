@@ -75,3 +75,71 @@ def test_debezium_ignores_non_change_events(spark):
         [("{}",), (json.dumps({"payload": {"schema": "noise"}}),)], "value string"
     )
     assert debezium_to_envelope(raw).count() == 0
+
+
+def _tx_event(op, table, lsn, tx_id, after=None, before=None):
+    body = {
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {"lsn": lsn, "table": table, "ts_ms": 1_700_000_000_000 + lsn},
+        "transaction": {"id": tx_id, "total_order": 1, "data_collection_order": 1},
+    }
+    return json.dumps({"payload": body})
+
+
+def _txn_meta(status, tx_id, event_count=0):
+    return json.dumps(
+        {"status": status, "id": tx_id, "event_count": event_count,
+         "ts_ms": 1_700_000_000_500}
+    )
+
+
+def test_debezium_transaction_metadata_gates_apply(spark, tmp_path):
+    """provide.transaction.metadata=true wiring: data events carry
+    transaction.id, the metadata topic's END events become commit
+    markers, and the pipeline applies only complete transactions."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+        debezium_txn_markers,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+    p.apply_envelope_batch(
+        debezium_to_envelope(
+            spark.createDataFrame(
+                [(_event("r", "customers", 1, after=CUST(1, "Ann", 30)),)],
+                "value string",
+            )
+        )
+    )
+
+    # batch 1: tx "571:1" commits (END seen); tx "571:2" still open
+    data = spark.createDataFrame(
+        [
+            (_tx_event("u", "customers", 10, "571:1", after=CUST(1, "Ann", 31)),),
+            (_tx_event("c", "customers", 11, "571:2", after=CUST(2, "Bob", 40)),),
+        ],
+        "value string",
+    )
+    meta = spark.createDataFrame(
+        [(_txn_meta("BEGIN", "571:1"),), (_txn_meta("END", "571:1", 1),),
+         (_txn_meta("BEGIN", "571:2"),)],
+        "value string",
+    )
+    env = debezium_to_envelope(data, transactional=True).unionByName(
+        debezium_txn_markers(meta)
+    )
+    p.apply_envelope_batch(env, batch_id=1)
+    cust = {r["customer_id"]: r["age"] for r in store.read(spark, "customers").collect()}
+    assert cust == {1: 31}  # tx 571:2's insert is buffered, not applied
+
+    # batch 2: just 571:2's END marker
+    p.apply_envelope_batch(
+        debezium_txn_markers(
+            spark.createDataFrame([(_txn_meta("END", "571:2", 1),)], "value string")
+        ),
+        batch_id=2,
+    )
+    cust = {r["customer_id"]: r["age"] for r in store.read(spark, "customers").collect()}
+    assert cust == {1: 31, 2: 40}

@@ -273,6 +273,97 @@ def test_group_pinned_version_survives_gc(spark, tmp_path):
     assert store.group_versions("g")["t"] == store.current_version("t")
 
 
+def test_transactional_apply_matches_model_randomized(spark, tmp_path):
+    """Differential: random transaction interleavings cut at random
+    micro-batch boundaries must, after every batch, leave the store
+    equal to a pure-Python model that applies exactly the transactions
+    whose commit marker has been seen so far (latest lsn wins per key).
+    """
+    import random
+
+    rng = random.Random(1234)
+
+    def run_case(case_idx):
+        store = ParquetTableStore(str(tmp_path / f"s{case_idx}"))
+        p = CDCPipeline(spark, store)
+        # each tx owns a disjoint key range: concurrent same-key writes
+        # cannot happen in a row-locking source (a second writer blocks
+        # until the first commits, so per-key lsn order == commit
+        # order) -- the apply relies on exactly that WAL property
+        seed_ages = {
+            tx_id * 10 + off: 20 + tx_id + off
+            for tx_id in range(1, 7)
+            for off in (1, 2, 3)
+        }
+        p.bootstrap(
+            {
+                "customers": spark.createDataFrame(
+                    [(k, "s", "s", a, "e", "p") for k, a in seed_ages.items()],
+                    CUSTOMERS_SCHEMA,
+                )
+            }
+        )
+        # random transactions: each a few updates within its key range
+        lsn = 1000
+        txs = []
+        for tx_id in range(1, rng.randint(2, 6) + 1):
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                k = tx_id * 10 + rng.randint(1, 3)
+                rows.append((lsn, k, rng.randint(30, 90)))
+                lsn += 1
+            committed = rng.random() < 0.75
+            txs.append((tx_id, rows, committed))
+        # interleave: shuffle all data rows (keeping per-tx lsn order is
+        # automatic: lsns were assigned globally), append each committed
+        # tx's marker right after its last row's position
+        events = []  # (sort_lsn, record)
+        for tx_id, rows, committed in txs:
+            for l, k, age in rows:
+                events.append(
+                    (l, ("U", l, None, "customers",
+                         json.dumps({"customer_id": k, "firstname": "s",
+                                     "lastname": "s", "age": age,
+                                     "email": "e", "phone_number": "p"}),
+                         tx_id))
+                )
+            if committed:
+                events.append((rows[-1][0], ("C", rows[-1][0], None, "_commit", None, tx_id)))
+        events.sort(key=lambda e: (e[0], e[1][0] == "C"))
+        records = [e[1] for e in events]
+        # cut into 1..4 batches at random boundaries
+        cuts = sorted(rng.sample(range(1, len(records)), min(rng.randint(0, 3), len(records) - 1))) if len(records) > 1 else []
+        batches, prev = [], 0
+        for c in cuts + [len(records)]:
+            batches.append(records[prev:c])
+            prev = c
+
+        committed_so_far: set[int] = set()
+        for batch in batches:
+            if not batch:
+                continue
+            p.apply_envelope_batch(spark.createDataFrame(batch, FEED_SCHEMA_TXN))
+            committed_so_far |= {r[5] for r in batch if r[0] == "C"}
+            # model: seed + latest row per key across committed txs
+            expect = dict(seed_ages)
+            winning = {}
+            for tx_id, rows, _ in txs:
+                if tx_id not in committed_so_far:
+                    continue
+                for l, k, age in rows:
+                    if k not in winning or l > winning[k][0]:
+                        winning[k] = (l, age)
+            expect.update({k: age for k, (l, age) in winning.items()})
+            got = {
+                r["customer_id"]: r["age"]
+                for r in store.read_group(spark, CDC_GROUP, "customers").collect()
+            }
+            assert got == expect, f"case {case_idx}: {got} != {expect}"
+
+    for i in range(6):
+        run_case(i)
+
+
 def test_transactional_stream_end_to_end(spark, tmp_path, pipeline):
     """Live stream with transactional parsing: a committed tx applies,
     an open tx waits for its marker in a later feed file."""
