@@ -1028,6 +1028,166 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap-fill + LOCF (TimescaleDB time_bucket_gapfill /
+# locf): per event_type, materialize EVERY hourly bucket across the
+# table's time range (sequence + explode -- no driver loop), zero-fill
+# missing counts, and carry the last observed hourly average forward
+# with an ignore-nulls running window.  Scale shape: the bucket frame
+# is O(#types x #hours) regardless of event count, the hourly
+# pre-aggregation is the only event-proportional shuffle, and the LOCF
+# window's per-partition state is bounded by the time range, never the
+# data.
+# ---------------------------------------------------------------------------
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    buckets = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("__n"), F.avg("value").alias("__av"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        buckets.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
+            F.round(
+                F.last(F.col("__av"), ignorenulls=True).over(w), 4
+            ).alias("value_locf"),
+        )
+    )
+
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps (TimescaleDB's interpolate()):
+    each empty bucket takes the value on the line between its nearest
+    known neighbors -- LOCF's window runs forward, this adds the
+    NOCB-direction ignore-nulls window and the slope math.  Buckets
+    outside the known range (no neighbor on one side) stay NULL,
+    matching interpolate()'s contract."""
+    e = _t(spark, sf_dir, "events")
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    buckets = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.avg("value").alias("__av"))
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("__av").isNotNull(), F.col("bucket"))
+    t = F.unix_timestamp("bucket")
+    t0 = F.unix_timestamp(F.last(known_t, ignorenulls=True).over(back))
+    t1 = F.unix_timestamp(F.first(known_t, ignorenulls=True).over(fwd))
+    v0 = F.last(F.col("__av"), ignorenulls=True).over(back)
+    v1 = F.first(F.col("__av"), ignorenulls=True).over(fwd)
+    interp = F.when(F.col("__av").isNotNull(), F.col("__av")).otherwise(
+        F.when(
+            t0.isNotNull() & t1.isNotNull() & (t1 > t0),
+            v0 + (v1 - v0) * (t - t0) / (t1 - t0),
+        )
+    )
+    return buckets.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.round(interp, 4).alias("value_interp"),
+    )
+
+
+SQL_GAPFILL_INTERP = """
+WITH rng AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+b AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM t, rng),
+h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS av
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT b.event_type, b.bucket, h.av,
+         CASE WHEN h.av IS NOT NULL THEN b.bucket END AS kt
+  FROM b LEFT JOIN h ON b.event_type = h.event_type AND b.bucket = h.bucket),
+w AS (
+  SELECT event_type, bucket, av,
+         epoch(bucket) AS tt,
+         epoch(last_value(kt IGNORE NULLS) OVER back) AS t0,
+         epoch(first_value(kt IGNORE NULLS) OVER fwd) AS t1,
+         last_value(av IGNORE NULLS) OVER back AS v0,
+         first_value(av IGNORE NULLS) OVER fwd AS v1
+  FROM j
+  WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, bucket,
+       round(CASE WHEN av IS NOT NULL THEN av
+                  WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                  THEN v0 + (v1 - v0) * (tt - t0) / (t1 - t0)
+             END, 4) AS value_interp
+FROM w
+"""
+
+
+SQL_GAPFILL_LOCF = """
+WITH rng AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+b AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM t, rng),
+h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, avg(value) AS av
+  FROM events GROUP BY 1, 2)
+SELECT b.event_type, b.bucket,
+       coalesce(h.n, 0) AS n_events,
+       round(last_value(h.av IGNORE NULLS) OVER (
+         PARTITION BY b.event_type ORDER BY b.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_locf
+FROM b LEFT JOIN h ON b.event_type = h.event_type AND b.bucket = h.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Total-order sort (the TeraSort pattern): a full ORDER BY materializes
 # through Exchange rangepartitioning -- sampled range bounds, one
 # shuffle, per-partition sorts, NO single-reducer bottleneck.  Every
@@ -1053,6 +1213,8 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 
 MORE_CATALOG: dict[str, tuple] = {
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
+    "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
+    "gapfill_interp": (q_gapfill_interp, SQL_GAPFILL_INTERP),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
