@@ -64,6 +64,47 @@ CDC_GROUP = "cdc"
 #: has not arrived yet (bounded by open transactions, not history)
 TXN_PENDING_TABLE = "_txn_pending"
 
+#: op carried by schema-change (DDL) envelope rows.  ``after_json``
+#: holds ``{"add_columns": [{"name": ..., "type": <Spark DDL type
+#: string>}, ...]}``; ``table_name`` is the table the DDL targets;
+#: ``lsn`` is the DDL's WAL position.  Postgres logs DDL in commit
+#: order with the data, so rows that USE a new column always follow
+#: the op='S' row that declares it -- applying every batch's DDL
+#: before its data parse is therefore order-safe (pre-DDL rows simply
+#: parse the new column as NULL under the widened schema).
+SCHEMA_CHANGE_OP = "S"
+
+
+def write_feed_ddl(
+    feed_dir: str,
+    table: str,
+    add_columns: list[tuple[str, str]],
+    lsn: int,
+) -> str:
+    """Append one ADD COLUMN schema-change event to the feed.
+
+    ``add_columns``: ``[(column_name, spark_ddl_type), ...]`` --
+    e.g. ``[("loyalty_tier", "string"), ("points", "int")]``.  The
+    consumer widens its runtime parse schema for ``table`` from this
+    row on (see :meth:`CDCPipeline.apply_envelope_batch`).
+    """
+    os.makedirs(feed_dir, exist_ok=True)
+    record = {
+        "op": SCHEMA_CHANGE_OP,
+        "lsn": lsn,
+        "commit_ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "table_name": table,
+        "after_json": json.dumps(
+            {"add_columns": [{"name": n, "type": t} for n, t in add_columns]}
+        ),
+    }
+    tmp = os.path.join(feed_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(record) + "\n")
+    final = os.path.join(feed_dir, f"ddl-{lsn}-{uuid.uuid4().hex[:8]}.json")
+    os.replace(tmp, final)
+    return final
+
 
 def write_feed_batch(feed_dir: str, batch: dict[str, list[tuple]]) -> str:
     """Append one change batch to the feed as a JSON-lines file.
@@ -199,9 +240,17 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
     return ready, deferred
 
 
-def parse_table_changes(envelope: DataFrame, table: str) -> DataFrame:
-    """Extract one table's typed change rows from an envelope batch."""
-    schema = TABLE_SCHEMAS[table]
+def parse_table_changes(
+    envelope: DataFrame, table: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Extract one table's typed change rows from an envelope batch.
+
+    ``schema`` defaults to the table's declared bootstrap schema; the
+    pipeline passes its RUNTIME schema instead, which widens as op='S'
+    schema-change rows arrive (rows written before an ADD COLUMN parse
+    the new column as NULL -- ``from_json`` treats missing fields as
+    NULL under any schema that contains them)."""
+    schema = schema or TABLE_SCHEMAS[table]
     return (
         envelope.filter(F.col("table_name") == table)
         .select("op", "lsn", F.from_json("after_json", schema).alias("after"))
@@ -231,6 +280,70 @@ class CDCPipeline:
         # MUST be skipped on apply, or a replayed/overlapping tail would
         # regress newer snapshot values under latest-wins
         self.snapshot_lsn: int = self._read_offset()
+        # schema evolution: columns added beyond the declared bootstrap
+        # schemas, [(name, ddl_type), ...] per table, in DDL order.
+        # Persisted next to the offset so a RESTARTED pipeline parses
+        # evolved columns without replaying the op='S' rows that
+        # declared them (the stream checkpoint skips consumed files).
+        self.schema_extras: dict[str, list[tuple[str, str]]] = (
+            self._read_schema_extras()
+        )
+
+    def table_schema(self, table: str) -> T.StructType:
+        """The table's RUNTIME parse schema: declared bootstrap columns
+        plus every column added by schema-change events so far."""
+        base = TABLE_SCHEMAS[table]
+        have = {f.name for f in base.fields}
+        fields = list(base.fields)
+        for name, ddl_type in self.schema_extras.get(table, []):
+            if name not in have:
+                fields.append(
+                    T.StructField(name, T.DataType.fromDDL(ddl_type), True)
+                )
+                have.add(name)
+        return T.StructType(fields)
+
+    # -- evolved-schema persistence ------------------------------------------
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.store.root, "_cdc_schemas.json")
+
+    def _read_schema_extras(self) -> dict[str, list[tuple[str, str]]]:
+        try:
+            with open(self._schema_path()) as f:
+                raw = json.load(f)
+            return {
+                t: [(c["name"], c["type"]) for c in cols]
+                for t, cols in raw.items()
+            }
+        except (OSError, ValueError, KeyError, TypeError):
+            return {}
+
+    def _write_schema_extras(self) -> None:
+        tmp = self._schema_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    t: [{"name": n, "type": ty} for n, ty in cols]
+                    for t, cols in self.schema_extras.items()
+                },
+                f,
+            )
+        os.replace(tmp, self._schema_path())
+
+    def _apply_ddl(self, table: str, add_columns: list[dict]) -> None:
+        """Widen ``table``'s runtime schema; idempotent (a replayed
+        micro-batch re-presents its op='S' rows)."""
+        declared = {f.name for f in TABLE_SCHEMAS[table].fields}
+        extras = self.schema_extras.setdefault(table, [])
+        have = declared | {n for n, _ in extras}
+        for col in add_columns:
+            name, ddl_type = col["name"], col["type"]
+            if name in have:
+                continue
+            T.DataType.fromDDL(ddl_type)  # validate before recording
+            extras.append((name, ddl_type))
+            have.add(name)
 
     # -- snapshot-LSN offset persistence ------------------------------------
 
@@ -263,6 +376,7 @@ class CDCPipeline:
         read).  Persisted next to the store so a restarted pipeline
         keeps the same skip-below watermark.
         """
+        extras_changed = False
         for table, df in seed.items():
             if table in self.partition_spec:
                 self.store.overwrite(
@@ -273,6 +387,19 @@ class CDCPipeline:
                 )
             else:
                 self.store.overwrite(table, df)
+            # a seed snapshotted AFTER upstream DDL already carries the
+            # added columns -- record them as runtime-schema extras so
+            # tail rows that use them parse with values, not NULLs
+            declared = {f.name for f in TABLE_SCHEMAS[table].fields}
+            extras = self.schema_extras.setdefault(table, [])
+            have = declared | {n for n, _ in extras}
+            for f in df.schema.fields:
+                if f.name not in have:
+                    extras.append((f.name, f.dataType.simpleString()))
+                    have.add(f.name)
+                    extras_changed = True
+        if extras_changed:
+            self._write_schema_extras()
         if snapshot_lsn is not None:
             self.snapshot_lsn = snapshot_lsn
             self._write_offset(snapshot_lsn)
@@ -352,13 +479,31 @@ class CDCPipeline:
                     self.store.read(self.spark, TXN_PENDING_TABLE)
                 )
             envelope, deferred = split_complete_transactions(envelope)
-        envelope = envelope.cache()
+        envelope = cached = envelope.cache()
         deltas: dict[str, DataFrame] = {}
         try:
+            # schema-change rows first (they sit in the READY set, so a
+            # DDL inside an open transaction stays deferred with its
+            # data): widen runtime schemas in lsn order, then parse the
+            # batch's data rows under the widened schemas.  Collecting
+            # is fine -- DDL events are rare and tiny.
+            ddl_rows = (
+                envelope.filter(F.col("op") == SCHEMA_CHANGE_OP)
+                .select("table_name", "lsn", "after_json")
+                .collect()
+            )
+            if ddl_rows:
+                for r in sorted(ddl_rows, key=lambda r: r["lsn"]):
+                    spec = json.loads(r["after_json"] or "{}")
+                    self._apply_ddl(r["table_name"], spec.get("add_columns", []))
+                self._write_schema_extras()
+                envelope = envelope.filter(F.col("op") != SCHEMA_CHANGE_OP)
             tables = [r[0] for r in envelope.select("table_name").distinct().collect()]
             ordered = [t for t in ("customers", "merchants", "products", "transactions") if t in tables]
             for table in ordered:
-                changes = parse_table_changes(envelope, table).cache()
+                changes = parse_table_changes(
+                    envelope, table, self.table_schema(table)
+                ).cache()
                 key = PRIMARY_KEYS[table]
                 if self.store.exists(table) and self.store.partition_spec(table):
                     # partition-pruned MERGE: only touched buckets rewrite
@@ -387,7 +532,7 @@ class CDCPipeline:
             for hook in self._on_batch_applied:
                 hook(batch_id, deltas)
         finally:
-            envelope.unpersist()
+            cached.unpersist()
             # release per-table delta caches once hooks have consumed
             # them -- long-running streams must not accumulate blocks
             for d in deltas.values():

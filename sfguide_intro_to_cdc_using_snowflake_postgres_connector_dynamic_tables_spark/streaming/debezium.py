@@ -36,6 +36,7 @@ Mapping notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 #: lsn carried by synthesized commit-marker rows: Debezium transaction
 #: END events have no WAL lsn of their own, and a marker must never be
@@ -101,6 +102,130 @@ def debezium_to_envelope(
     if transactional:
         cols.append(_tx_hash(j("transaction.id")).alias("tx_id"))
     return raw.select(*cols).filter(F.col("op").isNotNull())
+
+
+#: minimal parse schema for Debezium SCHEMA-CHANGE topic events -- only
+#: the fields the envelope needs (from_json ignores the rest)
+_SCHEMA_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField(
+                        "source",
+                        T.StructType(
+                            [
+                                T.StructField("lsn", T.LongType()),
+                                T.StructField("ts_ms", T.LongType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField(
+                        "tableChanges",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("type", T.StringType()),
+                                    T.StructField("id", T.StringType()),
+                                    T.StructField(
+                                        "table",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "columns",
+                                                    T.ArrayType(
+                                                        T.StructType(
+                                                            [
+                                                                T.StructField("name", T.StringType()),
+                                                                T.StructField("typeName", T.StringType()),
+                                                            ]
+                                                        )
+                                                    ),
+                                                )
+                                            ]
+                                        ),
+                                    ),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def _pg_type_to_ddl(type_name):
+    """Postgres wire type name -> Spark DDL type string (the subset the
+    reference's DDL uses, ``scripts/postgresql_setup.sql``; numeric
+    maps to double on purpose -- money is double precision there)."""
+    t = F.lower(type_name)
+    return (
+        F.when(t.isin("int4", "serial"), F.lit("int"))
+        .when(t.isin("int8", "bigserial"), F.lit("bigint"))
+        .when(t == "int2", F.lit("smallint"))
+        .when(t.isin("float8", "numeric"), F.lit("double"))
+        .when(t == "float4", F.lit("float"))
+        .when(t == "bool", F.lit("boolean"))
+        .when(t == "date", F.lit("date"))
+        .when(t.isin("timestamp", "timestamptz"), F.lit("timestamp"))
+        .otherwise(F.lit("string"))  # varchar/text/bpchar/uuid/...
+    )
+
+
+def debezium_schema_changes(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Convert Debezium SCHEMA-CHANGE topic events to op='S' envelope
+    rows (:data:`~.changefeed.SCHEMA_CHANGE_OP`).
+
+    With ``include.schema.changes=true`` the connector emits DDL events
+    ``{"payload": {"ddl": "ALTER TABLE ...", "tableChanges": [{"type":
+    "ALTER", "id": '"public"."customers"', "table": {"columns":
+    [...]}}], "source": {"lsn": ...}}}`` on a dedicated topic.  Each
+    ALTER/CREATE tableChange becomes one op='S' row whose payload lists
+    the table's FULL post-DDL column set as ``add_columns`` -- the
+    pipeline's :meth:`~.changefeed.CDCPipeline._apply_ddl` skips columns
+    it already has, so full-list semantics are idempotent and capture
+    exactly the added ones.  Union with the data envelope and apply.
+    """
+    v = F.col(value_col)
+    # accept both enveloped and flattened events (like debezium_to_envelope)
+    wrapped = F.when(
+        F.get_json_object(v, "$.payload").isNotNull(), v
+    ).otherwise(F.concat(F.lit('{"payload":'), v, F.lit("}")))
+    parsed = F.from_json(wrapped, _SCHEMA_CHANGE_SCHEMA)["payload"]
+    change = F.explode(parsed["tableChanges"]).alias("change")
+    out = (
+        raw.select(
+            parsed["source"]["lsn"].alias("lsn"),
+            F.coalesce(parsed["source"]["ts_ms"], parsed["ts_ms"]).alias("ts_ms"),
+            change,
+        )
+        .filter(F.col("change")["type"].isin("ALTER", "CREATE"))
+        .select(
+            F.lit("S").alias("op"),
+            F.col("lsn"),
+            F.timestamp_millis(F.col("ts_ms")).alias("commit_ts"),
+            # id is '"public"."customers"' -> last dotted component, unquoted
+            F.regexp_extract(F.col("change")["id"], r'"?([^".]+)"?$', 1).alias(
+                "table_name"
+            ),
+            F.to_json(
+                F.struct(
+                    F.transform(
+                        F.col("change")["table"]["columns"],
+                        lambda c: F.struct(
+                            c["name"].alias("name"),
+                            _pg_type_to_ddl(c["typeName"]).alias("type"),
+                        ),
+                    ).alias("add_columns")
+                )
+            ).alias("after_json"),
+        )
+    )
+    return out
 
 
 def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
