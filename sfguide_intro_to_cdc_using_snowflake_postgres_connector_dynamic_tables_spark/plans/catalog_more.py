@@ -1211,8 +1211,150 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph (market-basket
+# graph analytics; operators/graph.py).  Edges = part pairs sharing an
+# order in >= 2 distinct orders; per-part triangle membership is the
+# local-clustering numerator.  Oriented wedge-join (Suri &
+# Vassilvitskii WWW'11): joins + aggregations only, no iteration; the
+# degree-orientation variant (property-tested equal) bounds wedge
+# fan-out by O(sqrt(m)) under hub skew.
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, triangle_participation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    return (
+        triangle_participation(edges)
+        .select(F.col("v").alias("part"), "triangles")
+        .orderBy(F.desc("triangles"), F.asc("part"))
+        .limit(20)
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH e AS (
+  SELECT a, b FROM (
+    SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+           count(DISTINCT l1.l_orderkey) AS support
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2) WHERE support >= 2),
+w AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+t AS (SELECT w.a, w.b, w.c FROM w JOIN e ON e.a = w.b AND e.b = w.c),
+v AS (SELECT a AS part FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT part, CAST(count(*) AS BIGINT) AS triangles
+FROM v GROUP BY part ORDER BY triangles DESC, part ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis A-ES, one-pass):
+# key = ln(u)/w with u an md5-derived uniform, take the k largest keys
+# -- inclusion probability proportional to weight, yet a pure function
+# of ids (reruns/backfills pick the identical sample; no RNG, no seed
+# plumbing).  Weight = document length, the token-budget-proportional
+# choice for training-mix sampling.  Plan: scan + TakeOrdered (map-side
+# partial top-k, no global sort); at 100 TB this is one pass and a
+# k-row driver fetch.
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # 13 hex nibbles = 52 bits, exact in a double; +1 keeps u in (0,1]
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**13 + 1))
+    key = F.log(u) / F.length("text")
+    return (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.length("text").alias("n_chars"), key.alias("__k"))
+        .orderBy(F.desc("__k"), F.asc("doc_id"))
+        .limit(50)
+        .drop("__k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the same co-purchase graph: the
+# iterative-algorithm staple next to connected components.  5 unrolled
+# iterations, damping 0.85; ranks scaled by N (so cells sit at O(1)
+# where the gate's 2dp rounding is meaningful).  The SQL oracle unrolls
+# the identical recurrence as chained CTEs -- same joins, same sums.
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    n = pr.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return pr.crossJoin(F.broadcast(n)).select(
+        F.col("v").alias("part"),
+        (F.col("rank") * F.col("n")).alias("rank_x_n"),
+    )
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    head = """
+WITH e AS (
+  SELECT a, b FROM (
+    SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+           count(DISTINCT l1.l_orderkey) AS support
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2) WHERE support >= 2),
+bi AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src, deg, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)"""
+    step = """,
+r{i} AS (
+  SELECT d.src, d.deg,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * coalesce(s.inflow, 0.0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT bi.dst AS v, sum(p.rank / p.deg) AS inflow
+    FROM bi JOIN r{prev} p ON bi.src = p.src GROUP BY bi.dst) s
+  ON d.src = s.v)"""
+    body = "".join(
+        step.format(i=i, prev=i - 1, d=damping) for i in range(1, iterations + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+SELECT src AS part, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iterations}
+"""
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from .catalog_pipeline import _hex_sql
+
+    u13 = _hex_sql("md5(CAST(doc_id AS VARCHAR))", 13)
+    return f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, length(text) AS n_chars,
+         ln((({u13}) + 1.0) / {float(16**13 + 1)!r}) / length(text) AS k
+  FROM documents WHERE length(text) > 0
+  ORDER BY k DESC, doc_id ASC LIMIT 50)
+"""
+
+
 MORE_CATALOG: dict[str, tuple] = {
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "pagerank": (q_pagerank, _pagerank_sql()),
+    "weighted_sample": (q_weighted_sample, _weighted_sample_sql()),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "gapfill_interp": (q_gapfill_interp, SQL_GAPFILL_INTERP),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
