@@ -1,0 +1,126 @@
+"""Distributed BPE learner vs an independent pure-Python reference
+(Sennrich et al. greedy algorithm), plus apply-side semantics."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    learn_bpe,
+)
+
+
+# -- independent reference implementation (no shared helpers) -------------
+
+def _ref_merge_once(sym, a, b):
+    out, i = [], 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def ref_bpe(texts, num_merges, min_freq=2):
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(list(w) + [EOW])] += 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += f
+        candidates = [(n, p) for p, n in pairs.items() if n >= min_freq]
+        if not candidates:
+            break
+        n, (a, b) = sorted(candidates, key=lambda t: (-t[0], t[1]))[0]
+        merges.append((a, b, n))
+        vocab = Counter(
+            {tuple(_ref_merge_once(list(s), a, b)): f for s, f in vocab.items()}
+        )
+    return merges
+
+
+def ref_tokenize(text, merges):
+    out = []
+    for w in text.lower().split():
+        sym = list(w) + [EOW]
+        for a, b, *_ in merges:
+            sym = _ref_merge_once(sym, a, b)
+        out.extend(sym)
+    return out
+
+
+def _corpus(seed, n_docs=40):
+    rng = random.Random(seed)
+    words = ["lower", "lowest", "newer", "newest", "wider", "widest",
+             "low", "new", "wide", "er", "est", "banana", "bandana"]
+    return [
+        " ".join(rng.choices(words, k=rng.randint(3, 12))) for _ in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_learner_matches_reference_greedy(spark, seed):
+    texts = _corpus(seed)
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = learn_bpe(docs, num_merges=25, min_freq=2)
+    want = ref_bpe(texts, 25, min_freq=2)
+    assert got == want
+
+
+def test_apply_matches_reference_tokenization(spark):
+    texts = _corpus(7)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, num_merges=20)
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        assert toks[i] == ref_tokenize(t, merges), f"doc {i}"
+
+
+def test_min_freq_stops_early(spark):
+    docs = spark.createDataFrame([("abc xyz",)], "text string")
+    assert learn_bpe(docs, num_merges=10, min_freq=2) == []
+
+
+def test_eow_merges_learned(spark):
+    docs = spark.createDataFrame([("ab ab ab",)], "text string")
+    merges = learn_bpe(docs, num_merges=2)
+    assert merges == [("a", "b", 3), ("ab", EOW, 3)]
+    toks = apply_bpe(docs, merges).collect()[0]["bpe_tokens"]
+    assert toks == ["ab" + EOW] * 3
+
+
+def test_batched_rounds_produce_disjoint_valid_merges(spark):
+    texts = _corpus(3)
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = learn_bpe(docs, num_merges=24, merges_per_round=4)
+    assert len(merges) <= 24 and len(merges) > 0
+    assert len({(a, b) for a, b, _ in merges}) == len(merges)  # no repeats
+    # the batched learner's merges still tokenize deterministically
+    t1 = apply_bpe(docs, merges).collect()
+    t2 = apply_bpe(docs, merges).collect()
+    assert [r["bpe_tokens"] for r in t1] == [r["bpe_tokens"] for r in t2]
+
+
+def test_null_and_empty_text(spark):
+    docs = spark.createDataFrame([(None,), ("",), ("ab ab",)], "text string")
+    merges = learn_bpe(docs, num_merges=1)
+    rows = apply_bpe(docs, merges).collect()
+    assert rows[0]["bpe_tokens"] == []
+    assert rows[1]["bpe_tokens"] == []
