@@ -8,6 +8,9 @@ BEFORE a training run:
                  -> deterministic train/val/test split
                  -> sequence packing (fixed-token-length rows)
                  -> shard-partitioned parquet
+                 -> BPE vocabulary learned on the TRAIN split only
+                    (no val/test leakage into the tokenizer), then
+                    applied corpus-wide
 
 Everything is hash-deterministic: re-running any stage after a
 failure, appending new data, or changing the shard count of the
@@ -28,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+    bpe,
     corpus,
     training,
 )
@@ -72,6 +76,18 @@ def main(sf_dir: str, out_dir: str) -> None:
         n_docs = out.count()
         n_seqs = out.select("shard", "seq_id").distinct().count()
         print(f"{part}: {n_docs} docs packed into {n_seqs} sequences -> {path}")
+
+    # 4. tokenizer prep: learn a BPE vocabulary on the train split only
+    #    (tokenizers trained on val/test leak them into the model), then
+    #    tokenize a sample with it
+    train_docs = split.filter(F.col("split") == "train")
+    merges = bpe.learn_bpe(train_docs, num_merges=12, merges_per_round=4)
+    print(f"BPE merges learned on train split: {[(a, b) for a, b, _ in merges]}")
+    (
+        bpe.apply_bpe(train_docs.limit(3), merges)
+        .select("doc_id", F.slice("bpe_tokens", 1, 12).alias("first_tokens"))
+        .show(truncate=False)
+    )
 
     spark.stop()
 
