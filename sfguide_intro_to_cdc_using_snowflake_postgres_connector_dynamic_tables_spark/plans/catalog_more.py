@@ -1283,6 +1283,72 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Association rules over co-purchase pairs (the market-basket classic):
+# for each directed rule a -> b, support = P(a,b), confidence =
+# P(b|a), lift = confidence / P(b).  Everything derives from two
+# aggregates over lineitem (per-item basket counts, per-pair basket
+# counts) joined back -- three keyed shuffles, no iteration; the basket
+# self-join's fan-out is bounded by basket size.  Top-20 by lift.
+# ---------------------------------------------------------------------------
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = baskets.select(
+        F.count_distinct("o").alias("n_orders")
+    )
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("o", F.col("item").alias("a"))
+    b = baskets.select("o", F.col("item").alias("b"))
+    pair_n = (
+        a.join(b, "o")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pair_n.join(item_n.withColumnsRenamed({"item": "a", "n_item": "n_a"}), "a")
+        .join(item_n.withColumnsRenamed({"item": "b", "n_item": "n_b"}), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            (F.col("n_ab") / F.col("n_orders")).alias("support"),
+            (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            (
+                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+SQL_BASKET_RULES = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM baskets),
+item_n AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
+pair_n AS (
+  SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+  FROM baskets x JOIN baskets y ON x.o = y.o AND x.item <> y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT a, b,
+       n_ab * 1.0 / n.n_orders AS support,
+       n_ab * 1.0 / ia.n_item AS confidence,
+       n_ab * 1.0 * n.n_orders / (ia.n_item * ib.n_item) AS lift
+FROM pair_n
+JOIN item_n ia ON ia.item = a
+JOIN item_n ib ON ib.item = b
+CROSS JOIN n
+ORDER BY lift DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fixed-iteration PageRank over the same co-purchase graph: the
 # iterative-algorithm staple next to connected components.  5 unrolled
 # iterations, damping 0.85; ranks scaled by N (so cells sit at O(1)
@@ -1353,6 +1419,7 @@ SELECT doc_id, n_chars FROM (
 MORE_CATALOG: dict[str, tuple] = {
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
     "pagerank": (q_pagerank, _pagerank_sql()),
     "weighted_sample": (q_weighted_sample, _weighted_sample_sql()),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
