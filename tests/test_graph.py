@@ -37,6 +37,27 @@ def test_triangle_free_graph(spark):
     assert triangle_participation(e).count() == 0
 
 
+@pytest.mark.parametrize("seed", [5, 6])
+def test_triangles_match_bruteforce_model(spark, seed):
+    """Absolute correctness on random graphs: the wedge-join must
+    enumerate exactly the triangles a brute-force triple scan finds."""
+    from itertools import combinations
+
+    rng = random.Random(seed)
+    n = 25
+    pairs = {(i, j) for i in range(n) for j in range(i + 1, n) if rng.random() < 0.3}
+    want = sorted(
+        (a, b, c)
+        for a, b, c in combinations(range(n), 3)
+        if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs
+    )
+    e = _edges_df(spark, pairs)
+    got = sorted(
+        tuple(sorted((r["a"], r["b"], r["c"]))) for r in triangles(e).collect()
+    )
+    assert got == want
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_degree_orientation_matches_id_orientation(spark, seed):
     """The degree-ordered wedge join (the sqrt(m) skew lever) must

@@ -401,3 +401,33 @@ def test_pq_ivf_prunes_before_scoring(spark):
     assert plan.index("Filter") > plan.index("TakeOrderedAndProject")  # filter deeper than the top-k
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_takeordered_scan(spark):
+    """A-ES weighted sampling must be one scan + map-side partial
+    top-k -- no global sort exchange, no join."""
+    plan = plan_of(CATALOG["weighted_sample"][0](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Wedge join + closing semi-join are keyed equi-joins end to end;
+    a CartesianProduct here would be the all-pairs scale killer."""
+    plan = plan_of(CATALOG["triangle_count"][0](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the closing-edge probe
+
+
+def test_pagerank_no_cartesian_and_keyed_joins(spark):
+    """Every per-iteration join is keyed on the vertex id; the only
+    nested-loop is the 1-row N broadcast."""
+    plan = plan_of(CATALOG["pagerank"][0](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_rules_broadcasts_order_count(spark):
+    plan = plan_of(CATALOG["basket_rules"][0](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
