@@ -142,13 +142,18 @@ def pagerank(
     same way ``connected_components`` does; the default keeps the plan
     pure for small iteration counts.
     """
-    bi = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    bi = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        # every iteration joins against bi and verts: materialize them
+        # once (lazily -- the first action computes them) instead of
+        # re-deriving the edge expansion ~3x per iteration
+        .localCheckpoint(eager=False)
     )
     deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.select(F.count(F.lit(1)).alias("n"))
     # constant 1-row broadcasts: N and the teleport term
-    verts = deg.crossJoin(F.broadcast(n))
+    verts = deg.crossJoin(F.broadcast(n)).localCheckpoint(eager=False)
     ranks = verts.select(
         "src", "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank")
     )

@@ -1225,7 +1225,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import copurchase_edges, triangle_participation
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # materialize the edge list once: it feeds the wedge join THREE
+    # times (both wedge sides + the closing probe); without this the
+    # lineitem self-join re-executes per consumer
+    edges = copurchase_edges(li, min_support=2).localCheckpoint()
     return (
         triangle_participation(edges)
         .select(F.col("v").alias("part"), "triangles")
@@ -1293,17 +1296,25 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
-    ).distinct()
-    n_orders = baskets.select(
-        F.count_distinct("o").alias("n_orders")
+    # one grouped pass builds the per-order item set; pair generation
+    # is a double explode of that set (bounded by basket size squared)
+    # instead of a self-join -- one fewer exchange, and the three other
+    # consumers (order count, item counts) read the same materialized
+    # frame
+    sets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set(F.col("l_partkey")).alias("items"))
+        .localCheckpoint()
     )
-    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    a = baskets.select("o", F.col("item").alias("a"))
-    b = baskets.select("o", F.col("item").alias("b"))
+    n_orders = sets.select(F.count(F.lit(1)).alias("n_orders"))
+    item_n = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pair_n = (
-        a.join(b, "o")
+        sets.select(F.explode("items").alias("a"), "items")
+        .select("a", F.explode("items").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
@@ -1360,7 +1371,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import copurchase_edges, pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # the 5 rank iterations re-read the edge list ~3x each; pay the
+    # lineitem self-join once
+    edges = copurchase_edges(li, min_support=2).localCheckpoint()
     pr = pagerank(edges, iterations=5, damping=0.85)
     n = pr.groupBy().agg(F.count(F.lit(1)).alias("n"))
     return pr.crossJoin(F.broadcast(n)).select(
