@@ -181,6 +181,47 @@ def pagerank(
     return ranks.select(F.col("src").alias("v"), "rank")
 
 
+def khop_reachability(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Layered BFS from ``sources`` (single column ``src``) over an
+    undirected graph (edges ``a < b``): returns ``(src, v, dist)``
+    with the MINIMAL hop distance for every vertex reachable within
+    ``max_hops`` (sources themselves at dist 0).
+
+    The relational form of a recursive traversal with a fixed depth
+    bound: per hop one frontier-expansion join + an anti-join against
+    the visited set -- the anti-join is what keeps the work
+    O(newly-reached vertices) instead of O(paths), which explodes
+    combinatorially on dense graphs.  All shuffles key on vertex ids;
+    driver state is nothing (the loop is plan construction only).
+    """
+    bi = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    visited = sources.select(
+        F.col("src"), F.col("src").alias("v"), F.lit(0).alias("dist")
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(bi, frontier["v"] == bi["s"])
+            .select("src", F.col("d").alias("v"))
+            .distinct()
+        )
+        fresh = expanded.join(visited, ["src", "v"], "left_anti").select(
+            "src", "v", F.lit(hop).alias("dist")
+        )
+        # each layer is reused twice (as next frontier and in the
+        # visited union): materialize it once
+        fresh = fresh.localCheckpoint(eager=False)
+        visited = visited.unionByName(fresh)
+        frontier = fresh
+    return visited
+
+
 def triangle_participation(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Per-vertex triangle membership counts: ``(v, triangles)`` --
     the local clustering numerator, and the standard 'how clustered is

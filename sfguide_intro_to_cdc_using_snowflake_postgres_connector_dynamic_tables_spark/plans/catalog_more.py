@@ -1258,6 +1258,56 @@ FROM v GROUP BY part ORDER BY triangles DESC, part ASC LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# K-hop reachability: layered BFS (frontier join + visited anti-join
+# per hop) from the 5 lowest-id vertices of the co-purchase graph --
+# the fixed-depth recursive-traversal shape (WITH RECURSIVE in the
+# oracle).  Output: vertices at each minimal distance 1..3 per source.
+# ---------------------------------------------------------------------------
+
+def q_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, khop_reachability
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2).localCheckpoint()
+    sources = (
+        edges.select(F.col("a").alias("src"))
+        .unionAll(edges.select(F.col("b").alias("src")))
+        .distinct()
+        .orderBy("src")
+        .limit(5)
+    )
+    reach = khop_reachability(edges, sources, max_hops=3)
+    return (
+        reach.filter(F.col("dist") >= 1)
+        .groupBy("src", "dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src", "dist")
+    )
+
+
+SQL_KHOP_REACHABILITY = """
+WITH RECURSIVE e AS (
+  SELECT a, b FROM (
+    SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+           count(DISTINCT l1.l_orderkey) AS support
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2) WHERE support >= 2),
+bi AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+seeds AS (SELECT DISTINCT s FROM bi ORDER BY s LIMIT 5),
+walk(src, v, dist) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT w.src, bi.d, w.dist + 1
+  FROM walk w JOIN bi ON bi.s = w.v WHERE w.dist < 3),
+best AS (SELECT src, v, min(dist) AS dist FROM walk GROUP BY 1, 2)
+SELECT src, dist, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE dist BETWEEN 1 AND 3
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic weighted sampling (Efraimidis-Spirakis A-ES, one-pass):
 # key = ln(u)/w with u an md5-derived uniform, take the k largest keys
 # -- inclusion probability proportional to weight, yet a pure function
@@ -1434,6 +1484,7 @@ MORE_CATALOG: dict[str, tuple] = {
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
     "pagerank": (q_pagerank, _pagerank_sql()),
+    "khop_reachability": (q_khop_reachability, SQL_KHOP_REACHABILITY),
     "weighted_sample": (q_weighted_sample, _weighted_sample_sql()),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "gapfill_interp": (q_gapfill_interp, SQL_GAPFILL_INTERP),

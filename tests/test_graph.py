@@ -98,6 +98,63 @@ def test_unknown_orientation_raises(spark):
         triangles(e, orient="random")
 
 
+def test_khop_path_graph_layers(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    path = [(i, i + 1) for i in range(6)]
+    e = _edges_df(spark, path)
+    src = spark.createDataFrame([(0,)], "src long")
+    got = {
+        (r["src"], r["v"]): r["dist"]
+        for r in khop_reachability(e, src, max_hops=3).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3}
+
+
+@pytest.mark.parametrize("seed", [4, 9])
+def test_khop_matches_bfs_model(spark, seed):
+    from collections import deque
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    rng = random.Random(seed)
+    n = 24
+    pairs = {(i, j) for i in range(n) for j in range(i + 1, n) if rng.random() < 0.12}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = [0, 1, 2]
+
+    def bfs(s, maxd):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == maxd:
+                continue
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    want = {
+        (s, v): d for s in sources for v, d in bfs(s, 3).items()
+    }
+    e = _edges_df(spark, pairs)
+    src = spark.createDataFrame([(s,) for s in sources], "src long")
+    got = {
+        (r["src"], r["v"]): r["dist"]
+        for r in khop_reachability(e, src, max_hops=3).collect()
+    }
+    assert got == want
+
+
 def test_pagerank_sums_to_one_and_is_uniform_on_cycle(spark):
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.graph import (
         pagerank,
