@@ -265,3 +265,99 @@ def test_flattened_debezium_schema_change_accepted(spark):
     row = debezium_schema_changes(raw).collect()[0]
     assert row["table_name"] == "merchants"
     assert {"name": "rating", "type": "double"} in json.loads(row["after_json"])["add_columns"]
+
+
+# -- randomized DDL/data interleavings vs a dict model ---------------------
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_COL_POOL = ["loyalty_tier", "segment", "notes"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.tuples(
+            # columns DECLARED (via op='S') at the start of this batch
+            st.lists(st.sampled_from(_COL_POOL), unique=True, max_size=2),
+            # data ops: (customer_id, op, cols-the-writer-includes)
+            st.lists(
+                st.tuples(
+                    st.integers(1, 8),
+                    st.sampled_from(["I", "U", "D"]),
+                    st.lists(st.sampled_from(_COL_POOL), unique=True, max_size=3),
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_random_ddl_data_interleavings_match_model(spark, batches):
+    """Values for columns NOT YET declared by an op='S' row must be
+    dropped by the typed parse; declared columns flow through, old
+    rows NULL-backfill, deletes win per key -- all per the dict model,
+    after every batch."""
+    store = ParquetTableStore(tempfile.mkdtemp(prefix="feed_evo_"))
+    p = CDCPipeline(spark, store)
+    seed_rows = [tuple(_customer_row(i).values()) for i in (1, 2)]
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+        CUSTOMERS_SCHEMA as _CS,
+    )
+
+    p.bootstrap({"customers": spark.createDataFrame(seed_rows, _CS)})
+    model = {i: _customer_row(i) for i in (1, 2)}
+    declared: list[str] = []
+    lsn = 0
+    for ddl_cols, ops in batches:
+        records = []
+        new_cols = [c for c in ddl_cols if c not in declared]
+        if new_cols:
+            lsn += 1
+            records.append(
+                {
+                    "op": "S",
+                    "lsn": lsn,
+                    "table": "customers",
+                    "row": None,
+                    "after_json": json.dumps(
+                        {"add_columns": [{"name": c, "type": "string"} for c in new_cols]}
+                    ),
+                }
+            )
+            declared.extend(new_cols)
+        for cid, op, wcols in ops:
+            lsn += 1
+            if op == "D":
+                model.pop(cid, None)
+                records.append(
+                    {"op": "D", "lsn": lsn, "table": "customers",
+                     "row": {"customer_id": cid}}
+                )
+            else:
+                extra = {c: f"{c}-{cid}-{lsn}" for c in wcols}
+                row = _customer_row(cid, extra)
+                # the model only keeps what the TYPED PARSE keeps:
+                # declared columns; undeclared values are dropped
+                kept = _customer_row(cid, {c: extra[c] for c in wcols if c in declared})
+                for c in declared:
+                    kept.setdefault(c, None)
+                model[cid] = kept
+                records.append(
+                    {"op": op, "lsn": lsn, "table": "customers", "row": row}
+                )
+        p.apply_envelope_batch(_envelope(spark, records))
+        got = {
+            r["customer_id"]: {c: r[c] for c in r.asDict() if c != "customer_id"}
+            for r in store.read(spark, "customers").collect()
+        }
+        want = {
+            cid: {c: vals.get(c) for c in next(iter(got.values())).keys()}
+            for cid, vals in model.items()
+        } if got else {}
+        assert got == want
