@@ -1258,6 +1258,46 @@ FROM v GROUP BY part ORDER BY triangles DESC, part ASC LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Table profiling: the warehouse staple "describe my table" -- null
+# rates, exact distinct counts, numeric min/max/mean, string length
+# stats -- as ONE pass over orders (a single aggregate node; partial
+# aggregation map-side, one exchange of a single row per partition).
+# ---------------------------------------------------------------------------
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("custkey_nulls"),
+        F.count_distinct("o_custkey").alias("custkey_distinct"),
+        F.count_distinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.avg("o_totalprice").alias("price_mean"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+        F.avg(F.length("o_orderpriority")).alias("priority_len_mean"),
+        F.max(F.length("o_orderpriority")).alias("priority_len_max"),
+    )
+
+
+SQL_PROFILE_TABLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+       min(o_totalprice) AS price_min,
+       max(o_totalprice) AS price_max,
+       avg(o_totalprice) AS price_mean,
+       min(o_orderdate) AS date_min,
+       max(o_orderdate) AS date_max,
+       avg(length(o_orderpriority)) AS priority_len_mean,
+       CAST(max(length(o_orderpriority)) AS INT) AS priority_len_max
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # K-hop reachability: layered BFS (frontier join + visited anti-join
 # per hop) from the 5 lowest-id vertices of the co-purchase graph --
 # the fixed-depth recursive-traversal shape (WITH RECURSIVE in the
@@ -1485,6 +1525,7 @@ MORE_CATALOG: dict[str, tuple] = {
     "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
     "pagerank": (q_pagerank, _pagerank_sql()),
     "khop_reachability": (q_khop_reachability, SQL_KHOP_REACHABILITY),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "weighted_sample": (q_weighted_sample, _weighted_sample_sql()),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "gapfill_interp": (q_gapfill_interp, SQL_GAPFILL_INTERP),
