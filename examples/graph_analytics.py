@@ -66,6 +66,27 @@ def main() -> None:
     print("== PageRank centrality (5 iterations, d=0.85) ==")
     pagerank(edges, iterations=5).orderBy(F.desc("rank"), "v").show(10)
 
+    print("== 3-hop reach from the 5 lowest-id parts ==")
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    sources = (
+        edges.select(F.col("a").alias("src"))
+        .unionAll(edges.select(F.col("b").alias("src")))
+        .distinct()
+        .orderBy("src")
+        .limit(5)
+    )
+    (
+        khop_reachability(edges, sources, max_hops=3)
+        .filter(F.col("dist") >= 1)
+        .groupBy("src", "dist")
+        .agg(F.count(F.lit(1)).alias("n_reachable"))
+        .orderBy("src", "dist")
+        .show()
+    )
+
     print("== market segments (connected components, sizes) ==")
     comp = connected_components(
         edges.withColumnsRenamed({"a": "doc_a", "b": "doc_b"})
