@@ -143,3 +143,97 @@ def test_debezium_transaction_metadata_gates_apply(spark, tmp_path):
     )
     cust = {r["customer_id"]: r["age"] for r in store.read(spark, "customers").collect()}
     assert cust == {1: 31, 2: 40}
+
+
+def test_full_wire_format_integration(spark, tmp_path):
+    """All three Debezium topics through ONE apply path: the data
+    topic (transaction-metadata enabled), the transaction topic (END
+    markers), and the schema-change topic (ALTER adding a column) --
+    united into a single envelope per micro-batch.  DDL applies
+    immediately (no tx id on the schema topic), complete transactions
+    apply, open ones defer and replay under the evolved schema."""
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+        debezium_schema_changes,
+        debezium_txn_markers,
+    )
+
+    def tx_event(op, table, lsn, tx, after=None, before=None):
+        body = {
+            "op": op, "before": before, "after": after,
+            "source": {"lsn": lsn, "table": table, "ts_ms": 1_700_000_000_000 + lsn},
+            "ts_ms": 1_700_000_000_000 + lsn,
+            "transaction": {"id": tx, "total_order": 1, "data_collection_order": 1},
+        }
+        return json.dumps({"payload": body})
+
+    def end_event(tx):
+        return json.dumps({"payload": {"status": "END", "id": tx, "ts_ms": 1_700_000_000_500}})
+
+    alter = json.dumps({
+        "payload": {
+            "source": {"lsn": 5, "ts_ms": 1_700_000_000_000},
+            "ddl": "ALTER TABLE customers ADD COLUMN loyalty_tier varchar",
+            "tableChanges": [{
+                "type": "ALTER", "id": '"public"."customers"',
+                "table": {"columns": [
+                    {"name": "customer_id", "typeName": "int4"},
+                    {"name": "firstname", "typeName": "varchar"},
+                    {"name": "lastname", "typeName": "varchar"},
+                    {"name": "age", "typeName": "int4"},
+                    {"name": "email", "typeName": "varchar"},
+                    {"name": "phone_number", "typeName": "varchar"},
+                    {"name": "loyalty_tier", "typeName": "varchar"},
+                ]},
+            }],
+        }
+    })
+
+    def unify(data_raw, txn_raw, ddl_raw):
+        parts = []
+        if data_raw:
+            df = spark.createDataFrame([(e,) for e in data_raw], "value string")
+            parts.append(debezium_to_envelope(df, transactional=True))
+        if txn_raw:
+            df = spark.createDataFrame([(e,) for e in txn_raw], "value string")
+            parts.append(debezium_txn_markers(df))
+        if ddl_raw:
+            df = spark.createDataFrame([(e,) for e in ddl_raw], "value string")
+            parts.append(
+                debezium_schema_changes(df).withColumn(
+                    "tx_id", F.lit(None).cast("long")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store)
+
+    gold = dict(CUST(7, "Gia", 33), loyalty_tier="gold")
+    silver = dict(CUST(8, "Sal", 44), loyalty_tier="silver")
+    batch1 = unify(
+        data_raw=[
+            tx_event("c", "customers", 10, "571:1", after=gold),
+            tx_event("c", "customers", 11, "571:2", after=silver),  # open tx
+        ],
+        txn_raw=[end_event("571:1")],
+        ddl_raw=[alter],
+    )
+    p.apply_envelope_batch(batch1)
+    got = {r["customer_id"]: r.asDict().get("loyalty_tier")
+           for r in store.read(spark, "customers").collect()}
+    assert got == {7: "gold"}  # committed tx applied with evolved column
+    assert ("loyalty_tier", "string") in p.schema_extras["customers"]
+
+    # END for the open tx arrives alone; the buffered row replays and
+    # must parse under the evolved schema (its value was written after
+    # the DDL)
+    batch2 = unify(data_raw=[], txn_raw=[end_event("571:2")], ddl_raw=[])
+    p.apply_envelope_batch(batch2)
+    got = {r["customer_id"]: r.asDict().get("loyalty_tier")
+           for r in store.read(spark, "customers").collect()}
+    assert got == {7: "gold", 8: "silver"}
