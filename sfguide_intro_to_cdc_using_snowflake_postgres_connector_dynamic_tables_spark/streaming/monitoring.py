@@ -40,6 +40,31 @@ def replication_state(
     )
 
 
+def schema_state(spark: SparkSession, pipeline) -> DataFrame:
+    """Per-table schema-propagation status: declared column count,
+    columns added by replicated DDL (op='S' rows), and the evolved
+    column list -- the 'did my upstream ALTER land' monitoring view a
+    connector user checks after a migration."""
+    from ..sources.cdc_schemas import TABLE_SCHEMAS
+
+    rows = []
+    for t, base in TABLE_SCHEMAS.items():
+        extras = pipeline.schema_extras.get(t, [])
+        rows.append(
+            (
+                t,
+                len(base.fields),
+                len(extras),
+                ",".join(f"{n}:{ty}" for n, ty in extras),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, declared_columns int, evolved_columns int, "
+        "evolved_column_list string",
+    )
+
+
 def connector_stats(spark: SparkSession, query: StreamingQuery | None) -> DataFrame:
     """Stream health as a one-row DataFrame from ``lastProgress``."""
     if query is None or query.lastProgress is None:

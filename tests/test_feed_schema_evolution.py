@@ -361,3 +361,22 @@ def test_random_ddl_data_interleavings_match_model(spark, batches):
             for cid, vals in model.items()
         } if got else {}
         assert got == want
+
+
+def test_schema_state_monitoring_view(spark, tmp_path):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.monitoring import (
+        schema_state,
+    )
+
+    p, store = _seeded_pipeline(spark, tmp_path)
+    before = {r["table_name"]: r["evolved_columns"]
+              for r in schema_state(spark, p).collect()}
+    assert before["customers"] == 0
+    p.apply_envelope_batch(_envelope(spark, [{
+        "op": "S", "lsn": 10, "table": "customers", "row": None,
+        "after_json": json.dumps({"add_columns": [{"name": "loyalty_tier", "type": "string"}]}),
+    }]))
+    after = {r["table_name"]: (r["evolved_columns"], r["evolved_column_list"])
+             for r in schema_state(spark, p).collect()}
+    assert after["customers"] == (1, "loyalty_tier:string")
+    assert after["merchants"][0] == 0
