@@ -482,23 +482,32 @@ class CDCPipeline:
         envelope = cached = envelope.cache()
         deltas: dict[str, DataFrame] = {}
         try:
-            # schema-change rows first (they sit in the READY set, so a
-            # DDL inside an open transaction stays deferred with its
-            # data): widen runtime schemas in lsn order, then parse the
-            # batch's data rows under the widened schemas.  Collecting
-            # is fine -- DDL events are rare and tiny.
-            ddl_rows = (
-                envelope.filter(F.col("op") == SCHEMA_CHANGE_OP)
-                .select("table_name", "lsn", "after_json")
-                .collect()
+            # ONE metadata job per batch: the affected table set AND the
+            # batch's op='S' schema-change rows (collect_list drops the
+            # NULLs non-DDL rows produce; DDL events are rare and tiny).
+            # DDL applies first -- it sits in the READY set, so a DDL
+            # inside an open transaction stays deferred with its data --
+            # widening runtime schemas in lsn order before the batch's
+            # data rows are parsed under them.
+            meta = envelope.groupBy("table_name").agg(
+                F.collect_list(
+                    F.when(
+                        F.col("op") == SCHEMA_CHANGE_OP,
+                        F.struct("lsn", "after_json"),
+                    )
+                ).alias("ddl")
+            ).collect()
+            ddl_rows = sorted(
+                ((r["table_name"], d["lsn"], d["after_json"]) for r in meta for d in r["ddl"]),
+                key=lambda t: t[1],
             )
             if ddl_rows:
-                for r in sorted(ddl_rows, key=lambda r: r["lsn"]):
-                    spec = json.loads(r["after_json"] or "{}")
-                    self._apply_ddl(r["table_name"], spec.get("add_columns", []))
+                for table, _lsn, after_json in ddl_rows:
+                    spec = json.loads(after_json or "{}")
+                    self._apply_ddl(table, spec.get("add_columns", []))
                 self._write_schema_extras()
                 envelope = envelope.filter(F.col("op") != SCHEMA_CHANGE_OP)
-            tables = [r[0] for r in envelope.select("table_name").distinct().collect()]
+            tables = [r["table_name"] for r in meta]
             ordered = [t for t in ("customers", "merchants", "products", "transactions") if t in tables]
             for table in ordered:
                 changes = parse_table_changes(
