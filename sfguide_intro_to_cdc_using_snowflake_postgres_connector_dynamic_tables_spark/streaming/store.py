@@ -497,6 +497,96 @@ class ParquetTableStore:
             if str(b) in m["partitions"]
         ]
 
+    # -- zone maps (per-bucket min/max pruning on NON-KEY columns) -----------
+
+    @staticmethod
+    def _zone_value(v):
+        """JSON-safe zone bound: dates/timestamps as ISO strings (whose
+        lexicographic order is chronological), numbers/strings as-is."""
+        import datetime as _dt
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+        return v
+
+    def _bucket_zones(
+        self, spark: SparkSession, stage_dir: str, zone_cols: list[str]
+    ) -> dict:
+        """Per-bucket min/max of ``zone_cols`` for every bucket written
+        under ``stage_dir``: one grouped aggregate over the freshly
+        written files, collecting <= n_buckets rows.  Columns a write
+        doesn't carry (pre-evolution rows) simply get no stats -- the
+        reader treats missing stats as must-scan."""
+        df = spark.read.parquet(stage_dir)
+        aggs = []
+        present = [c for c in zone_cols if c in df.columns]
+        for c in present:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        if not aggs:
+            return {}
+        out: dict = {}
+        for r in df.groupBy("__part").agg(*aggs).collect():
+            out[str(r["__part"])] = {
+                c: [self._zone_value(r[f"__mn_{c}"]), self._zone_value(r[f"__mx_{c}"])]
+                for c in present
+            }
+        return out
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        name: str,
+        col: str,
+        lower=None,
+        upper=None,
+    ) -> DataFrame:
+        """Zone-map-pruned scan: read only the buckets whose recorded
+        ``[min, max]`` for ``col`` overlaps ``[lower, upper]`` (both
+        bounds inclusive; ``None`` = unbounded), then apply the exact
+        filter.  Buckets without stats for ``col`` (no zone_cols
+        declared, or pre-evolution writes) are always scanned --
+        pruning is an optimization, never a correctness dependency.
+        The storage-layer analogue of parquet row-group min/max
+        pruning, one level up: at 100 TB a selective range predicate
+        opens the few overlapping bucket directories instead of the
+        table."""
+        v = self.current_version(name)
+        m = self._read_manifest(name, v) if v is not None else None
+        if m is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        keep = self._zone_pruned_buckets(m, col, lower, upper)
+        tdir = self._table_dir(name)
+        paths = [os.path.join(tdir, m["partitions"][b]) for b in keep]
+        paths.append(os.path.join(tdir, m["schema_dir"]))
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if lower is not None:
+            df = df.filter(F.col(col) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(col) <= F.lit(upper))
+        return df
+
+    def _zone_pruned_buckets(self, manifest: dict, col: str, lower, upper) -> list[str]:
+        """Bucket ids (manifest keys) surviving the zone check."""
+        zones = manifest.get("zones", {})
+        lo = self._zone_value(lower) if lower is not None else None
+        up = self._zone_value(upper) if upper is not None else None
+        keep = []
+        for b in manifest["partitions"]:
+            z = zones.get(b, {}).get(col)
+            if z is None:
+                keep.append(b)  # no stats -> must scan
+                continue
+            mn, mx = z
+            if mn is None or mx is None:
+                continue  # all-NULL bucket: a range predicate matches nothing
+            if lo is not None and mx < lo:
+                continue
+            if up is not None and mn > up:
+                continue
+            keep.append(b)
+        return keep
+
     def read_buckets(self, spark: SparkSession, name: str, bucket_ids) -> DataFrame:
         """Partition-pruned read: only the listed hash buckets are
         scanned (plus the zero-row schema marker, so an empty selection
@@ -570,18 +660,25 @@ class ParquetTableStore:
         df: DataFrame,
         partition_key: str | None = None,
         n_buckets: int = 16,
+        zone_cols: list[str] | None = None,
     ) -> int:
         """Write a full new snapshot and commit it.
 
         With ``partition_key`` (or when the table is already
         partitioned -- the spec is sticky), rows are hash-bucketed and
         written one directory per bucket so later ``merge`` calls can
-        rewrite buckets selectively."""
+        rewrite buckets selectively.  ``zone_cols`` (sticky like the
+        partition spec) records per-bucket min/max of the named
+        columns in the manifest, enabling ``read_pruned`` range scans
+        on non-key columns."""
         v = (self.current_version(name) or 0) + 1
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         with self._claimed(name, v):
             spec = self.partition_spec(name)
+            prev = self._read_manifest(name, v - 1) if v > 1 else None
+            if zone_cols is None and prev is not None:
+                zone_cols = prev.get("zone_cols")
             if partition_key is None and spec is not None:
                 partition_key, n_buckets = spec
             if partition_key is None:
@@ -604,16 +701,18 @@ class ParquetTableStore:
                 for entry in os.listdir(stage_dir)
                 if entry.startswith("__part=")
             }
-            self._write_manifest(
-                name,
-                v,
-                {
-                    "key": partition_key,
-                    "n_buckets": n_buckets,
-                    "partitions": partitions,
-                    "schema_dir": schema_dir,
-                },
-            )
+            manifest = {
+                "key": partition_key,
+                "n_buckets": n_buckets,
+                "partitions": partitions,
+                "schema_dir": schema_dir,
+            }
+            if zone_cols:
+                manifest["zone_cols"] = list(zone_cols)
+                manifest["zones"] = self._bucket_zones(
+                    df.sparkSession, stage_dir, zone_cols
+                )
+            self._write_manifest(name, v, manifest)
             self._commit(name, v)
             return v
 
@@ -672,16 +771,18 @@ class ParquetTableStore:
                 for entry in os.listdir(stage_dir)
                 if entry.startswith("__part=")
             }
-            self._write_manifest(
-                name,
-                v,
-                {
-                    "key": key,
-                    "n_buckets": B,
-                    "partitions": partitions,
-                    "schema_dir": schema_dir,
-                },
-            )
+            manifest = {
+                "key": key,
+                "n_buckets": B,
+                "partitions": partitions,
+                "schema_dir": schema_dir,
+            }
+            old_m = self._read_manifest(name, v - 1)
+            zone_cols = (old_m or {}).get("zone_cols")
+            if zone_cols:
+                manifest["zone_cols"] = zone_cols
+                manifest["zones"] = self._bucket_zones(spark, stage_dir, zone_cols)
+            self._write_manifest(name, v, manifest)
             self._commit(name, v)
             return v
 
@@ -734,16 +835,23 @@ class ParquetTableStore:
                 partitions = dict(m["partitions"])
                 partitions.update(written)
                 schema_dir = self._evolved_schema_dir(spark, tdir, m, rows, stage)
-                self._write_manifest(
-                    name,
-                    nv,
-                    {
-                        "key": key,
-                        "n_buckets": B,
-                        "partitions": partitions,
-                        "schema_dir": schema_dir,
-                    },
-                )
+                manifest = {
+                    "key": key,
+                    "n_buckets": B,
+                    "partitions": partitions,
+                    "schema_dir": schema_dir,
+                }
+                zone_cols = m.get("zone_cols")
+                if zone_cols:
+                    zones = {
+                        b: z
+                        for b, z in m.get("zones", {}).items()
+                        if b not in written
+                    }
+                    zones.update(self._bucket_zones(spark, stage_dir, zone_cols))
+                    manifest["zone_cols"] = zone_cols
+                    manifest["zones"] = zones
+                self._write_manifest(name, nv, manifest)
                 self._commit(name, nv)
                 return nv
         finally:
@@ -787,16 +895,18 @@ class ParquetTableStore:
                 for entry in os.listdir(stage_dir)
                 if entry.startswith("__part=")
             }
-            self._write_manifest(
-                name,
-                v,
-                {
-                    "key": key,
-                    "n_buckets": n_buckets,
-                    "partitions": partitions,
-                    "schema_dir": schema_dir,
-                },
-            )
+            manifest = {
+                "key": key,
+                "n_buckets": n_buckets,
+                "partitions": partitions,
+                "schema_dir": schema_dir,
+            }
+            old_m = self._read_manifest(name, v - 1)
+            zone_cols = (old_m or {}).get("zone_cols")
+            if zone_cols:
+                manifest["zone_cols"] = zone_cols
+                manifest["zones"] = self._bucket_zones(spark, stage_dir, zone_cols)
+            self._write_manifest(name, v, manifest)
             self._commit(name, v)
             return v
 
@@ -870,16 +980,25 @@ class ParquetTableStore:
                 schema_dir = self._evolved_schema_dir(
                     spark, tdir, m, new_rows, stage
                 )
-                self._write_manifest(
-                    name,
-                    nv,
-                    {
-                        "key": key,
-                        "n_buckets": B,
-                        "partitions": partitions,
-                        "schema_dir": schema_dir,
-                    },
-                )
+                manifest = {
+                    "key": key,
+                    "n_buckets": B,
+                    "partitions": partitions,
+                    "schema_dir": schema_dir,
+                }
+                zone_cols = m.get("zone_cols")
+                if zone_cols:
+                    # untouched buckets keep their stats; rewritten ones
+                    # recompute from the staged files only
+                    zones = {
+                        b: z
+                        for b, z in m.get("zones", {}).items()
+                        if b in partitions and b not in written
+                    }
+                    zones.update(self._bucket_zones(spark, stage_dir, zone_cols))
+                    manifest["zone_cols"] = zone_cols
+                    manifest["zones"] = zones
+                self._write_manifest(name, nv, manifest)
                 self._commit(name, nv)
                 return nv
         finally:

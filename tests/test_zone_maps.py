@@ -1,0 +1,146 @@
+"""Zone maps on the partitioned store: per-bucket min/max of non-key
+columns in the manifest, pruning range scans (`read_pruned`) the same
+way the hash layout prunes key lookups.  Pruning must be an
+optimization only -- every result below is also checked against the
+unpruned filtered read."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+
+def _rows(spark, n=64):
+    # value clusters by bucket-ish ranges so zones are selective:
+    # id i carries v = i (monotone), and a date shifted by i days
+    return spark.createDataFrame(
+        [(i, i * 10, dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(n)],
+        "id long, v long, d date",
+    )
+
+
+def _seeded(spark, tmp_path, n=64, buckets=8):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    store.overwrite(
+        "t", _rows(spark, n), partition_key="id", n_buckets=buckets, zone_cols=["v", "d"]
+    )
+    return store
+
+
+def _pruned_count(store, name, col, lo, up):
+    m = store._read_manifest(name, store.current_version(name))
+    return len(store._zone_pruned_buckets(m, col, lo, up))
+
+
+def test_zones_recorded_and_prune(spark, tmp_path):
+    store = _seeded(spark, tmp_path)
+    m = store._read_manifest("t", store.current_version("t"))
+    assert m["zone_cols"] == ["v", "d"]
+    assert set(m["zones"]) == set(m["partitions"])
+    total = len(m["partitions"])
+    # a selective range must scan fewer buckets than the table has
+    npruned = _pruned_count(store, "t", "v", 100, 120)
+    assert npruned < total
+    got = sorted(r["id"] for r in store.read_pruned(spark, "t", "v", 100, 120).collect())
+    want = sorted(
+        r["id"]
+        for r in store.read(spark, "t").filter("v between 100 and 120").collect()
+    )
+    assert got == want and got  # non-empty and exact
+
+
+def test_date_zones_prune(spark, tmp_path):
+    store = _seeded(spark, tmp_path)
+    lo, up = dt.date(2024, 1, 5), dt.date(2024, 1, 9)
+    got = sorted(r["id"] for r in store.read_pruned(spark, "t", "d", lo, up).collect())
+    assert got == [4, 5, 6, 7, 8]
+    assert _pruned_count(store, "t", "d", lo, up) < 8
+
+
+def test_open_bounds(spark, tmp_path):
+    store = _seeded(spark, tmp_path)
+    got = {r["id"] for r in store.read_pruned(spark, "t", "v", lower=600).collect()}
+    assert got == set(range(60, 64))
+    got = {r["id"] for r in store.read_pruned(spark, "t", "v", upper=20).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_merge_updates_only_rewritten_buckets(spark, tmp_path):
+    store = _seeded(spark, tmp_path)
+    m1 = store._read_manifest("t", store.current_version("t"))
+    ups = spark.createDataFrame(
+        [(3, 9999, dt.date(2030, 1, 1))], "id long, v long, d date"
+    )
+    store.merge(spark, "t", ups, ups.select("id"))
+    m2 = store._read_manifest("t", store.current_version("t"))
+    changed = {b for b in m2["zones"] if m2["zones"][b] != m1["zones"].get(b)}
+    assert len(changed) == 1  # only id=3's bucket re-stated
+    # the new extreme value must be findable through the pruned path
+    got = [r["id"] for r in store.read_pruned(spark, "t", "v", 9000, None).collect()]
+    assert got == [3]
+
+
+def test_all_null_bucket_pruned_but_exact(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    rows = spark.createDataFrame(
+        [(i, None if i % 2 else i * 10) for i in range(16)], "id long, v long"
+    )
+    store.overwrite("t", rows, partition_key="id", n_buckets=4, zone_cols=["v"])
+    got = sorted(r["id"] for r in store.read_pruned(spark, "t", "v", 0, 150).collect())
+    want = sorted(
+        r["id"] for r in store.read(spark, "t").filter("v between 0 and 150").collect()
+    )
+    assert got == want
+
+
+def test_rebucket_and_optimize_keep_zones(spark, tmp_path):
+    store = _seeded(spark, tmp_path)
+    store.rebucket(spark, "t", 4)
+    m = store._read_manifest("t", store.current_version("t"))
+    assert m.get("zone_cols") == ["v", "d"] and set(m["zones"]) == set(m["partitions"])
+    store.optimize(spark, "t")
+    m = store._read_manifest("t", store.current_version("t"))
+    assert m.get("zone_cols") == ["v", "d"] and set(m["zones"]) == set(m["partitions"])
+    got = sorted(r["id"] for r in store.read_pruned(spark, "t", "v", 100, 120).collect())
+    assert got == [10, 11, 12]
+
+
+def test_table_without_zone_cols_scans_everything(spark, tmp_path):
+    store = ParquetTableStore(str(tmp_path / "s"))
+    store.overwrite("t", _rows(spark, 16), partition_key="id", n_buckets=4)
+    m = store._read_manifest("t", store.current_version("t"))
+    assert "zones" not in m
+    # no stats -> every bucket must-scan, result still exact
+    assert _pruned_count(store, "t", "v", 0, 50) == len(m["partitions"])
+    got = sorted(r["id"] for r in store.read_pruned(spark, "t", "v", 0, 50).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_zone_cols_sticky_across_overwrite(spark, tmp_path):
+    store = _seeded(spark, tmp_path)
+    store.overwrite("t", _rows(spark, 32))  # no zone_cols passed
+    m = store._read_manifest("t", store.current_version("t"))
+    assert m.get("zone_cols") == ["v", "d"]
+    assert set(m["zones"]) == set(m["partitions"])
+
+
+def test_evolved_column_without_stats_is_must_scan(spark, tmp_path):
+    """A zone column added by schema evolution: old buckets lack stats
+    for it and must always scan."""
+    store = ParquetTableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame([(i, i * 10) for i in range(16)], "id long, v long")
+    store.overwrite("t", base, partition_key="id", n_buckets=4, zone_cols=["v", "w"])
+    ups = spark.createDataFrame([(1, 10, 777)], "id long, v long, w long")
+    store.merge(spark, "t", ups, ups.select("id"))
+    got = sorted(
+        r["id"] for r in store.read_pruned(spark, "t", "w", 0, 1000).collect()
+    )
+    assert got == [1]
+    # buckets without w-stats stayed in the scan set
+    m = store._read_manifest("t", store.current_version("t"))
+    assert len(store._zone_pruned_buckets(m, "w", 0, 1000)) == len(m["partitions"])
