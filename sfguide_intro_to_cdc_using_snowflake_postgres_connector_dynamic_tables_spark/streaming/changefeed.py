@@ -266,14 +266,21 @@ class CDCPipeline:
         spark: SparkSession,
         store: ParquetTableStore,
         partition_spec: dict[str, int] | None = None,
+        zone_spec: dict[str, list[str]] | None = None,
     ) -> None:
         """``partition_spec``: {table: n_buckets} -- tables listed here
         are stored hash-partitioned on their primary key, so each apply
         rewrites only the buckets the batch touches (O(delta) write
-        I/O) instead of the whole snapshot."""
+        I/O) instead of the whole snapshot.  ``zone_spec``: {table:
+        [columns]} -- record per-bucket min/max zone maps for the named
+        non-key columns at bootstrap (sticky through every subsequent
+        merge), so analysts can range-scan the replica via
+        ``store.read_pruned`` (e.g. transactions by date) without
+        touching every bucket."""
         self.spark = spark
         self.store = store
         self.partition_spec = partition_spec or {}
+        self.zone_spec = zone_spec or {}
         self._on_batch_applied: list = []  # hooks: fn(batch_id, deltas dict)
         # offset handoff contract (see bootstrap_then_tail): changes with
         # lsn <= snapshot_lsn are already reflected in the snapshot and
@@ -384,6 +391,7 @@ class CDCPipeline:
                     df,
                     partition_key=PRIMARY_KEYS[table],
                     n_buckets=self.partition_spec[table],
+                    zone_cols=self.zone_spec.get(table),
                 )
             else:
                 self.store.overwrite(table, df)

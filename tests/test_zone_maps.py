@@ -144,3 +144,58 @@ def test_evolved_column_without_stats_is_must_scan(spark, tmp_path):
     # buckets without w-stats stayed in the scan set
     m = store._read_manifest("t", store.current_version("t"))
     assert len(store._zone_pruned_buckets(m, "w", 0, 1000)) == len(m["partitions"])
+
+
+def test_cdc_pipeline_zone_spec_end_to_end(spark, tmp_path):
+    """A CDC-replicated fact table declared with zone_spec stays
+    range-prunable by date through bootstrap AND subsequent merges."""
+    import json
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+        TRANSACTIONS_SCHEMA,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+        CDCPipeline,
+    )
+
+    def tx(i, day):
+        return (
+            f"T{i:04d}", 1, 1, 1, dt.date(2024, 1, day), "12:00:00",
+            1, 9.99, "visa", "Purchase",
+        )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(
+        spark,
+        store,
+        partition_spec={"transactions": 8},
+        zone_spec={"transactions": ["transaction_date"]},
+    )
+    seed = spark.createDataFrame([tx(i, 1 + i % 5) for i in range(40)], TRANSACTIONS_SCHEMA)
+    p.bootstrap({"transactions": seed})
+    m = store._read_manifest("transactions", store.current_version("transactions"))
+    assert m["zone_cols"] == ["transaction_date"]
+
+    # tail merge with a new late date; zones must follow
+    row = dict(zip(TRANSACTIONS_SCHEMA.fieldNames(), tx(99, 28)))
+    row["transaction_date"] = "2024-01-28"
+    env = spark.createDataFrame(
+        [("I", 100, None, "transactions", json.dumps(row, default=str))], FEED_SCHEMA
+    )
+    p.apply_envelope_batch(env)
+    got = [
+        r["transaction_id"]
+        for r in store.read_pruned(
+            spark, "transactions", "transaction_date",
+            dt.date(2024, 1, 20), dt.date(2024, 1, 31),
+        ).collect()
+    ]
+    assert got == ["T0099"]
+    m2 = store._read_manifest("transactions", store.current_version("transactions"))
+    npruned = len(
+        store._zone_pruned_buckets(
+            m2, "transaction_date", "2024-01-20", "2024-01-31"
+        )
+    )
+    assert npruned < len(m2["partitions"])
