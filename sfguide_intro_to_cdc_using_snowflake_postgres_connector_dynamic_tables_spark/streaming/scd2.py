@@ -1,0 +1,128 @@
+"""Slowly-changing-dimension (Type 2) history from the change feed.
+
+The latest-wins apply (``cdc_apply.py``) replicates the CURRENT state
+of each table -- what the reference's connector maintains.  The other
+thing warehouses build from the same envelope is row-level HISTORY:
+every version of every key as an ``[valid_from, valid_to)`` interval
+in commit (lsn) order, so facts can join the dimension AS OF the
+fact's own position.  This module maintains that history with pure
+set operations -- no per-key loops, no driver state:
+
+- every non-delete change opens a version at its lsn;
+- ANY change (including a delete) closes the key's previous open
+  version at its lsn -- expressed as one ``lead(valid_from)`` window
+  over the union of {touched open versions} x {batch changes};
+- deletes open nothing, leaving a gap until the next insert.
+
+Batching invariance is the correctness property (hypothesis-tested):
+however the same change stream is split into micro-batches, the final
+history is identical, because interval endpoints depend only on the
+per-key lsn order -- the same argument that makes the latest-wins
+apply idempotent.
+
+Scale shape: per batch, one semi/anti join pair splits the open set
+into touched/untouched (keyed on the PK, same partitioning as the
+apply), one window over touched keys only, and the closed history
+passes through untouched.  With the bucketed store the rewrite is
+O(touched buckets), exactly like ``store.merge``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: marker op for existing open versions when they enter the closing
+#: window alongside the batch's changes ('V' sorts after 'D'/'I'/'U'
+#: but order within a key is by lsn; lsns are unique per key)
+_VERSION_OP = "V"
+
+
+def scd2_init(snapshot: DataFrame, snapshot_lsn: int) -> DataFrame:
+    """Open one version per snapshot row at the snapshot's lsn."""
+    return snapshot.select(
+        "*",
+        F.lit(snapshot_lsn).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    changes: DataFrame,
+    key: str,
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Fold one change batch (op, lsn, row columns) into the history.
+
+    Returns the new history frame.  Assumes per-key lsn order equals
+    commit order (the row-locking-source assumption the whole pipeline
+    documents) and unique lsns per key.
+    """
+    payload_cols = [c for c in changes.columns if c not in ("op", order_col)]
+    incoming = changes.select(
+        "op", F.col(order_col).cast("long").alias("valid_from"), *payload_cols
+    )
+    if history is None:
+        events = incoming
+        closed_pass, open_rest = None, None
+    else:
+        touched = incoming.select(key).distinct()
+        open_hist = history.filter(F.col("valid_to").isNull())
+        open_touched = open_hist.join(touched, key, "left_semi").select(
+            F.lit(_VERSION_OP).alias("op"), "valid_from", *payload_cols
+        )
+        open_rest = open_hist.join(touched, key, "left_anti")
+        closed_pass = history.filter(F.col("valid_to").isNotNull())
+        events = open_touched.unionByName(incoming)
+    w = Window.partitionBy(key).orderBy("valid_from")
+    versions = (
+        events.withColumn("valid_to", F.lead("valid_from").over(w))
+        .filter(F.col("op") != "D")
+        .drop("op")
+        .select(*payload_cols, "valid_from", "valid_to")
+    )
+    out = versions
+    if closed_pass is not None:
+        out = closed_pass.select(*payload_cols, "valid_from", "valid_to").unionByName(
+            out
+        )
+    if open_rest is not None:
+        out = out.unionByName(
+            open_rest.select(*payload_cols, "valid_from", "valid_to")
+        )
+    return out
+
+
+def scd2_asof(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_order_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact to the dimension version valid AT the fact's own
+    position: ``valid_from <= fact_pos < valid_to`` (open versions
+    unbounded above).  Facts during a deletion gap (or before the
+    first version) get NULL dimension columns under the default left
+    join.
+
+    Plan: an equi-join on the key carrying the interval predicate as
+    its join condition -- shuffles on the key like every other keyed
+    op; per-key version counts bound the match fan-out (each fact
+    matches at most one version)."""
+    dim_cols = [c for c in history.columns if c not in ("valid_from", "valid_to")]
+    h = history.select(
+        *[F.col(c).alias(f"__dim_{c}") for c in dim_cols], "valid_from", "valid_to"
+    )
+    pos = F.col(fact_order_col).cast("long")
+    cond = (
+        (facts[key] == h[f"__dim_{key}"])
+        & (F.col("valid_from") <= pos)
+        & (F.col("valid_to").isNull() | (pos < F.col("valid_to")))
+    )
+    out = facts.join(h, cond, how)
+    keep = [facts[c] for c in facts.columns] + [
+        F.col(f"__dim_{c}").alias(f"dim_{c}") for c in dim_cols if c != key
+    ]
+    return out.select(*keep)

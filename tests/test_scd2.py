@@ -1,0 +1,126 @@
+"""SCD Type-2 history maintenance: interval correctness, deletion
+gaps, batching invariance (hypothesis), and the as-of join."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.scd2 import (
+    scd2_apply,
+    scd2_asof,
+    scd2_init,
+)
+
+CHANGES_SCHEMA = "op string, lsn long, id long, name string"
+
+
+def _hist_rows(df):
+    return sorted(
+        (r["id"], r["name"], r["valid_from"], r["valid_to"])
+        for r in df.collect()
+    )
+
+
+def test_insert_update_delete_intervals(spark):
+    h = scd2_init(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), 0
+    )
+    changes = spark.createDataFrame(
+        [("U", 10, 1, "a2"), ("D", 20, 2, None), ("I", 30, 3, "c")],
+        CHANGES_SCHEMA,
+    )
+    out = _hist_rows(scd2_apply(h, changes, key="id"))
+    assert out == sorted(
+        [
+            (1, "a", 0, 10),     # closed by the update
+            (1, "a2", 10, None), # current
+            (2, "b", 0, 20),     # closed by the delete, no successor
+            (3, "c", 30, None),
+        ]
+    )
+
+
+def test_multiple_versions_in_one_batch_chain(spark):
+    changes = spark.createDataFrame(
+        [("I", 1, 7, "v1"), ("U", 2, 7, "v2"), ("U", 5, 7, "v3")],
+        CHANGES_SCHEMA,
+    )
+    out = _hist_rows(scd2_apply(None, changes, key="id"))
+    assert out == [(7, "v1", 1, 2), (7, "v2", 2, 5), (7, "v3", 5, None)]
+
+
+def test_delete_then_reinsert_leaves_gap(spark):
+    h = scd2_init(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    b1 = spark.createDataFrame([("D", 10, 1, None)], CHANGES_SCHEMA)
+    b2 = spark.createDataFrame([("I", 20, 1, "a-new")], CHANGES_SCHEMA)
+    h = scd2_apply(h, b1, key="id")
+    h = scd2_apply(h, b2, key="id")
+    assert _hist_rows(h) == [(1, "a", 0, 10), (1, "a-new", 20, None)]
+
+
+def test_asof_join_picks_version_at_fact_position(spark):
+    h = scd2_init(spark.createDataFrame([(1, "bronze")], "id long, name string"), 0)
+    h = scd2_apply(
+        h,
+        spark.createDataFrame(
+            [("U", 10, 1, "silver"), ("D", 20, 1, None), ("I", 30, 1, "gold")],
+            CHANGES_SCHEMA,
+        ),
+        key="id",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 25), (103, 1, 99), (104, 2, 5)],
+        "fact_id long, id long, at long",
+    )
+    got = {r["fact_id"]: r["dim_name"] for r in scd2_asof(facts, h, "id", "at").collect()}
+    assert got == {
+        100: "bronze",   # before the update
+        101: "silver",   # at the update's lsn (inclusive lower bound)
+        102: None,       # inside the deletion gap
+        103: "gold",     # current version
+        104: None,       # unknown key
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(1, 4), st.sampled_from(["I", "U", "D"])),
+        min_size=1,
+        max_size=12,
+    ),
+    cuts=st.sets(st.integers(1, 11), max_size=3),
+)
+def test_batching_invariance_vs_model(spark, ops, cuts):
+    """However the change stream is split into micro-batches, the
+    final history equals the sequential one-event-at-a-time model."""
+    events = [
+        (op, lsn + 1, rid, None if op == "D" else f"{rid}v{lsn + 1}")
+        for lsn, (rid, op) in enumerate(ops)
+    ]
+    # python model: replay sequentially
+    open_v: dict[int, tuple] = {}
+    closed: list[tuple] = []
+    for op, lsn, rid, name in events:
+        if rid in open_v:
+            n0, f0 = open_v.pop(rid)
+            closed.append((rid, n0, f0, lsn))
+        if op != "D":
+            open_v[rid] = (name, lsn)
+    want = sorted(
+        closed + [(rid, n, f, None) for rid, (n, f) in open_v.items()]
+    )
+    # engine: replay in arbitrary batch splits
+    bounds = sorted(b for b in cuts if b < len(events))
+    pieces, start = [], 0
+    for b in bounds + [len(events)]:
+        if b > start:
+            pieces.append(events[start:b])
+            start = b
+    h = None
+    for piece in pieces:
+        changes = spark.createDataFrame(piece, CHANGES_SCHEMA)
+        h = scd2_apply(h, changes, key="id")
+    assert _hist_rows(h) == want
