@@ -94,6 +94,58 @@ def scd2_apply(
     return out
 
 
+class SCD2Tracker:
+    """Managed per-table history: seeds ``<table>__history`` from the
+    bootstrap snapshot and folds every applied batch's typed delta via
+    the pipeline's ``on_batch_applied`` hook -- history maintenance as
+    a product feature riding the existing apply, not a second feed.
+
+    Usage::
+
+        p = CDCPipeline(spark, store)
+        tracker = SCD2Tracker(p, tables=["customers"])
+        p.bootstrap(seed, snapshot_lsn=0); tracker.seed(seed, 0)
+        ... apply batches ...
+        tracker.history("customers")  # version intervals
+    """
+
+    def __init__(self, pipeline, tables: list[str]) -> None:
+        from ..sources.cdc_schemas import PRIMARY_KEYS
+
+        self.pipeline = pipeline
+        self.tables = list(tables)
+        self._keys = {t: PRIMARY_KEYS[t] for t in tables}
+        pipeline.on_batch_applied(self._on_batch)
+
+    @staticmethod
+    def _hname(table: str) -> str:
+        return f"{table}__history"
+
+    def seed(self, snapshot: dict[str, DataFrame], snapshot_lsn: int) -> None:
+        for t in self.tables:
+            if t in snapshot:
+                self.pipeline.store.overwrite(
+                    self._hname(t), scd2_init(snapshot[t], snapshot_lsn)
+                )
+
+    def _on_batch(self, batch_id, deltas: dict[str, DataFrame]) -> None:
+        store, spark = self.pipeline.store, self.pipeline.spark
+        for t in self.tables:
+            if t not in deltas:
+                continue
+            current = (
+                store.read(spark, self._hname(t))
+                if store.exists(self._hname(t))
+                else None
+            )
+            store.overwrite(
+                self._hname(t), scd2_apply(current, deltas[t], self._keys[t])
+            )
+
+    def history(self, table: str) -> DataFrame:
+        return self.pipeline.store.read(self.pipeline.spark, self._hname(table))
+
+
 def scd2_asof(
     facts: DataFrame,
     history: DataFrame,

@@ -124,3 +124,65 @@ def test_batching_invariance_vs_model(spark, ops, cuts):
         changes = spark.createDataFrame(piece, CHANGES_SCHEMA)
         h = scd2_apply(h, changes, key="id")
     assert _hist_rows(h) == want
+
+
+def test_tracker_maintains_history_through_pipeline(spark, tmp_path):
+    """End-to-end: tracker seeded at bootstrap, folded per applied
+    batch, equals a manual sequential fold of the same deltas."""
+    import json
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+        CUSTOMERS_SCHEMA,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+        CDCPipeline,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.scd2 import (
+        SCD2Tracker,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    def cust(cid, age):
+        return {
+            "customer_id": cid, "firstname": f"F{cid}", "lastname": "L",
+            "age": age, "email": f"c{cid}@x", "phone_number": "5",
+        }
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+    tracker = SCD2Tracker(p, tables=["customers"])
+    seed = {"customers": spark.createDataFrame(
+        [tuple(cust(i, 20 + i).values()) for i in (1, 2)], CUSTOMERS_SCHEMA)}
+    p.bootstrap(seed, snapshot_lsn=0)
+    tracker.seed(seed, 0)
+
+    batches = [
+        [("U", 10, cust(1, 31)), ("I", 11, cust(3, 40))],
+        [("D", 20, {"customer_id": 2}), ("U", 21, cust(1, 32))],
+    ]
+    for i, b in enumerate(batches):
+        env = spark.createDataFrame(
+            [(op, lsn, None, "customers", json.dumps(row)) for op, lsn, row in b],
+            FEED_SCHEMA,
+        )
+        p.apply_envelope_batch(env, batch_id=i)
+
+    h = tracker.history("customers")
+    got = sorted(
+        (r["customer_id"], r["age"], r["valid_from"], r["valid_to"])
+        for r in h.collect()
+    )
+    assert got == sorted([
+        (1, 21, 0, 10), (1, 31, 10, 21), (1, 32, 21, None),
+        (2, 22, 0, 20),
+        (3, 40, 11, None),
+    ])
+    # and the CURRENT replica still matches the open versions
+    current = {r["customer_id"]: r["age"]
+               for r in store.read(spark, "customers").collect()}
+    open_versions = {r["customer_id"]: r["age"]
+                     for r in h.filter("valid_to IS NULL").collect()}
+    assert current == open_versions
