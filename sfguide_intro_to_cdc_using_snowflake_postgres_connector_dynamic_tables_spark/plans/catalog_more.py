@@ -1258,6 +1258,66 @@ FROM v GROUP BY part ORDER BY triangles DESC, part ASC LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM scoring: per-doc average conditional log-probability
+# ln P(w2|w1) under corpus bigram counts with add-k smoothing -- the
+# conditional sibling of unigram_logprob (fluency/novelty signal: low
+# scores flag word-salad docs whose unigrams look normal).  Two corpus
+# aggregations (bigram and unigram counts) + two keyed joins back;
+# docs with < 2 tokens drop out (no bigrams to score).
+# ---------------------------------------------------------------------------
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    bigrams = F.zip_with(
+        F.slice("tk", 1, n - 1),
+        F.slice("tk", 2, n - 1),
+        lambda a, b: F.concat_ws("\x1f", a, b),
+    )
+    dbg = toks.filter(n >= 2).select("doc_id", F.explode(bigrams).alias("bg"))
+    cbg = dbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    cw = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    v = uni.select(F.count_distinct("w").alias("v"))
+    return (
+        dbg.join(cbg, "bg")
+        .withColumn("w1", F.split("bg", "\x1f").getItem(0))
+        .join(cw, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("c_bg") + 0.5) / (F.col("c_w") + 0.5 * F.col("v")))
+            ).alias("avg_bigram_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+dbg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || chr(31) || tk[i + 1])) AS bg
+  FROM base WHERE len(tk) >= 2),
+cbg AS (SELECT bg, count(*) AS c_bg FROM dbg GROUP BY 1),
+uni AS (SELECT unnest(tk) AS w FROM base),
+cw AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM uni)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       avg(ln((c_bg + 0.5) / (c_w + 0.5 * v.v))) AS avg_bigram_logprob
+FROM dbg JOIN cbg USING (bg)
+JOIN cw ON cw.w = string_split(bg, chr(31))[1]
+CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Table profiling: the warehouse staple "describe my table" -- null
 # rates, exact distinct counts, numeric min/max/mean, string length
 # stats -- as ONE pass over orders (a single aggregate node; partial
@@ -1526,6 +1586,7 @@ MORE_CATALOG: dict[str, tuple] = {
     "pagerank": (q_pagerank, _pagerank_sql()),
     "khop_reachability": (q_khop_reachability, SQL_KHOP_REACHABILITY),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "weighted_sample": (q_weighted_sample, _weighted_sample_sql()),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "gapfill_interp": (q_gapfill_interp, SQL_GAPFILL_INTERP),
