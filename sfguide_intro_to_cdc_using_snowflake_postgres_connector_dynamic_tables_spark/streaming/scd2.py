@@ -94,6 +94,19 @@ def scd2_apply(
     return out
 
 
+def scd2_prune(history: DataFrame, keep_closed_after: int) -> DataFrame:
+    """Retention for the history table: drop versions that CLOSED
+    before ``keep_closed_after`` (open versions always survive).  The
+    warehouse retention knob -- history grows with change volume, and
+    regulatory windows are finite; one codegen filter, no shuffle.
+    Note the as-of join loses matches for positions older than the
+    horizon -- that is the point of retention, and exactly how
+    time-travel retention behaves on the table store."""
+    return history.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") >= F.lit(keep_closed_after))
+    )
+
+
 class SCD2Tracker:
     """Managed per-table history: seeds ``<table>__history`` from the
     bootstrap snapshot and folds every applied batch's typed delta via

@@ -186,3 +186,25 @@ def test_tracker_maintains_history_through_pipeline(spark, tmp_path):
     open_versions = {r["customer_id"]: r["age"]
                      for r in h.filter("valid_to IS NULL").collect()}
     assert current == open_versions
+
+
+def test_prune_keeps_open_and_recent_versions(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.scd2 import (
+        scd2_prune,
+    )
+
+    h = scd2_init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), 0)
+    h = scd2_apply(
+        h,
+        spark.createDataFrame(
+            [("U", 10, 1, "a2"), ("U", 50, 1, "a3"), ("D", 60, 2, None)],
+            CHANGES_SCHEMA,
+        ),
+        key="id",
+    )
+    kept = _hist_rows(scd2_prune(h, keep_closed_after=40))
+    assert kept == sorted([
+        (1, "a2", 10, 50),   # closed at 50 >= horizon: kept
+        (1, "a3", 50, None), # open: always kept
+        (2, "b", 0, 60),     # closed at 60: kept
+    ])  # (1, "a", 0, 10) closed before the horizon: dropped
