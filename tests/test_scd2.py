@@ -208,3 +208,49 @@ def test_prune_keeps_open_and_recent_versions(spark):
         (1, "a3", 50, None), # open: always kept
         (2, "b", 0, 60),     # closed at 60: kept
     ])  # (1, "a", 0, 10) closed before the horizon: dropped
+
+
+def test_tracker_through_live_stream(spark, tmp_path):
+    """The tracker's hook fires per streaming micro-batch exactly like
+    the dynamic-table refresh: history stays correct through a real
+    availableNow drain over feed files."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.cdc_schemas import (
+        CUSTOMERS_SCHEMA,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        CDCPipeline,
+        write_feed_batch,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.scd2 import (
+        SCD2Tracker,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    def cust(cid, age):
+        return {
+            "customer_id": cid, "firstname": f"F{cid}", "lastname": "L",
+            "age": age, "email": f"c{cid}@x", "phone_number": "5",
+        }
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+    tracker = SCD2Tracker(p, tables=["customers"])
+    seed = {"customers": spark.createDataFrame(
+        [tuple(cust(1, 21).values())], CUSTOMERS_SCHEMA)}
+    p.bootstrap(seed, snapshot_lsn=0)
+    tracker.seed(seed, 0)
+
+    feed = str(tmp_path / "feed")
+    write_feed_batch(feed, {"customers": [("U", 10, cust(1, 30))]})
+    write_feed_batch(feed, {"customers": [("D", 20, {"customer_id": 1}),
+                                          ("I", 30, cust(1, 99))]})
+    q = p.start_stream(feed, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["age"], r["valid_from"], r["valid_to"])
+        for r in tracker.history("customers").collect()
+    )
+    assert got == [(21, 0, 10), (30, 10, 20), (99, 30, None)]
