@@ -1258,6 +1258,56 @@ FROM v GROUP BY part ORDER BY triangles DESC, part ASC LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Character-entropy quality signal: per-doc Shannon entropy over the
+# character distribution (nats).  Low entropy = repetitive/degenerate
+# text (keyboard mash, repeated separators) that survives length and
+# stopword checks; a standard pretraining-corpus heuristic next to
+# the compression-ratio filter.  Two keyed aggregations (doc x char,
+# then doc), all codegen.
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            (
+                -F.sum(F.col("c") * F.log(F.col("c")))
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            ((F.col("__s") / F.col("n")) + F.log("n")).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# entropy identity used on both sides: -sum(p ln p) with p = c/n
+# equals  ln(n) - sum(c ln c)/n  -- avoids per-row division before the
+# aggregate (one multiply-log per distinct (doc, char) instead).
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+  FROM documents),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n,
+       ln(sum(c)) - sum(c * ln(c)) / sum(c) AS char_entropy
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM scoring: per-doc average conditional log-probability
 # ln P(w2|w1) under corpus bigram counts with add-k smoothing -- the
 # conditional sibling of unigram_logprob (fluency/novelty signal: low
@@ -1587,6 +1637,7 @@ MORE_CATALOG: dict[str, tuple] = {
     "khop_reachability": (q_khop_reachability, SQL_KHOP_REACHABILITY),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "weighted_sample": (q_weighted_sample, _weighted_sample_sql()),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "gapfill_interp": (q_gapfill_interp, SQL_GAPFILL_INTERP),
