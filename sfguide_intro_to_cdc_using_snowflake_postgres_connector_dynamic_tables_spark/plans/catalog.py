@@ -693,22 +693,18 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 7).  Reset this set at the start of each round.
+#: current round (round 8).  Reset this set at the start of each round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "approx_percentile_exact",  # exact-mode group-size guard
-        "video_decode_features",    # decode_avi per-strh stream numbering
-        "frame_sample",             # rides decode_avi
-        "multimodal_features",      # rides decode_avi
-        "similarity_topk_ivf",      # assignment refactored into assign_cells
-        # semantic_dedup / full_join are NEW (never recorded -> forced)
-        "image_decode_features",    # QOI index alpha-model fix (decode path)
-        "quality_score",            # tokenless-doc divide-by-zero guard
+        "gapfill_interp",           # milli-unit quantization (gate robustness)
+        "quality_score",            # token count computed once (guard fold)
         "dedup_keep_best",          # rides quality_score
         "corpus_filter",            # rides quality_score
         "quality_topfrac",          # rides quality_score
-        "pq_topk",                  # pq_train empty-input guard / ADC refactor
-        "pq_topk_ivf",              # shared sample collect + ADC refactor
+        "image_decode_features",    # QOI-round 4.4x wall regression fix
+        "triangle_count",           # gated with orient="degree" (O(sqrt m))
+        "khop_reachability",        # per-layer job-count shave
+        "funnel",                   # r7 mild regression re-check
     }
 )
 

@@ -1082,7 +1082,16 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     known neighbors -- LOCF's window runs forward, this adds the
     NOCB-direction ignore-nulls window and the slope math.  Buckets
     outside the known range (no neighbor on one side) stay NULL,
-    matching interpolate()'s contract."""
+    matching interpolate()'s contract.
+
+    Gate robustness: the raw double `value` is quantized to integer
+    milli-units (floor(v*1000+0.5) -- floor, not round, so both engines
+    resolve ties identically) BEFORE the hourly avg.  Exact integer
+    sums make the avg, and therefore every downstream IEEE op, bit
+    identical between Spark and the oracle; the result is emitted as a
+    BIGINT milli-unit column (`value_interp_mu`) so the driver's 2dp
+    canonicalizer can never land on a float rounding tie.  Same class
+    of fix as pagerank's x N rank scaling (catalog_more.py)."""
     e = _t(spark, sf_dir, "events")
     rng = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1098,9 +1107,10 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+    value_mu = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.avg("value").alias("__av"))
+    ).agg(F.avg(value_mu).alias("__av"))
     back = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
@@ -1126,7 +1136,7 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.join(hourly, ["event_type", "bucket"], "left").select(
         "event_type",
         "bucket",
-        F.round(interp, 4).alias("value_interp"),
+        F.floor(interp).cast("long").alias("value_interp_mu"),
     )
 
 
@@ -1139,7 +1149,8 @@ b AS (
   SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
   FROM t, rng),
 h AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS av
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         avg(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS av
   FROM events GROUP BY 1, 2),
 j AS (
   SELECT b.event_type, b.bucket, h.av,
@@ -1158,10 +1169,10 @@ w AS (
          fwd AS (PARTITION BY event_type ORDER BY bucket
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 SELECT event_type, bucket,
-       round(CASE WHEN av IS NOT NULL THEN av
-                  WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
-                  THEN v0 + (v1 - v0) * (tt - t0) / (t1 - t0)
-             END, 4) AS value_interp
+       CAST(floor(CASE WHEN av IS NOT NULL THEN av
+                       WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                       THEN v0 + (v1 - v0) * (tt - t0) / (t1 - t0)
+                  END) AS BIGINT) AS value_interp_mu
 FROM w
 """
 
