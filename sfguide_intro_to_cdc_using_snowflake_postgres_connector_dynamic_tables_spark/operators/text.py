@@ -127,18 +127,30 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     diversity x stopword-presence signal -- the standard cheap pre-filter
     shape for LLM training corpora."""
     toks = tokens(F.col(text_col))
-    n_tokens = F.size(toks)
+    # Two-stage projection: all token-derived counts are computed in
+    # ONE unconditional projection (codegen CSE evaluates the split()
+    # once per row); the conditional guard below then references only
+    # cheap integer columns.  Folding the guard's F.when directly over
+    # `toks` re-evaluated the tokenizer per branch (conditional
+    # subtrees are excluded from subexpression elimination) -- the r7
+    # 2x wall regression on corpus_filter/dedup_keep_best.
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("__len"),
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("__nu"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__stop"),
+    )
     # tokenless docs are zero-diversity, not a divide-by-zero (ANSI
     # mode makes 0/0 a hard task failure, so one empty document in a
     # 100 TB corpus must not kill the whole scoring job)
     uniq_ratio = F.when(
-        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+        F.col("__n") > 0, F.col("__nu") / F.col("__n")
     ).otherwise(F.lit(0.0))
-    length_component = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    stop_component = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    length_component = F.least(F.col("__len") / F.lit(500.0), F.lit(1.0))
+    stop_component = F.least(F.col("__stop") / F.lit(5.0), F.lit(1.0))
     score = length_component * 0.4 + uniq_ratio * 0.4 + stop_component * 0.2
-    return docs.select(F.col(id_col), score.alias("quality"))
+    return base.select(F.col(id_col), score.alias("quality"))
 
 
 #: GPT-2-style pre-tokenizer shape, restricted to constructs whose

@@ -75,6 +75,13 @@ def scd2_apply(
         open_rest = open_hist.join(touched, key, "left_anti")
         closed_pass = history.filter(F.col("valid_to").isNotNull())
         events = open_touched.unionByName(incoming)
+    # Idempotence under foreachBatch's at-least-once replay: refolding
+    # an already-applied change puts two rows with the same
+    # (key, valid_from) into the window -- the existing open version
+    # and its own replayed change -- which would mint a zero-width
+    # [L, L) junk version.  Payloads are identical by construction
+    # (lsns are unique per key), so keeping either row is correct.
+    events = events.dropDuplicates([key, "valid_from"])
     w = Window.partitionBy(key).orderBy("valid_from")
     versions = (
         events.withColumn("valid_to", F.lead("valid_from").over(w))
@@ -138,22 +145,62 @@ class SCD2Tracker:
         for t in self.tables:
             if t in snapshot:
                 self.pipeline.store.overwrite(
-                    self._hname(t), scd2_init(snapshot[t], snapshot_lsn)
+                    self._hname(t),
+                    scd2_init(snapshot[t], snapshot_lsn),
+                    partition_key=self._keys[t],
                 )
 
     def _on_batch(self, batch_id, deltas: dict[str, DataFrame]) -> None:
+        """Fold one applied batch into each table's history.
+
+        Scale contract: the history is the biggest table a CDC user
+        owns, so per-batch I/O must be O(touched buckets), never
+        O(history).  The history is PK-bucketed at ``seed`` time; here
+        we read ONLY the buckets the delta's keys hash into, fold the
+        touched keys' versions, and ``store.merge`` the folded set
+        back keyed on the PK -- merge deletes every version of a
+        touched key from its (rewritten-anyway) bucket and inserts the
+        replacement; untouched bucket directories carry over verbatim.
+        """
         store, spark = self.pipeline.store, self.pipeline.spark
         for t in self.tables:
             if t not in deltas:
                 continue
-            current = (
-                store.read(spark, self._hname(t))
-                if store.exists(self._hname(t))
-                else None
+            key, h = self._keys[t], self._hname(t)
+            delta = deltas[t]
+            if not store.exists(h):
+                store.overwrite(
+                    h, scd2_apply(None, delta, key), partition_key=key
+                )
+                continue
+            spec = store.partition_spec(h)
+            if spec is None:
+                # pre-r8 unpartitioned history: one last full rewrite,
+                # re-seeding the bucketed layout so every later batch
+                # takes the merge path
+                store.overwrite(
+                    h,
+                    scd2_apply(store.read(spark, h), delta, key),
+                    partition_key=key,
+                )
+                continue
+            _, n_buckets = spec
+            touched_keys = delta.select(key).distinct()
+            bucket_ids = [
+                r[0]
+                for r in touched_keys.select(
+                    store.bucket_expr(key, n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()  # bounded by n_buckets
+            ]
+            if not bucket_ids:
+                continue
+            hist_touched = store.read_buckets(spark, h, bucket_ids).join(
+                touched_keys, key, "left_semi"
             )
-            store.overwrite(
-                self._hname(t), scd2_apply(current, deltas[t], self._keys[t])
-            )
+            folded = scd2_apply(hist_touched, delta, key)
+            store.merge(spark, h, upserts=folded, touched_keys=touched_keys)
 
     def history(self, table: str) -> DataFrame:
         return self.pipeline.store.read(self.pipeline.spark, self._hname(table))
