@@ -701,9 +701,13 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "dedup_keep_best",          # rides quality_score
         "corpus_filter",            # rides quality_score
         "quality_topfrac",          # rides quality_score
-        "image_decode_features",    # QOI-round 4.4x wall regression fix
-        "triangle_count",           # gated with orient="degree" (O(sqrt m))
-        "khop_reachability",        # per-layer job-count shave
+        "image_decode_features",    # extract_features zip kernel
+        "audio_decode_features",    # rides extract_features
+        "video_decode_features",    # rides extract_features
+        "multimodal_features",      # rides extract_features
+        "triangle_count",           # orient="degree" + copurchase_edges v2
+        "khop_reachability",        # two-layer anti-join + edges v2
+        "pagerank",                 # rides copurchase_edges v2
         "funnel",                   # r7 mild regression re-check
     }
 )

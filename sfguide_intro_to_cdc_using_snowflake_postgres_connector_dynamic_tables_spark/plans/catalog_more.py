@@ -1241,7 +1241,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem self-join re-executes per consumer
     edges = copurchase_edges(li, min_support=2).localCheckpoint()
     return (
-        triangle_participation(edges)
+        # degree orientation: output-identical (property-tested in
+        # tests/test_graph.py) but wedge fan-out is O(sqrt(m)) per
+        # vertex under hub skew -- the form you'd run at 100x
+        triangle_participation(edges, orient="degree")
         .select(F.col("v").alias("part"), "triangles")
         .orderBy(F.desc("triangles"), F.asc("part"))
         .limit(20)
