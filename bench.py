@@ -349,6 +349,13 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).select(
         word_grams_arrow(_F.concat(_F.lit("w "), _F.col("id").cast("string")), 1)
     ).count()
+    # mapInPandas rides a different worker eval path than scalar
+    # pandas_udf; warm it too, or the first media-decode entry in
+    # catalog order absorbs the spin-up (r7 billed 2.18 s to
+    # image_decode_features for a 0.48 s-warm plan)
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in CATALOG.items():
@@ -395,12 +402,31 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Fixed-overhead-corrected reading (VERDICT r7 item 6): at sf0.1
+    # ~110 of the catalog queries finish in well under a second on
+    # BOTH engines, so the aggregate Spark/DuckDB ratio is dominated
+    # by Spark's constant 0.3-1 s job overhead x query count -- an
+    # artifact of the toy scale, not an engine property.  The
+    # data-bound subset (oracle wall >= 0.5 s) is the honest
+    # throughput comparison; both totals are recorded so the 2x gate
+    # stops whipsawing on DuckDB-side run variance.
+    data_bound = {
+        n: t for n, t in oracle_timings.items() if t >= 0.5 and n in timings
+    }
+    db_spark = round(sum(timings[n] for n in data_bound), 3)
+    db_oracle = round(sum(data_bound.values()), 3)
     result = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "duckdb_oracle_sec": oracle_timings,
+        "data_bound_spark_sec": db_spark,
+        "data_bound_oracle_sec": db_oracle,
+        "data_bound_ratio": (
+            round(db_spark / db_oracle, 3) if db_oracle > 0 else None
+        ),
+        "data_bound_queries": sorted(data_bound),
         "sf": sf_val,
     }
     print(json.dumps(result))
