@@ -212,17 +212,38 @@ def write_feed_transactions(
 
 
 def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(ready, deferred) data rows of an envelope batch under
+    """(ready, deferred) rows of an envelope batch under
     complete-transaction semantics.
 
-    Ready = rows with no tx_id (non-transactional sources) plus rows
-    whose transaction has an op='C' commit marker in the same envelope
-    set; deferred = data rows of still-open transactions, which the
-    pipeline buffers and re-presents (unioned with the next batch) until
-    their marker arrives.  Commit markers themselves never reach the
-    apply path.  In WAL order a commit record trails every change it
-    covers, so a marker can only arrive with or after its data -- never
-    before.
+    Ready = rows with no tx_id (non-transactional sources) plus data
+    rows of ASSEMBLED transactions: an op='C' commit marker is present
+    in the envelope set AND, when the marker declares an
+    ``event_count`` (in its ``after_json``, as Debezium END events do),
+    at least that many distinct data rows of the tx have arrived.
+    Commit markers themselves never reach the apply path.
+
+    Deferred = everything still waiting, and it now carries BOTH kinds
+    of state across micro-batches (the pipeline buffers it in
+    ``_txn_pending`` and re-presents it unioned with the next batch):
+
+    * data rows of transactions whose marker hasn't arrived or whose
+      ``event_count`` isn't yet satisfied;
+    * unmatched commit markers.  The Debezium transaction-metadata
+      topic has NO cross-topic ordering guarantee with the data topic,
+      so an END marker can be consumed a batch BEFORE (some of) its
+      tx's data -- dropping it would strand those rows in the pending
+      buffer forever.  Markers with an ``event_count`` are therefore
+      retained until satisfied; once satisfied they persist ONE more
+      batch as a ``done`` tombstone so a replayed micro-batch (Spark
+      re-executes the last uncommitted foreachBatch) re-admits the
+      tx's rows instead of re-deferring them.  Markers WITHOUT an
+      ``event_count`` (single-feed WAL sources, where a commit record
+      trails every change it covers by construction) keep the original
+      match-in-batch semantics and are never buffered.
+
+    The ``event_count`` gate also upgrades atomicity for dual-topic
+    sources: a tx whose data straddles micro-batches applies all at
+    once when fully assembled, never half.
 
     Ordering assumption (holds for any row-locking source, e.g.
     Postgres): two transactions cannot hold uncommitted writes to the
@@ -231,12 +252,65 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
     deferred row applying in a later micro-batch can never overwrite a
     younger committed value of its key."""
     data = envelope.filter(F.col("op") != "C")
-    committed = envelope.filter(F.col("op") == "C").select("tx_id").distinct()
     tx_rows = data.filter(F.col("tx_id").isNotNull())
-    ready = data.filter(F.col("tx_id").isNull()).unionByName(
-        tx_rows.join(committed, "tx_id", "left_semi")
+    # one marker row per tx: event_count/done travel in after_json so
+    # buffered markers round-trip through the pending table unchanged
+    markers = (
+        envelope.filter(F.col("op") == "C")
+        .select(
+            "tx_id",
+            "lsn",
+            "commit_ts",
+            F.get_json_object("after_json", "$.event_count")
+            .cast("long")
+            .alias("event_count"),
+            F.coalesce(
+                F.get_json_object("after_json", "$.done").cast("boolean"),
+                F.lit(False),
+            ).alias("done"),
+        )
+        .groupBy("tx_id")
+        .agg(
+            F.max("lsn").alias("lsn"),
+            F.max("commit_ts").alias("commit_ts"),
+            F.max("event_count").alias("event_count"),
+            F.max("done").alias("done"),
+        )
     )
-    deferred = tx_rows.join(committed, "tx_id", "left_anti")
+    # distinct-lsn count per tx: replay can duplicate a row between the
+    # pending buffer and the re-presented source batch, and a duplicate
+    # must not satisfy event_count for a row that never arrived
+    counts = tx_rows.groupBy("tx_id").agg(
+        F.count_distinct("lsn").alias("n_rows")
+    )
+    status = markers.join(counts, "tx_id", "left").withColumn(
+        "assembled",
+        F.col("done")
+        | F.col("event_count").isNull()
+        | (F.coalesce(F.col("n_rows"), F.lit(0)) >= F.col("event_count")),
+    )
+    ready_tx = status.filter(F.col("assembled")).select("tx_id")
+    ready = data.filter(F.col("tx_id").isNull()).unionByName(
+        tx_rows.join(ready_tx, "tx_id", "left_semi")
+    )
+    # carry forward: waiting markers verbatim; newly-assembled counted
+    # markers once more as done tombstones; done/WAL markers drop
+    carry = status.filter(
+        F.col("event_count").isNotNull() & ~F.col("done")
+    ).select(
+        F.lit("C").alias("op"),
+        F.col("lsn"),
+        F.col("commit_ts"),
+        F.lit(TXN_COMMIT_TABLE).alias("table_name"),
+        F.to_json(
+            F.struct(
+                F.col("event_count"),
+                F.col("assembled").alias("done"),
+            )
+        ).alias("after_json"),
+        F.col("tx_id"),
+    )
+    deferred = tx_rows.join(ready_tx, "tx_id", "left_anti").unionByName(carry)
     return ready, deferred
 
 

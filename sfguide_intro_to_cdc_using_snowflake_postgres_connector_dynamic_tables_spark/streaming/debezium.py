@@ -236,8 +236,14 @@ def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ``{"status": "BEGIN"|"END", "id": "...", "event_count": n,
     "ts_ms": ...}`` on a dedicated topic; only END events matter here
     (BEGINs are dropped -- the gate infers "open" from the absence of a
-    marker).  Union the result with the transactional data envelope and
-    feed :meth:`CDCPipeline.apply_envelope_batch`."""
+    marker).  The END event's ``event_count`` rides in the marker's
+    ``after_json``: the metadata topic has no cross-topic ordering
+    guarantee with the data topic, so
+    :func:`~..streaming.changefeed.split_complete_transactions` uses it
+    to hold a marker that arrived BEFORE (some of) its tx's data until
+    the tx is fully assembled, instead of silently dropping it.  Union
+    the result with the transactional data envelope and feed
+    :meth:`CDCPipeline.apply_envelope_batch`."""
     v = F.col(value_col)
     j = lambda path: _j(v, path)  # noqa: E731
     return (
@@ -247,7 +253,11 @@ def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.lit(TXN_MARKER_LSN).alias("lsn"),
             F.timestamp_millis(j("ts_ms").cast("long")).alias("commit_ts"),
             F.lit("_commit").alias("table_name"),
-            F.lit(None).cast("string").alias("after_json"),
+            F.to_json(
+                F.struct(
+                    j("event_count").cast("long").alias("event_count")
+                )
+            ).alias("after_json"),
             _tx_hash(j("id")).alias("tx_id"),
         )
     )

@@ -91,8 +91,20 @@ def scd2_apply(
     )
     out = versions
     if closed_pass is not None:
+        # Replay idempotence, part 2: a replayed batch with >=2 changes
+        # to the SAME key re-derives the intermediate CLOSED versions
+        # inside the window (only the final open one is deduped by the
+        # events-level dropDuplicates above), while closed_pass also
+        # carries them -- emit only window versions not already closed.
+        # Exact because valid_from = lsn is unique per key, so a
+        # (key, valid_from) collision is always the same version.
+        versions = versions.join(
+            closed_pass.select(key, "valid_from"),
+            [key, "valid_from"],
+            "left_anti",
+        )
         out = closed_pass.select(*payload_cols, "valid_from", "valid_to").unionByName(
-            out
+            versions
         )
     if open_rest is not None:
         out = out.unionByName(

@@ -571,6 +571,10 @@ class ParquetTableStore:
         zones = manifest.get("zones", {})
         lo = self._zone_value(lower) if lower is not None else None
         up = self._zone_value(upper) if upper is not None else None
+        if lo is None and up is None:
+            # no predicate -> no pruning: read_pruned(name, col) must be
+            # exactly store.read(name), including all-NULL-stat buckets
+            return list(manifest["partitions"])
         keep = []
         for b in manifest["partitions"]:
             z = zones.get(b, {}).get(col)

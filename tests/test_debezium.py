@@ -237,3 +237,83 @@ def test_full_wire_format_integration(spark, tmp_path):
     got = {r["customer_id"]: r.asDict().get("loyalty_tier")
            for r in store.read(spark, "customers").collect()}
     assert got == {7: "gold", 8: "silver"}
+
+
+def test_marker_before_data_across_batches(spark, tmp_path):
+    """Debezium's transaction-metadata topic has no cross-topic ordering
+    guarantee with the data topic: here the END marker (event_count=2)
+    is consumed a full micro-batch BEFORE one of its tx's data rows.
+    The marker must buffer across batches, the tx must apply atomically
+    once fully assembled, a replayed batch must re-admit (not re-strand)
+    its rows via the one-batch done tombstone, and the pending buffer
+    must drain to empty afterwards."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        TXN_PENDING_TABLE,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+        debezium_txn_markers,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+
+    # batch 0: marker for tx 900:1 (2 events) + only the FIRST data row
+    b0 = debezium_to_envelope(
+        spark.createDataFrame(
+            [(_tx_event("c", "customers", 20, "900:1", after=CUST(5, "Eve", 28)),)],
+            "value string",
+        ),
+        transactional=True,
+    ).unionByName(
+        debezium_txn_markers(
+            spark.createDataFrame([(_txn_meta("END", "900:1", 2),)], "value string")
+        )
+    )
+    p.apply_envelope_batch(b0, batch_id=0)
+    # atomic: nothing of the half-assembled tx is visible
+    assert (
+        not store.exists("customers")
+        or store.read(spark, "customers").count() == 0
+    )
+    pending = store.read(spark, TXN_PENDING_TABLE)
+    assert pending.filter("op = 'C'").count() == 1  # marker buffered
+    assert pending.filter("op != 'C'").count() == 1  # data row buffered
+
+    # batch 1: the lagging second data row -- tx assembles, applies whole
+    b1 = debezium_to_envelope(
+        spark.createDataFrame(
+            [(_tx_event("c", "customers", 21, "900:1", after=CUST(6, "Fox", 35)),)],
+            "value string",
+        ),
+        transactional=True,
+    )
+    p.apply_envelope_batch(b1, batch_id=1)
+    cust = {r["customer_id"]: r["age"] for r in store.read(spark, "customers").collect()}
+    assert cust == {5: 28, 6: 35}
+    # marker persists one extra batch as a done tombstone (replay cover)
+    pending = store.read(spark, TXN_PENDING_TABLE)
+    assert pending.filter("op != 'C'").count() == 0
+    tomb = pending.filter("op = 'C'").collect()
+    assert len(tomb) == 1 and json.loads(tomb[0]["after_json"])["done"] is True
+
+    # replay of batch 1 (Spark re-executes the last uncommitted
+    # foreachBatch after a crash): the tombstone re-admits the replayed
+    # row -- idempotent re-apply, not a forever-deferred strand
+    p.apply_envelope_batch(b1, batch_id=1)
+    cust = {r["customer_id"]: r["age"] for r in store.read(spark, "customers").collect()}
+    assert cust == {5: 28, 6: 35}
+    assert store.read(spark, TXN_PENDING_TABLE).count() == 0  # bounded: drained
+
+    # an unrelated later batch keeps the buffer empty and applies normally
+    p.apply_envelope_batch(
+        debezium_to_envelope(
+            spark.createDataFrame(
+                [(_event("c", "customers", 30, after=CUST(7, "Gus", 41)),)],
+                "value string",
+            ),
+            transactional=True,
+        ),
+        batch_id=2,
+    )
+    assert store.read(spark, "customers").count() == 3
+    assert store.read(spark, TXN_PENDING_TABLE).count() == 0

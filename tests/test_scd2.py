@@ -362,3 +362,28 @@ def test_scd2_apply_idempotent_under_replay(spark):
     d = spark.createDataFrame([("D", 20, 2, None)], CHANGES_SCHEMA)
     after_d = scd2_apply(twice, d, key="id")
     assert _hist_rows(scd2_apply(after_d, d, key="id")) == _hist_rows(after_d)
+
+
+def test_scd2_apply_idempotent_under_replay_multi_change_key(spark):
+    """ADVICE r8: a replayed batch with >=2 changes to the SAME key must
+    not re-mint the intermediate closed version (the events-level dedup
+    only covers the final open version vs its replayed change)."""
+    h = scd2_init(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    delta = spark.createDataFrame(
+        [("U", 10, 1, "a2"), ("U", 20, 1, "a3")], CHANGES_SCHEMA
+    )
+    once = scd2_apply(h, delta, key="id")
+    expected = [(1, "a", 0, 10), (1, "a2", 10, 20), (1, "a3", 20, None)]
+    assert _hist_rows(once) == expected
+    assert _hist_rows(scd2_apply(once, delta, key="id")) == expected
+    # triple-change replay, with a delete in the middle of the batch
+    delta2 = spark.createDataFrame(
+        [("U", 30, 1, "a4"), ("D", 40, 1, None), ("I", 50, 1, "a5")],
+        CHANGES_SCHEMA,
+    )
+    after2 = scd2_apply(once, delta2, key="id")
+    expected2 = expected[:2] + [
+        (1, "a3", 20, 30), (1, "a4", 30, 40), (1, "a5", 50, None),
+    ]
+    assert _hist_rows(after2) == expected2
+    assert _hist_rows(scd2_apply(after2, delta2, key="id")) == expected2

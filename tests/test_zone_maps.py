@@ -199,3 +199,28 @@ def test_cdc_pipeline_zone_spec_end_to_end(spark, tmp_path):
         )
     )
     assert npruned < len(m2["partitions"])
+
+
+def test_no_bounds_reads_everything_including_all_null_buckets(spark, tmp_path):
+    """ADVICE r8: read_pruned with NO bounds must equal store.read --
+    pruning may never change results, and the all-NULL-stat bucket
+    skip only applies once an actual range predicate exists."""
+    store = ParquetTableStore(str(tmp_path / "s"))
+    # v is ALL NULL -> every bucket's zone is (None, None), the exact
+    # shape the r8 bug silently dropped on an unbounded read
+    df = spark.createDataFrame([(i, None) for i in range(64)], "id long, v long")
+    store.overwrite("t", df, partition_key="id", n_buckets=8, zone_cols=["v"])
+    m = store._read_manifest("t", store.current_version("t"))
+    assert all(
+        z["v"][0] is None and z["v"][1] is None for z in m["zones"].values()
+    )
+    full = {r["id"] for r in store.read(spark, "t").collect()}
+    unbounded = {r["id"] for r in store.read_pruned(spark, "t", "v").collect()}
+    assert unbounded == full
+    assert len(store._zone_pruned_buckets(m, "v", None, None)) == len(
+        m["partitions"]
+    )
+    # with a real bound, NULL rows never match a range predicate anyway,
+    # so skipping all-NULL buckets stays exact (and prunes everything)
+    assert store.read_pruned(spark, "t", "v", 100, 200).count() == 0
+    assert len(store._zone_pruned_buckets(m, "v", 100, 200)) == 0
