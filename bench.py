@@ -35,6 +35,8 @@ def _setup_cdc(
     batches: int,
     rows_per_batch: int,
     buckets: int | None,
+    zone_cols: dict[str, list[str]] | None = None,
+    scd2_tables: list[str] | None = None,
 ):
     """Shared scaffolding for the CDC drives: seed fixtures, bootstrap
     the store (optionally hash-partitioned), register + attach the
@@ -77,15 +79,22 @@ def _setup_cdc(
     root = f"{tmp}/store"
     store = ParquetTableStore(root)
     spec = {"transactions": buckets} if buckets else None
-    p = CDCPipeline(spark, store, partition_spec=spec)
-    p.bootstrap(
-        {
-            "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
-            "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
-            "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
-            "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
-        }
-    )
+    p = CDCPipeline(spark, store, partition_spec=spec, zone_spec=zone_cols)
+    if scd2_tables:
+        from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.scd2 import (
+            SCD2Tracker,
+        )
+
+        tracker = SCD2Tracker(p, tables=scd2_tables)
+    snap = {
+        "customers": spark.createDataFrame(customers, CUSTOMERS_SCHEMA),
+        "merchants": spark.createDataFrame(merchants, MERCHANTS_SCHEMA),
+        "products": spark.createDataFrame(products, PRODUCTS_SCHEMA),
+        "transactions": spark.createDataFrame(transactions, TRANSACTIONS_SCHEMA),
+    }
+    p.bootstrap(snap)
+    if scd2_tables:
+        tracker.seed(snap, snapshot_lsn=0)
     mgr = DynamicTableManager(spark, store)
     mgr.create(
         DynamicTable(
@@ -156,6 +165,8 @@ def _soak_cdc(
     n_customers: int = 2000,
     base_transactions: int = 20000,
     buckets: int = 64,
+    zone_cols: dict[str, list[str]] | None = None,
+    scd2_tables: list[str] | None = None,
 ) -> dict:
     """10x-volume CDC soak (VERDICT r4 item 8): drive ``batches`` x
     ``rows_per_batch`` change batches through the partitioned store +
@@ -197,9 +208,13 @@ def _soak_cdc(
             batches=batches,
             rows_per_batch=rows_per_batch,
             buckets=buckets,
+            zone_cols=zone_cols,
+            scd2_tables=scd2_tables,
         )
         lags: list[float] = []
         bytes_per_refresh: list[int] = []
+        history_bytes: list[int] = []
+        prune_keep: list[int] = []
         before = _snapshot_files(root)
         t0 = time.perf_counter()
         for i, env in enumerate(envelopes):
@@ -207,13 +222,39 @@ def _soak_cdc(
             p.apply_envelope_batch(env, batch_id=i)
             lags.append(time.perf_counter() - tb)
             after = _snapshot_files(root)
-            bytes_per_refresh.append(
-                sum(
-                    meta[0]
-                    for path, meta in after.items()
-                    if before.get(path) != meta
+            changed = {
+                path: meta
+                for path, meta in after.items()
+                if before.get(path) != meta
+            }
+            bytes_per_refresh.append(sum(m[0] for m in changed.values()))
+            if scd2_tables:
+                # history-write column of the combined-soak claim: the
+                # SCD2 fold must also stay O(touched buckets)
+                history_bytes.append(
+                    sum(
+                        m[0]
+                        for path, m in changed.items()
+                        if "__history" in path
+                    )
                 )
-            )
+            if zone_cols:
+                # prune-hit column: how many fact buckets a 1-day
+                # zone-mapped date probe would scan after this merge
+                # (zones must stay selective as merges fold in)
+                import datetime as _dt
+
+                m = p.store._read_manifest(
+                    "transactions", p.store.current_version("transactions")
+                )
+                probe = _dt.date(2024, 10, 11)
+                prune_keep.append(
+                    len(
+                        p.store._zone_pruned_buckets(
+                            m, "transaction_date", probe, probe
+                        )
+                    )
+                )
             before = after
         elapsed = time.perf_counter() - t0
         live_bytes = sum(m[0] for m in before.values())
@@ -233,6 +274,32 @@ def _soak_cdc(
             "live_store_bytes": live_bytes,
             "write_amp_vs_store": round(
                 sum(bytes_per_refresh) / len(bytes_per_refresh) / max(live_bytes, 1), 4
+            ),
+            **(
+                {
+                    "history_bytes_per_refresh_avg": int(
+                        sum(history_bytes) / len(history_bytes)
+                    ),
+                    "history_bytes_per_refresh_max": max(history_bytes),
+                    "history_live_bytes": sum(
+                        m[0]
+                        for path, m in before.items()
+                        if "__history" in path
+                    ),
+                }
+                if history_bytes
+                else {}
+            ),
+            **(
+                {
+                    "prune_buckets_total": buckets,
+                    "prune_buckets_scanned_avg": round(
+                        sum(prune_keep) / len(prune_keep), 1
+                    ),
+                    "prune_buckets_scanned_max": max(prune_keep),
+                }
+                if prune_keep
+                else {}
             ),
         }
 
@@ -327,6 +394,12 @@ def main() -> None:
                         n_customers=2000,
                         base_transactions=40000,
                         buckets=256,
+                        # combined soak (VERDICT r7/r8 item 8): SCD2
+                        # history riding the apply hook + zone-mapped
+                        # fact dates, same run -- history-write and
+                        # prune-hit columns land in SCALE.md
+                        zone_cols={"transactions": ["transaction_date"]},
+                        scd2_tables=["customers"],
                     ),
                 }
             )
@@ -410,8 +483,24 @@ def main() -> None:
     # data-bound subset (oracle wall >= 0.5 s) is the honest
     # throughput comparison; both totals are recorded so the 2x gate
     # stops whipsawing on DuckDB-side run variance.
+    # PINNED data-bound subset (ADVICE r8): membership by a live
+    # oracle-wall >= 0.5 s cutoff flipped queries in/out on DuckDB run
+    # variance, making the ratio non-comparable round-over-round.  The
+    # set below is the r8-measured subset (oracle >= 0.5 s at sf0.1),
+    # frozen so every round's data_bound_ratio compares the SAME work;
+    # revisit deliberately (with a BENCH note) if the catalog's heavy
+    # tail changes, never implicitly via timing noise.
+    DATA_BOUND_QUERIES = (
+        "dup_components", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
+        "khop_reachability", "minhash_near_dup", "ngram_jaccard_dup",
+        "pagerank", "purchase_summary", "quality_score", "quality_topfrac",
+        "repeated_spans", "semantic_dedup", "triangle_count",
+        "unpivot_metrics",
+    )
     data_bound = {
-        n: t for n, t in oracle_timings.items() if t >= 0.5 and n in timings
+        n: oracle_timings[n]
+        for n in DATA_BOUND_QUERIES
+        if n in oracle_timings and n in timings
     }
     db_spark = round(sum(timings[n] for n in data_bound), 3)
     db_oracle = round(sum(data_bound.values()), 3)

@@ -49,19 +49,40 @@ EOW = "</w>"
 _SEP = "\x00"
 
 
+def pre_tokenize(text: str | None, lowercase: bool = True) -> list[str]:
+    """THE pre-tokenizer -- the single split/case path shared by
+    training (:func:`word_frequencies`) and application
+    (:func:`apply_bpe`).
+
+    BPE merge statistics are only meaningful over exactly the words
+    the tokenizer will later see; r8 trained on Spark's Java-regex
+    ``split(r"\\s+")`` + ``F.lower`` but applied with Python
+    ``str.split()`` + ``str.lower()``, which segment differently on
+    NBSP/Unicode spaces and case exotics (e.g. U+0130).  One Python
+    function, used verbatim on both sides (Arrow-batched in the
+    distributed pass), makes train/apply byte-identical by
+    construction.  Semantics: Unicode-whitespace split with empties
+    dropped, optional Unicode full lowercasing first."""
+    if text is None:
+        return []
+    if lowercase:
+        text = text.lower()
+    return text.split()
+
+
 def word_frequencies(
     docs: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
-    """``(word, freq)`` over whitespace-tokenized text -- the single
-    corpus-wide pass; one shuffle on the word."""
-    col = F.col(text_col)
-    if lowercase:
-        col = F.lower(col)
-    words = docs.select(
-        F.explode(
-            F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
-        ).alias("word")
-    )
+    """``(word, freq)`` over :func:`pre_tokenize`'d text -- the single
+    corpus-wide pass; one shuffle on the word (map-side combined).
+    The split runs in an Arrow-batched pandas UDF so it is the SAME
+    code application uses, not a Java-regex approximation of it."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _words(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: pre_tokenize(t, lowercase))
+
+    words = docs.select(F.explode(_words(F.col(text_col))).alias("word"))
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
@@ -214,12 +235,9 @@ def apply_bpe(
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tokenize(text: pd.Series) -> pd.Series:
         def one(t):
-            if t is None:
-                return []
-            if lowercase:
-                t = t.lower()
             out = []
-            for w in t.split():
+            # pre_tokenize: the SAME split/case path training used
+            for w in pre_tokenize(t, lowercase):
                 out.extend(_merge_symbols(list(w) + [EOW], pair_list))
             return out
 

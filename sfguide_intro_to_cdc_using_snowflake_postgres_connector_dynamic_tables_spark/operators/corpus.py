@@ -17,7 +17,7 @@ for the LLM-pipeline surface (BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # hex-decode of the first two md5 nibbles -> uniform bucket in [0, 256);
 # Spark uses conv(hex, 16, 10), the DuckDB oracle strpos nibble
@@ -413,4 +413,83 @@ def hashing_embed(
                 ]
             ).alias("embedding")
         )
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents (in ``id_col``
+    order) to training-sequence bins of ``budget`` tokens -- the
+    standard pre-training batching step that concatenates documents
+    into fixed-length sequences instead of padding each one.
+
+    Bin rule: a document belongs to ``floor(start_offset / budget)``
+    where ``start_offset`` is the total token count of all preceding
+    documents -- i.e. bins are cut by cumulative token position, a
+    document starting inside bin k lands in bin k (deterministic,
+    order-stable, and exactly SQL's ``floor((cum - n) / budget)`` over
+    an ordered running sum).
+
+    Returns (doc_id, n_tokens, bin_id).
+
+    Scale shape: the naive formulation is a GLOBAL ordered window --
+    one partition, one task, a non-starter at 100 TB.  Here it is the
+    classic two-phase distributed prefix sum instead: range-partition
+    by ``id_col`` (so partition i holds a contiguous id range), one
+    per-partition running sum keyed on ``spark_partition_id()``, then
+    add each partition's EXCLUSIVE prefix of the per-partition totals,
+    broadcast back as a tiny map (bounded by the partition count, not
+    the data).  Two narrow shuffles (range exchange + per-partition
+    window), one O(#partitions) driver collect."""
+    from .text import tokens
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    # contiguous id ranges per partition: prefix-of-partitions is then
+    # a correct global prefix
+    ranged = sized.repartitionByRange("doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    prefix = {}
+    acc = 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.coalesce(
+        *(
+            [
+                F.create_map(
+                    *[
+                        x
+                        for pid, pre in prefix.items()
+                        for x in (F.lit(pid), F.lit(pre))
+                    ]
+                )[F.col("__pid")]
+            ]
+            if prefix
+            else []
+        ),
+        F.lit(0),
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens") + offset
+    return ranged.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / F.lit(budget)).cast("long").alias("bin_id"),
     )

@@ -33,17 +33,75 @@ def funnel_counts(
     Returns one row per step: (step, step_order, n_users), n_users
     non-increasing by construction.
 
-    Plan shape: k filtered per-user min-ts frontier aggregations
-    chained on one ``user_id`` partitioning; ``|frontier_k|`` already
-    IS the step-k user count (a frontier row exists iff the user
-    reached step k), so each step contributes one global count --
-    no per-user dedup window, no zero-fill join (a global aggregate
-    over an empty frontier yields the 0 row itself).  Catalyst's
-    exchange reuse dedupes the shared frontier subplans across the
-    union branches.
+    Plan shape (distinct steps -- the normal case): ONE scan of the
+    step-typed events, ONE exchange on ``user_id`` collecting each
+    user's (ts, step_idx) pairs time-sorted, a per-row greedy fold
+    computing the user's funnel depth, and one global aggregate
+    exploded to the k step rows.  The greedy scan -- advance to step
+    k on the first step-k event at-or-after the step-(k-1) frontier
+    -- computes exactly the chained earliest-completion frontier
+    (each min is taken as soon as it is reachable), and the sort
+    tie-break ``(ts, step_idx)`` preserves the frontier's ``>=``:
+    a step-k event at the SAME timestamp as the step-(k-1) frontier
+    sorts after it and still counts.  Per-user state is bounded by
+    the user's step-typed event count.  This replaced a k-branch
+    union of chained join/agg frontiers (r8: 2x wall drift from
+    repeated subplans the optimizer didn't fully reuse).
+
+    Steps with a repeated event type fall back to the chained
+    frontier formulation (a type-to-index map would be ambiguous).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if len(set(steps)) == len(steps):
+        k = len(steps)
+        idx_col = F.lit(None).cast("int")
+        for i, s in enumerate(steps):
+            idx_col = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx_col)
+        per_user = (
+            events.filter(F.col(type_col).isin(list(steps)))
+            .groupBy(user_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("ts"), idx_col.alias("si")
+                        )
+                    )
+                ).alias("evs")
+            )
+        )
+        reached = F.aggregate(
+            "evs",
+            F.lit(0),
+            lambda acc, ev: F.when(
+                (acc < F.lit(k)) & (ev["si"] == acc), acc + 1
+            ).otherwise(acc),
+        )
+        stats = per_user.select(reached.alias("reached")).agg(
+            *[
+                F.coalesce(
+                    F.sum((F.col("reached") > i).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"__c{i}")
+                for i in range(k)
+            ]
+        )
+        return stats.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(steps[i]).alias("step"),
+                            F.lit(i + 1).alias("step_order"),
+                            F.col(f"__c{i}").alias("n_users"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
     ts = F.col(ts_col)
     frontier = (
         events.filter(F.col(type_col) == steps[0])

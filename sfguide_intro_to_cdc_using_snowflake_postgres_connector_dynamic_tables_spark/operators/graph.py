@@ -218,7 +218,11 @@ def khop_reachability(
     is plan construction only).
     """
     n_parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    width = max(1, int(n_parts or 32) // 2)
+    try:
+        # "auto" (some AQE configs) or unset must not crash plan build
+        width = max(1, int(n_parts) // 2)
+    except (TypeError, ValueError):
+        width = 16
     bi = (
         edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))

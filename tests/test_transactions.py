@@ -389,3 +389,73 @@ def test_transactional_stream_end_to_end(spark, tmp_path, pipeline):
     q = p.start_stream(feed, ckpt, transactional=True)
     q.awaitTermination(120)
     assert store.read(spark, "customers").filter(F.col("customer_id") == cid_b).first()["age"] == 22
+
+
+def test_marker_gate_random_interleavings_match_sequential_spec(spark):
+    """Property: under ANY interleaving of data rows and event_count
+    markers across ANY batching (Debezium's dual-topic reality), the
+    fold of split_complete_transactions over a pending buffer applies
+    exactly the committed transactions, each ATOMICALLY in one batch,
+    and the buffer drains to open-tx rows only."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(5):
+        n_tx = rng.randint(2, 6)
+        lsn = 0
+        items = []            # ("D", tx, lsn) data rows / ("C", tx, n) markers
+        committed, tx_rows = set(), {}
+        for tx in range(1, n_tx + 1):
+            k = rng.randint(1, 4)
+            tx_rows[tx] = []
+            for _ in range(k):
+                lsn += 1
+                tx_rows[tx].append(lsn)
+                items.append(("D", tx, lsn))
+            if rng.random() < 0.75:  # some txs never commit
+                committed.add(tx)
+                items.append(("C", tx, k))
+        rng.shuffle(items)
+        cuts = sorted(rng.sample(range(len(items) + 1), rng.randint(1, 3)))
+        batches, prev = [], 0
+        for c in cuts + [len(items)]:
+            batches.append(items[prev:c]); prev = c
+        batches.append([])  # drain batch: tombstones from the last batch drop
+
+        def env_df(batch):
+            rows = []
+            for kind, tx, x in batch:
+                if kind == "D":
+                    rows.append(("U", x, None, "customers",
+                                 json.dumps({"customer_id": tx}), tx))
+                else:
+                    rows.append(("C", 1 << 62, None, "_commit",
+                                 json.dumps({"event_count": x}), tx))
+            return spark.createDataFrame(rows, FEED_SCHEMA_TXN)
+
+        pending = env_df([])
+        applied_by_batch = []
+        for batch in batches:
+            ready, deferred = split_complete_transactions(
+                env_df(batch).unionByName(pending)
+            )
+            applied_by_batch.append(
+                [(r["tx_id"], r["lsn"]) for r in ready.collect()]
+            )
+            pending = deferred.localCheckpoint()
+
+        applied = [x for b in applied_by_batch for x in b]
+        expected = {(tx, l) for tx in committed for l in tx_rows[tx]}
+        assert set(applied) == expected, f"trial {trial}"
+        assert len(applied) == len(expected), f"trial {trial}: duplicates"
+        # atomicity: each committed tx lands whole in exactly one batch
+        for tx in committed:
+            hits = [i for i, b in enumerate(applied_by_batch)
+                    if any(t == tx for t, _ in b)]
+            assert len(set(hits)) == 1, f"trial {trial} tx {tx} split"
+        # bounded buffer: only open-tx data rows (+ their absent markers)
+        left = pending.collect()
+        assert {(r["tx_id"], r["lsn"]) for r in left if r["op"] != "C"} == {
+            (tx, l) for tx in tx_rows if tx not in committed for l in tx_rows[tx]
+        }, f"trial {trial}"
+        assert all(r["op"] != "C" for r in left), f"trial {trial}: marker stuck"
