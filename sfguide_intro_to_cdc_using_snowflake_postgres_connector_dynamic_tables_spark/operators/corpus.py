@@ -416,16 +416,19 @@ def hashing_embed(
     )
 
 
-def sequence_pack(
+def sequence_pack_global(
     docs: DataFrame,
     budget: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Token-budget sequence packing: assign documents (in ``id_col``
-    order) to training-sequence bins of ``budget`` tokens -- the
-    standard pre-training batching step that concatenates documents
-    into fixed-length sequences instead of padding each one.
+    """GLOBAL-ORDER token-budget sequence packing: assign documents
+    (in corpus-wide ``id_col`` order) to training-sequence bins of
+    ``budget`` tokens.  Complement of ``training.sequence_pack``, which
+    packs within md5 shards (embarrassingly parallel, order scrambled
+    across shards); this variant preserves one GLOBAL document order --
+    what curriculum schedules and order-sensitive replay need -- while
+    still never serializing the corpus through one task.
 
     Bin rule: a document belongs to ``floor(start_offset / budget)``
     where ``start_offset`` is the total token count of all preceding

@@ -701,7 +701,7 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "quality_score",            # extra= carry-through param
         "funnel",                   # single-pass greedy fold rewrite
         "khop_reachability",        # shuffle-partitions parse guard
-        "sequence_pack",            # NEW: token-budget packing (prefix sum)
+        "sequence_pack_global",     # NEW: global-order packing (prefix sum)
     }
 )
 

@@ -1639,19 +1639,19 @@ SELECT src AS part, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iterations}
 
 
 # ---------------------------------------------------------------------------
-# Token-budget sequence packing: assign documents (in doc_id order) to
-# fixed-token-budget training bins -- operators/corpus.py sequence_pack
-# for the two-phase distributed prefix sum that replaces the naive
-# single-partition global window.
+# GLOBAL-ORDER token-budget sequence packing (corpus-wide doc order,
+# two-phase distributed prefix sum) -- the per-shard variant is
+# catalog_train's "sequence_pack"; see operators/corpus.py
+# sequence_pack_global for when each applies.
 # ---------------------------------------------------------------------------
 
-def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.corpus import sequence_pack
+def q_sequence_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import sequence_pack_global
 
-    return sequence_pack(_t(spark, sf_dir, "documents"), budget=2048)
+    return sequence_pack_global(_t(spark, sf_dir, "documents"), budget=2048)
 
 
-SQL_SEQUENCE_PACK = """
+SQL_SEQUENCE_PACK_GLOBAL = """
 WITH sized AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
@@ -1718,5 +1718,5 @@ MORE_CATALOG: dict[str, tuple] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
-    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "sequence_pack_global": (q_sequence_pack_global, SQL_SEQUENCE_PACK_GLOBAL),
 }

@@ -615,13 +615,13 @@ def test_bloom_decontaminate_matches_python_model(spark):
     assert got == expected
 
 
-def test_sequence_pack_matches_sequential_model(spark):
+def test_sequence_pack_global_matches_sequential_model(spark):
     """sequence_pack's two-phase distributed prefix sum must equal the
     sequential spec: bin = floor(tokens-before-this-doc / budget), docs
     in doc_id order -- including across range-partition boundaries
     (forced small here so the partition-prefix handoff is exercised)."""
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
-        sequence_pack,
+        sequence_pack_global,
     )
 
     import random
@@ -634,7 +634,7 @@ def test_sequence_pack_matches_sequential_model(spark):
     budget = 16
     got = {
         r["doc_id"]: (r["n_tokens"], r["bin_id"])
-        for r in sequence_pack(docs, budget=budget).collect()
+        for r in sequence_pack_global(docs, budget=budget).collect()
     }
     acc = 0
     for i, t in sorted(rows):

@@ -431,3 +431,39 @@ def test_basket_rules_broadcasts_order_count(spark):
     plan = plan_of(CATALOG["basket_rules"][0](spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_filter_single_scan_single_shuffle(spark):
+    # r9 fusion: quality+language+md5 in ONE projection of ONE scan,
+    # gates filtered BEFORE the keeper window -- a second documents
+    # scan or join exchange here is the r8 three-scan regression
+    plan = plan_of(CATALOG["corpus_filter"][0](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_dedup_keep_best_single_scan_single_shuffle(spark):
+    plan = plan_of(CATALOG["dedup_keep_best"][0](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_sequence_pack_global_never_single_partition(spark):
+    # global-order packing must NOT serialize the corpus through an
+    # unpartitioned window: the visible plan is the per-partition-id
+    # window (one hash exchange); the range exchange sits behind the
+    # prefix-sum checkpoint
+    plan = plan_of(CATALOG["sequence_pack_global"][0](spark, SF), mode="simple")
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_funnel_two_exchanges(spark):
+    # greedy single-pass funnel: one user-keyed exchange + the final
+    # global aggregate (partial-agg reduced) -- the r8 chained-frontier
+    # union paid a join+agg exchange pair PER STEP
+    plan = plan_of(CATALOG["funnel"][0](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
