@@ -699,6 +699,7 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_filter",            # single-scan fused quality+lang+md5 window
         "dedup_keep_best",          # quality_score extra= fusion (one scan)
         "quality_score",            # extra= carry-through param
+        "quality_topfrac",          # rides quality_score
         "funnel",                   # single-pass greedy fold rewrite
         "khop_reachability",        # shuffle-partitions parse guard
         "sequence_pack_global",     # NEW: global-order packing (prefix sum)

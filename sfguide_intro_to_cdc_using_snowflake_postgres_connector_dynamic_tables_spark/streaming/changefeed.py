@@ -591,7 +591,8 @@ class CDCPipeline:
                 envelope = envelope.filter(F.col("op") != SCHEMA_CHANGE_OP)
             tables = [r["table_name"] for r in meta]
             ordered = [t for t in ("customers", "merchants", "products", "transactions") if t in tables]
-            for table in ordered:
+
+            def _apply_one(table: str) -> None:
                 changes = parse_table_changes(
                     envelope, table, self.table_schema(table)
                 ).cache()
@@ -606,6 +607,26 @@ class CDCPipeline:
                     )
                     self.store.overwrite(table, apply_changes(current, changes, key))
                 deltas[table] = changes
+
+            # Dimensions still apply BEFORE the fact (the dim+fact
+            # consistency contract above), but the dims themselves are
+            # mutually independent -- disjoint table directories,
+            # disjoint version pointers -- so their merge jobs run
+            # CONCURRENTLY (SparkSession actions are thread-safe; on a
+            # cluster this overlaps three tables' shuffle+write I/O
+            # instead of serializing it through the driver loop).
+            dims = [t for t in ordered if t != "transactions"]
+            if len(dims) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(dims)) as pool:
+                    # list() re-raises the first worker exception
+                    list(pool.map(_apply_one, dims))
+            else:
+                for table in dims:
+                    _apply_one(table)
+            if "transactions" in ordered:
+                _apply_one("transactions")
             if deferred is not None:
                 # buffer open transactions (bounded by in-flight txs,
                 # not history); written before the group commit so a
