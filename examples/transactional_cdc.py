@@ -138,6 +138,67 @@ def main() -> None:
         "transaction_id", "customer_id", "age", "total_price"
     ).show()
 
+    # act 3 -- the Debezium dual-topic direction: the transaction-
+    # metadata topic has no ordering guarantee with the data topic, so
+    # here the END marker (event_count=1) arrives a batch BEFORE its
+    # data row.  The marker buffers; the tx applies, whole, when its
+    # last row lands.
+    import json as _json
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+        debezium_to_envelope,
+        debezium_txn_markers,
+    )
+
+    p = engine.pipeline
+    marker = _json.dumps(
+        {"status": "END", "id": "900:1", "event_count": 1, "ts_ms": 1_700_000_000_000}
+    )
+    p.apply_envelope_batch(
+        debezium_txn_markers(spark.createDataFrame([(marker,)], "value string")),
+        batch_id=100,
+    )
+    age_before = (
+        engine.consistent_table("customers")
+        .filter(F.col("customer_id") == cid)
+        .first()["age"]
+    )
+    print(f"after marker-only batch: age={age_before} (tx 900:1 still buffered)")
+    assert age_before == 62
+
+    data = _json.dumps(
+        {
+            "payload": {
+                "op": "u",
+                "after": {
+                    "customer_id": cid,
+                    "firstname": "Txn",
+                    "lastname": "Demo",
+                    "age": 93,
+                    "email": "txn@example.com",
+                    "phone_number": "555",
+                },
+                "source": {"lsn": 10_200, "table": "customers",
+                           "ts_ms": 1_700_000_000_000},
+                "transaction": {"id": "900:1", "total_order": 1,
+                                "data_collection_order": 1},
+            }
+        }
+    )
+    p.apply_envelope_batch(
+        debezium_to_envelope(
+            spark.createDataFrame([(data,)], "value string"), transactional=True
+        ),
+        batch_id=101,
+    )
+    age_after = (
+        engine.consistent_table("customers")
+        .filter(F.col("customer_id") == cid)
+        .first()["age"]
+    )
+    print(f"after late data row: age={age_after} (tx 900:1 assembled + applied)")
+    assert age_after == 93
+
     spark.stop()
     print("transactional CDC demo complete")
 
