@@ -79,7 +79,19 @@ def streaming_first_seen(
     that API's control channel needs the ``protobuf`` package, which
     this runtime does not ship -- so the operator rides the stable
     ``applyInPandasWithState`` + ``ProcessingTimeTimeout`` form with
-    identical semantics and state shape."""
+    identical semantics and state shape.
+
+    TTL correctness detail: expiry is decided by the LAST-SEEN
+    timestamp carried in the state, checked at invocation -- exactly
+    how a TTL'd ValueState expires on read.  The processing-time timer
+    only bounds state SIZE (eviction of quiet keys).  Deciding expiry
+    by the timer callback alone would be wrong: a key whose first
+    sighting after a quiet period lands in the very batch its timer
+    would have fired in is invoked WITH data (``hasTimedOut`` false,
+    timers never fire for keys that have batch data), so the row would
+    be dropped against a marker that is already past its TTL."""
+    import time as _time
+
     schema = stream.schema
     use_ttl = ttl_ms is not None
 
@@ -87,18 +99,22 @@ def streaming_first_seen(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # quiet past the TTL: evict the marker so the key re-admits
+            # quiet past the TTL: evict the marker (state-size bound);
+            # re-admission does not depend on this firing
             state.remove()
             return
-        if not state.exists:
+        now_ms = int(_time.time() * 1000)
+        last_ms = state.get[0] if state.exists else None
+        expired = use_ttl and last_ms is not None and now_ms - last_ms > ttl_ms
+        if last_ms is None or expired:
             for pdf in pdfs:
                 if len(pdf):
                     yield pdf.head(1)
                     break
-            state.update((1,))
         else:
             for _ in pdfs:  # drain: duplicates are dropped
                 pass
+        state.update((now_ms,))
         if use_ttl:
             # (re)arm the eviction clock on every sighting
             state.setTimeoutDuration(ttl_ms)
@@ -106,7 +122,7 @@ def streaming_first_seen(
     return stream.groupBy(key_col).applyInPandasWithState(
         first_seen,
         outputStructType=schema,
-        stateStructType="seen tinyint",
+        stateStructType="last_seen_ms long",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
