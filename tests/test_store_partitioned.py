@@ -392,3 +392,47 @@ def test_optimize_zorder_preserves_rows_and_tightens_rowgroups(spark, tmp_path):
     ups = spark.createDataFrame([(1, 99999.0)], "k long, v double")
     store.merge(spark, "t", ups, ups.select("k"))
     assert store.read(spark, "t").filter(F.col("k") == 1).first()["v"] == 99999.0
+
+
+def test_concurrent_merges_to_distinct_tables(spark, tmp_path):
+    """CDCPipeline applies independent dimension merges from a thread
+    pool (r9): concurrent store.merge/overwrite calls on DISTINCT
+    tables must interleave safely -- disjoint table dirs, disjoint
+    version pointers, per-(table, version) claims."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    tables = ["ta", "tb", "tc"]
+    for t in tables:
+        store.overwrite(
+            t,
+            spark.createDataFrame([(k, 0.0) for k in range(64)], "k long, v double"),
+            partition_key="k",
+            n_buckets=8,
+        )
+
+    def drive(t_round):
+        t, rnd = t_round
+        ups = spark.createDataFrame(
+            [(k, float(rnd * 1000 + k)) for k in range(rnd, 64, 7)],
+            "k long, v double",
+        )
+        store.merge(spark, t, ups, ups.select("k"))
+
+    for rnd in range(1, 4):
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(drive, [(t, rnd) for t in tables]))
+
+    # every table independently reflects ALL of its rounds' upserts
+    for t in tables:
+        got = {r["k"]: r["v"] for r in store.read(spark, t).collect()}
+        assert len(got) == 64
+        expect = {k: 0.0 for k in range(64)}
+        for rnd in range(1, 4):
+            for k in range(rnd, 64, 7):
+                expect[k] = float(rnd * 1000 + k)
+        assert got == expect, t
