@@ -552,15 +552,23 @@ class CDCPipeline:
         every transaction of a batch entirely or not at all, even
         between the batch's individual merge commits.
         """
-        if self.snapshot_lsn >= 0:
-            envelope = envelope.filter(F.col("lsn") > F.lit(self.snapshot_lsn))
         deferred = None
         if "tx_id" in envelope.columns:
             if self.store.exists(TXN_PENDING_TABLE):
                 envelope = envelope.unionByName(
                     self.store.read(self.spark, TXN_PENDING_TABLE)
                 )
+            # Gate BEFORE the snapshot watermark: a replayed tx can
+            # straddle the handoff (slots resend after unclean
+            # shutdown), and its pre-snapshot rows must still COUNT
+            # toward the marker's event_count or the marker would wait
+            # forever.  They are then dropped from the apply side below
+            # -- assembly semantics ("every event arrived") and
+            # application semantics ("only post-snapshot changes
+            # apply") are distinct.
             envelope, deferred = split_complete_transactions(envelope)
+        if self.snapshot_lsn >= 0:
+            envelope = envelope.filter(F.col("lsn") > F.lit(self.snapshot_lsn))
         envelope = cached = envelope.cache()
         deltas: dict[str, DataFrame] = {}
         try:

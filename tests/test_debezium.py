@@ -317,3 +317,58 @@ def test_marker_before_data_across_batches(spark, tmp_path):
     )
     assert store.read(spark, "customers").count() == 3
     assert store.read(spark, TXN_PENDING_TABLE).count() == 0
+
+
+def test_marker_assembly_counts_watermark_dropped_replays(spark, tmp_path):
+    """A replayed transaction straddling the snapshot handoff: the
+    marker's event_count covers a row at lsn <= snapshot_lsn (already
+    in the snapshot) plus a genuinely new row.  The replayed row must
+    COUNT toward assembly (else the marker waits forever) while only
+    the post-snapshot row applies."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        TXN_PENDING_TABLE,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+        debezium_txn_markers,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+    p.bootstrap(
+        {
+            "customers": spark.createDataFrame(
+                [tuple(CUST(1, "Ann", 30).values())],
+                "customer_id int, firstname string, lastname string, age int,"
+                " email string, phone_number string",
+            )
+        },
+        snapshot_lsn=100,
+    )
+
+    # batch 0: the marker (2 events) + the pre-snapshot replayed row
+    b0 = debezium_to_envelope(
+        spark.createDataFrame(
+            [(_tx_event("u", "customers", 90, "950:1", after=CUST(1, "Ann", 30)),)],
+            "value string",
+        ),
+        transactional=True,
+    ).unionByName(
+        debezium_txn_markers(
+            spark.createDataFrame([(_txn_meta("END", "950:1", 2),)], "value string")
+        )
+    )
+    p.apply_envelope_batch(b0, batch_id=0)
+    assert {r["age"] for r in store.read(spark, "customers").collect()} == {30}
+
+    # batch 1: the post-snapshot row -- tx assembles; ONLY this row applies
+    b1 = debezium_to_envelope(
+        spark.createDataFrame(
+            [(_tx_event("u", "customers", 110, "950:1", after=CUST(1, "Ann", 44)),)],
+            "value string",
+        ),
+        transactional=True,
+    )
+    p.apply_envelope_batch(b1, batch_id=1)
+    assert {r["age"] for r in store.read(spark, "customers").collect()} == {44}
+    # nothing data-bearing left (the done tombstone may linger one batch)
+    assert store.read(spark, TXN_PENDING_TABLE).filter("op != 'C'").count() == 0
