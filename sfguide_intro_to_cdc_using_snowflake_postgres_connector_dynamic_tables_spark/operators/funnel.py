@@ -62,13 +62,29 @@ def funnel_counts(
             events.filter(F.col(type_col).isin(list(steps)))
             .groupBy(user_col)
             .agg(
+                # NULL-timestamp events must never advance the funnel
+                # (a frontier comparison against NULL is never true in
+                # the chained form and the SQL oracle) -- the F.when
+                # with no otherwise yields NULL for them, which
+                # collect_list drops.  sort_array would otherwise have
+                # placed null-ts structs FIRST and let them advance.
                 F.sort_array(
                     F.collect_list(
-                        F.struct(
-                            F.col(ts_col).alias("ts"), idx_col.alias("si")
+                        F.when(
+                            F.col(ts_col).isNotNull(),
+                            F.struct(
+                                F.col(ts_col).alias("ts"), idx_col.alias("si")
+                            ),
                         )
                     )
-                ).alias("evs")
+                ).alias("evs"),
+                # ...but step-1 membership is existence, not ordering:
+                # a user whose only first-step events are null-ts still
+                # yields a frontier row (min over nulls is NULL) and
+                # counts at step 1 in the chained/SQL form
+                F.max((F.col(type_col) == steps[0]).cast("long")).alias(
+                    "has_s0"
+                ),
             )
         )
         reached = F.aggregate(
@@ -78,15 +94,20 @@ def funnel_counts(
                 (acc < F.lit(k)) & (ev["si"] == acc), acc + 1
             ).otherwise(acc),
         )
-        stats = per_user.select(reached.alias("reached")).agg(
+        stats = per_user.select(
+            reached.alias("reached"), "has_s0"
+        ).agg(
+            F.coalesce(F.sum("has_s0"), F.lit(0))
+            .cast("long")
+            .alias("__c0"),
             *[
                 F.coalesce(
                     F.sum((F.col("reached") > i).cast("long")), F.lit(0)
                 )
                 .cast("long")
                 .alias(f"__c{i}")
-                for i in range(k)
-            ]
+                for i in range(1, k)
+            ],
         )
         return stats.select(
             F.explode(

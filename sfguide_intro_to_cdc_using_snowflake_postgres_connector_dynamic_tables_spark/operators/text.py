@@ -91,6 +91,62 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def _quality_count_cols(toks, text_col: str) -> list:
+    """The token-derived counts the quality score reads -- ONE
+    definition, projected unconditionally so codegen CSE evaluates
+    the split() once per row (see quality_score's plan note)."""
+    return [
+        F.length(text_col).alias("__len"),
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("__nu"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__stop"),
+    ]
+
+
+def _quality_expr():
+    """Score in [0,1] over the _quality_count_cols columns: length
+    saturation x lexical diversity x stopword presence.  The single
+    place the 0.4/0.4/0.2 weights and /500, /5 saturations live --
+    quality_score and quality_lang both read THIS expression (and the
+    oracle SQL mirrors it)."""
+    # tokenless docs are zero-diversity, not a divide-by-zero (ANSI
+    # mode makes 0/0 a hard task failure, so one empty document in a
+    # 100 TB corpus must not kill the whole scoring job)
+    uniq_ratio = F.when(
+        F.col("__n") > 0, F.col("__nu") / F.col("__n")
+    ).otherwise(F.lit(0.0))
+    return (
+        F.least(F.col("__len") / F.lit(500.0), F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.4
+        + F.least(F.col("__stop") / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+
+
+def _marker_pred(markers):
+    # NB: must close over markers -- a defaulted lambda param would
+    # be bound to a Column by PySpark's higher-order-function shim
+    return lambda t: t.isin(*markers)
+
+
+def _lang_score_cols(toks) -> list:
+    """Per-language marker-hit counts (score_<lang> columns)."""
+    return [
+        F.size(F.filter(toks, _marker_pred(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def _lang_pred_expr():
+    """Argmax over the score_<lang> columns; first language (in
+    declaration order) achieving the max wins; all-zero -> 'und'."""
+    langs = list(LANG_MARKERS.keys())
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: count marker hits per language
     over the token set; highest count wins (ties broken by fixed
@@ -99,27 +155,8 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     per-row scoring, argmax over a small fixed set -- is identical.
     """
     toks = tokens(F.col(text_col))
-
-    def marker_pred(markers):
-        # NB: must close over markers -- a defaulted lambda param would
-        # be bound to a Column by PySpark's higher-order-function shim
-        return lambda t: t.isin(*markers)
-
-    scores = [
-        F.size(F.filter(toks, marker_pred(markers))).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    scored = docs.select(F.col(id_col), *scores)
-    langs = list(LANG_MARKERS.keys())
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    pred = F.lit(None).cast("string")
-    # first language (in declaration order) achieving the max wins
-    for lg in reversed(langs):
-        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
-    return scored.select(
-        F.col(id_col),
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
-    )
+    scored = docs.select(F.col(id_col), *_lang_score_cols(toks))
+    return scored.select(F.col(id_col), _lang_pred_expr().alias("lang_pred"))
 
 
 def quality_score(
@@ -149,24 +186,12 @@ def quality_score(
     base = docs.select(
         F.col(id_col),
         *[expr.alias(nm) for nm, expr in extra.items()],
-        F.length(text_col).alias("__len"),
-        F.size(toks).alias("__n"),
-        F.size(F.array_distinct(toks)).alias("__nu"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__stop"),
+        *_quality_count_cols(toks, text_col),
     )
-    # tokenless docs are zero-diversity, not a divide-by-zero (ANSI
-    # mode makes 0/0 a hard task failure, so one empty document in a
-    # 100 TB corpus must not kill the whole scoring job)
-    uniq_ratio = F.when(
-        F.col("__n") > 0, F.col("__nu") / F.col("__n")
-    ).otherwise(F.lit(0.0))
-    length_component = F.least(F.col("__len") / F.lit(500.0), F.lit(1.0))
-    stop_component = F.least(F.col("__stop") / F.lit(5.0), F.lit(1.0))
-    score = length_component * 0.4 + uniq_ratio * 0.4 + stop_component * 0.2
     return base.select(
         F.col(id_col),
         *[F.col(nm) for nm in extra],
-        score.alias("quality"),
+        _quality_expr().alias("quality"),
     )
 
 
@@ -188,42 +213,18 @@ def quality_lang(
     per row); the score/argmax arithmetic then reads cheap integers.
     ``extra`` as in :func:`quality_score`."""
     toks = tokens(F.col(text_col))
-
-    def marker_pred(markers):
-        # NB: must close over markers (see language_id)
-        return lambda t: t.isin(*markers)
-
     extra = extra or {}
     base = docs.select(
         F.col(id_col),
         *[expr.alias(nm) for nm, expr in extra.items()],
-        F.length(text_col).alias("__len"),
-        F.size(toks).alias("__n"),
-        F.size(F.array_distinct(toks)).alias("__nu"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("__stop"),
-        *[
-            F.size(F.filter(toks, marker_pred(markers))).alias(f"score_{lang}")
-            for lang, markers in LANG_MARKERS.items()
-        ],
+        *_quality_count_cols(toks, text_col),
+        *_lang_score_cols(toks),
     )
-    uniq_ratio = F.when(
-        F.col("__n") > 0, F.col("__nu") / F.col("__n")
-    ).otherwise(F.lit(0.0))
-    quality = (
-        F.least(F.col("__len") / F.lit(500.0), F.lit(1.0)) * 0.4
-        + uniq_ratio * 0.4
-        + F.least(F.col("__stop") / F.lit(5.0), F.lit(1.0)) * 0.2
-    )
-    langs = list(LANG_MARKERS.keys())
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    pred = F.lit(None).cast("string")
-    for lg in reversed(langs):
-        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
     return base.select(
         F.col(id_col),
         *[F.col(nm) for nm in extra],
-        quality.alias("quality"),
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        _quality_expr().alias("quality"),
+        _lang_pred_expr().alias("lang_pred"),
     )
 
 

@@ -50,6 +50,10 @@ DEFAULT_CONF: dict[str, str] = {
     # RocksDB spills to local SSD with bounded memory and incremental
     # checkpointing.  Bundled with Spark 4 -- verified working in this
     # runtime (tests/test_stateful_streaming.py runs under it).
+    # Upgrade note: a stateful query's checkpoint is bound to the
+    # provider that wrote it -- restarting a pre-existing HDFS-backed
+    # checkpoint needs this key overridden back via get_spark(conf=...)
+    # (new checkpoints should use RocksDB).
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"

@@ -553,11 +553,17 @@ class CDCPipeline:
         between the batch's individual merge commits.
         """
         deferred = None
+        pre_split = None
         if "tx_id" in envelope.columns:
             if self.store.exists(TXN_PENDING_TABLE):
                 envelope = envelope.unionByName(
                     self.store.read(self.spark, TXN_PENDING_TABLE)
                 )
+            # The split's two outputs (ready, deferred) traverse the
+            # same gate subtree; cache the unioned input ONCE so
+            # writing the pending buffer re-runs only the delta-sized
+            # gate aggregations, not the source + pending scans.
+            envelope = pre_split = envelope.cache()
             # Gate BEFORE the snapshot watermark: a replayed tx can
             # straddle the handoff (slots resend after unclean
             # shutdown), and its pre-snapshot rows must still COUNT
@@ -653,6 +659,8 @@ class CDCPipeline:
                 hook(batch_id, deltas)
         finally:
             cached.unpersist()
+            if pre_split is not None:
+                pre_split.unpersist()
             # release per-table delta caches once hooks have consumed
             # them -- long-running streams must not accumulate blocks
             for d in deltas.values():

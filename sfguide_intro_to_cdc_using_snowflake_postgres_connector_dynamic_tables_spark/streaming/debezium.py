@@ -228,6 +228,50 @@ def debezium_schema_changes(raw: DataFrame, value_col: str = "value") -> DataFra
     return out
 
 
+#: schema of the END event's per-collection breakdown
+_DATA_COLLECTIONS_SCHEMA = (
+    "array<struct<data_collection: string, event_count: long>>"
+)
+
+
+def _marker_event_count(v, tables: list[str]):
+    """Expected data-row count for a tx, AS SEEN BY THIS FEED.
+
+    The END event's top-level ``event_count`` covers EVERY captured
+    collection in the transaction -- if the pipeline consumes only a
+    subset of the captured tables' topics, gating on the total would
+    wait for rows that never arrive and strand the transaction in the
+    pending buffer forever.  Debezium publishes the per-collection
+    breakdown (``data_collections[].event_count``) for exactly this:
+    when present, sum only the collections whose table name is one the
+    pipeline replicates; fall back to the total when absent (correct
+    whenever the feed unions all captured topics)."""
+    dc = F.coalesce(
+        F.from_json(
+            F.get_json_object(v, "$.payload.data_collections"),
+            _DATA_COLLECTIONS_SCHEMA,
+        ),
+        F.from_json(
+            F.get_json_object(v, "$.data_collections"),
+            _DATA_COLLECTIONS_SCHEMA,
+        ),
+    )
+    # data_collection is 'schema.table' (or '"s"."t"'): match on the
+    # last dotted component, unquoted
+    known = F.filter(
+        dc,
+        lambda c: F.regexp_extract(
+            c["data_collection"], r'"?([^".]+)"?$', 1
+        ).isin(*tables),
+    )
+    subset_sum = F.aggregate(
+        known, F.lit(0).cast("long"), lambda acc, c: acc + c["event_count"]
+    )
+    return F.when(dc.isNotNull(), subset_sum).otherwise(
+        _j(v, "event_count").cast("long")
+    )
+
+
 def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Convert Debezium TRANSACTION-METADATA topic events to op='C'
     commit-marker envelope rows.
@@ -244,6 +288,8 @@ def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
     the tx is fully assembled, instead of silently dropping it.  Union
     the result with the transactional data envelope and feed
     :meth:`CDCPipeline.apply_envelope_batch`."""
+    from ..sources.cdc_schemas import TABLE_SCHEMAS
+
     v = F.col(value_col)
     j = lambda path: _j(v, path)  # noqa: E731
     return (
@@ -255,7 +301,9 @@ def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.lit("_commit").alias("table_name"),
             F.to_json(
                 F.struct(
-                    j("event_count").cast("long").alias("event_count")
+                    _marker_event_count(v, list(TABLE_SCHEMAS)).alias(
+                        "event_count"
+                    )
                 )
             ).alias("after_json"),
             _tx_hash(j("id")).alias("tx_id"),

@@ -89,7 +89,12 @@ def streaming_first_seen(
     sighting after a quiet period lands in the very batch its timer
     would have fired in is invoked WITH data (``hasTimedOut`` false,
     timers never fire for keys that have batch data), so the row would
-    be dropped against a marker that is already past its TTL."""
+    be dropped against a marker that is already past its TTL.
+
+    Upgrade note: the state schema is ``last_seen_ms long`` (was
+    ``seen tinyint`` before r9) -- a query restarted on a checkpoint
+    written by the old schema must start from a fresh checkpoint (or
+    accept re-admitting its live keys once)."""
     import time as _time
 
     schema = stream.schema

@@ -372,3 +372,41 @@ def test_marker_assembly_counts_watermark_dropped_replays(spark, tmp_path):
     assert {r["age"] for r in store.read(spark, "customers").collect()} == {44}
     # nothing data-bearing left (the done tombstone may linger one batch)
     assert store.read(spark, TXN_PENDING_TABLE).filter("op != 'C'").count() == 0
+
+
+def test_marker_event_count_scopes_to_replicated_tables(spark, tmp_path):
+    """An END marker's top-level event_count covers EVERY captured
+    collection; a feed consuming only the replicated tables' topics
+    must gate on the per-collection breakdown or the tx strands."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.debezium import (
+        debezium_txn_markers,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    p = CDCPipeline(spark, store)
+    # tx touches customers (1 row, consumed) + audit_log (3 rows, whose
+    # topic this pipeline does NOT consume): total event_count=4
+    marker = json.dumps(
+        {
+            "status": "END",
+            "id": "777:1",
+            "event_count": 4,
+            "data_collections": [
+                {"data_collection": '"public"."customers"', "event_count": 1},
+                {"data_collection": '"public"."audit_log"', "event_count": 3},
+            ],
+            "ts_ms": 1_700_000_000_500,
+        }
+    )
+    env = debezium_to_envelope(
+        spark.createDataFrame(
+            [(_tx_event("c", "customers", 40, "777:1", after=CUST(9, "Hal", 52)),)],
+            "value string",
+        ),
+        transactional=True,
+    ).unionByName(
+        debezium_txn_markers(spark.createDataFrame([(marker,)], "value string"))
+    )
+    p.apply_envelope_batch(env, batch_id=0)
+    got = {r["customer_id"] for r in store.read(spark, "customers").collect()}
+    assert got == {9}  # gated on the 1 replicated-table event, not 4

@@ -473,3 +473,22 @@ def test_daily_anomalies_matches_python_model_on_random_sparse_days(spark):
                 assert r["z"] == want, (day, r["z"], want)
 
     run()
+
+
+def test_funnel_null_timestamps_never_advance(spark):
+    """NULL-ts events: count at step 1 by existence (the frontier row
+    exists with a NULL min), but never satisfy a frontier comparison --
+    matching the chained/SQL formulation exactly."""
+    rows = [
+        (1, None, "view"),          # null-only view: step 1 yes, never step 2
+        (1, T0, "click"),
+        (2, None, "view"),          # null view + real view -> normal chain
+        (2, T0, "view"),
+        (2, T0 + dt.timedelta(minutes=1), "click"),
+        (3, None, "click"),         # null click after real view: no advance
+        (3, T0, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {r["step_order"]: r["n_users"]
+           for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {1: 3, 2: 1}
