@@ -101,3 +101,45 @@ def freshness_lag_seconds(query: StreamingQuery | None) -> float | None:
         return None
     last = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
     return (dt.datetime.now(dt.timezone.utc) - last).total_seconds()
+
+
+def txn_pending_state(spark: SparkSession, store: ParquetTableStore) -> DataFrame:
+    """Per-transaction view of the complete-transaction gate's pending
+    buffer: buffered data rows, whether the commit marker has arrived,
+    the marker's expected event count, and the lsn range seen -- the
+    'why hasn't my transaction applied yet' view.  A tx with a marker
+    and rows_buffered < expected_events is awaiting late data-topic
+    rows (Debezium cross-topic lag); a tx without a marker is awaiting
+    its commit; a steadily-growing row count here means a source is
+    emitting data for transactions whose metadata topic is not being
+    consumed."""
+    from pyspark.sql import functions as F
+
+    from .changefeed import TXN_PENDING_TABLE
+
+    if not store.exists(TXN_PENDING_TABLE):
+        return spark.createDataFrame(
+            [],
+            "tx_id long, rows_buffered long, marker_arrived boolean, "
+            "expected_events long, min_lsn long, max_lsn long",
+        )
+    pend = store.read(spark, TXN_PENDING_TABLE)
+    is_marker = F.col("op") == "C"
+    return (
+        pend.groupBy("tx_id")
+        .agg(
+            F.sum((~is_marker).cast("long")).alias("rows_buffered"),
+            F.max(is_marker).alias("marker_arrived"),
+            F.max(
+                F.when(
+                    is_marker,
+                    F.get_json_object("after_json", "$.event_count").cast(
+                        "long"
+                    ),
+                )
+            ).alias("expected_events"),
+            F.min(F.when(~is_marker, F.col("lsn"))).alias("min_lsn"),
+            F.max(F.when(~is_marker, F.col("lsn"))).alias("max_lsn"),
+        )
+        .orderBy("tx_id")
+    )

@@ -436,3 +436,46 @@ def test_concurrent_merges_to_distinct_tables(spark, tmp_path):
             for k in range(rnd, 64, 7):
                 expect[k] = float(rnd * 1000 + k)
         assert got == expect, t
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    """table_changes (the CDF analogue): row-level I/U/D between two
+    retained versions, I/U carrying the new image, D the old."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    store.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+            "k long, s string, v double",
+        ),
+        partition_key="k",
+        n_buckets=4,
+    )
+    v1 = store.current_version("t")
+    ups = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0), (3, "c", None)],  # 3 unchanged
+        "k long, s string, v double",
+    )
+    # delete key 1, upsert the rest (merge keeps untouched keys)
+    touched = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+    merged = (
+        store.read(spark, "t").join(touched, "k", "left_anti").unionByName(ups)
+    )
+    store.merge(spark, "t", merged, touched)
+    v2 = store.current_version("t")
+
+    got = {
+        (r["op"], r["k"]): (r["s"], r["v"])
+        for r in store.table_changes(spark, "t", v1, v2).collect()
+    }
+    assert got == {
+        ("D", 1): ("a", 10.0),
+        ("U", 2): ("b2", 21.0),
+        ("I", 4): ("d", 40.0),
+    }
+    # identical versions -> empty feed
+    assert store.table_changes(spark, "t", v2, v2).count() == 0

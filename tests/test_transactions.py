@@ -459,3 +459,33 @@ def test_marker_gate_random_interleavings_match_sequential_spec(spark):
             (tx, l) for tx in tx_rows if tx not in committed for l in tx_rows[tx]
         }, f"trial {trial}"
         assert all(r["op"] != "C" for r in left), f"trial {trial}: marker stuck"
+
+
+def test_txn_pending_state_view(spark, tmp_path):
+    """Monitoring: the pending-buffer view distinguishes 'awaiting
+    marker' from 'marker arrived, awaiting late rows'."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.monitoring import (
+        txn_pending_state,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    p = CDCPipeline(spark, store)
+    # empty store -> empty view with the declared schema
+    assert txn_pending_state(spark, store).count() == 0
+
+    rows = [
+        # tx 1: two data rows, no marker yet
+        ("U", 10, None, "customers", json.dumps({"customer_id": 1}), 1),
+        ("U", 11, None, "customers", json.dumps({"customer_id": 2}), 1),
+        # tx 2: marker (expects 3 rows) + one data row so far
+        ("U", 20, None, "customers", json.dumps({"customer_id": 3}), 2),
+        ("C", 1 << 62, None, "_commit", json.dumps({"event_count": 3}), 2),
+    ]
+    p.apply_envelope_batch(
+        spark.createDataFrame(rows, FEED_SCHEMA_TXN), batch_id=0
+    )
+    state = {r["tx_id"]: r.asDict() for r in txn_pending_state(spark, store).collect()}
+    assert state[1]["rows_buffered"] == 2 and not state[1]["marker_arrived"]
+    assert state[2]["rows_buffered"] == 1 and state[2]["marker_arrived"]
+    assert state[2]["expected_events"] == 3
+    assert state[1]["min_lsn"] == 10 and state[1]["max_lsn"] == 11
