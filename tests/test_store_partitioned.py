@@ -479,3 +479,57 @@ def test_table_changes_between_versions(spark, tmp_path):
     }
     # identical versions -> empty feed
     assert store.table_changes(spark, "t", v2, v2).count() == 0
+
+
+def test_table_changes_replay_closure_random(spark, tmp_path):
+    """Property: for random merge sequences, applying table_changes(v1,
+    v2) onto the v1 snapshot reconstructs v2 exactly -- the CDF is a
+    complete, minimal delta."""
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    rng = random.Random(20260815)
+    store = ParquetTableStore(str(tmp_path / "s"), keep_versions=4)
+    rows = {k: float(k) for k in range(40)}
+    store.overwrite(
+        "t",
+        spark.createDataFrame(list(rows.items()), "k long, v double"),
+        partition_key="k",
+        n_buckets=8,
+    )
+    for trial in range(3):
+        v1 = store.current_version("t")
+        snap1 = dict(rows)
+        # random upserts + deletes
+        ups = {rng.randrange(60): rng.random() for _ in range(rng.randint(1, 10))}
+        dels = {k for k in rng.sample(sorted(rows), rng.randint(0, 5)) if k not in ups}
+        rows.update(ups)
+        for k in dels:
+            rows.pop(k, None)
+        touched = sorted(set(ups) | dels)
+        merged = spark.createDataFrame(
+            [(k, v) for k, v in rows.items() if k in set(ups)], "k long, v double"
+        )
+        keep = (
+            store.read(spark, "t")
+            .join(spark.createDataFrame([(k,) for k in touched], "k long"), "k", "left_anti")
+            .unionByName(merged)
+        )
+        store.merge(spark, "t", keep, spark.createDataFrame([(k,) for k in touched], "k long"))
+        v2 = store.current_version("t")
+
+        cdf = store.table_changes(spark, "t", v1, v2).collect()
+        replayed = dict(snap1)
+        for r in cdf:
+            if r["op"] == "D":
+                replayed.pop(r["k"], None)
+            else:
+                replayed[r["k"]] = r["v"]
+        assert replayed == rows, f"trial {trial}"
+        # minimality: no no-op rows in the feed
+        for r in cdf:
+            if r["op"] == "U":
+                assert snap1.get(r["k"]) != r["v"]
