@@ -108,6 +108,25 @@ class Engine:
             self.table(t).createOrReplaceTempView(t)
         return self.spark.sql(query)
 
+    def table_changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int,
+        key: str | None = None,
+    ) -> DataFrame:
+        """Row-level I/U/D change feed of a REPLICA between two retained
+        store versions (the Delta-CDF analogue) -- lets downstream
+        consumers tail a replicated table without the original envelope
+        stream.  ``key`` defaults to the table's primary key."""
+        if key is None:
+            from .sources.cdc_schemas import PRIMARY_KEYS
+
+            key = PRIMARY_KEYS.get(name)
+        return self.store.table_changes(
+            self.spark, name, from_version, to_version, key=key
+        )
+
     # -- monitoring (S10) ----------------------------------------------------
 
     def replication_state(self) -> DataFrame:

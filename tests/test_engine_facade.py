@@ -233,3 +233,35 @@ def test_engine_executes_reference_ddl_verbatim(spark, tmp_path):
             engine.sql(SUMMARY_SQL, tables=["transactions", "customers", "products", "merchants"])
         )
         assert incremental == full
+
+
+def test_engine_table_changes(spark, tmp_path):
+    """Facade CDF: I/U/D between the replica's retained versions,
+    keyed automatically by the table's primary key."""
+    import json
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
+        fixtures,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        FEED_SCHEMA,
+    )
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.bootstrap(fixtures.seed_dataframes(spark, n_customers=10))
+    v1 = engine.store.current_version("customers")
+    ids = sorted(r["customer_id"] for r in engine.table("customers").collect())
+    upd, dele = ids[0], ids[1]
+    env = spark.createDataFrame(
+        [
+            ("U", 10, None, "customers",
+             json.dumps({"customer_id": upd, "firstname": "New", "lastname": "Name",
+                         "age": 99, "email": "n@x.io", "phone_number": "1"})),
+            ("D", 11, None, "customers", json.dumps({"customer_id": dele})),
+        ],
+        FEED_SCHEMA,
+    )
+    engine.apply_batch(env)
+    v2 = engine.store.current_version("customers")
+    ops = {(r["op"], r["customer_id"]) for r in engine.table_changes("customers", v1, v2).collect()}
+    assert ops == {("U", upd), ("D", dele)}
