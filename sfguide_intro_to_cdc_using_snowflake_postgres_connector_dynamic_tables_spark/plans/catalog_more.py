@@ -1639,6 +1639,91 @@ SELECT src AS part, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iterations}
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q12 shape on the driver schema: join + dual conditional
+# aggregation (CASE-sums split one measure by a priority predicate) --
+# the classic "count by class within group" reporting query.
+# ---------------------------------------------------------------------------
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_Q12_PRIORITY_LINES = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a grouped subquery, joined back to the
+# dims -- the "large-volume customers" pattern (aggregate filter first,
+# then enrich only the qualifying keys).
+# ---------------------------------------------------------------------------
+
+def q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+SQL_Q18_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey AS custkey, c_name AS customer_name,
+       o_orderkey AS orderkey, o_orderdate AS orderdate,
+       o_totalprice AS totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # GLOBAL-ORDER token-budget sequence packing (corpus-wide doc order,
 # two-phase distributed prefix sum) -- the per-shard variant is
 # catalog_train's "sequence_pack"; see operators/corpus.py
@@ -1719,4 +1804,6 @@ MORE_CATALOG: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "sequence_pack_global": (q_sequence_pack_global, SQL_SEQUENCE_PACK_GLOBAL),
+    "q12_priority_lines": (q12_priority_lines, SQL_Q12_PRIORITY_LINES),
+    "q18_volume_customers": (q18_volume_customers, SQL_Q18_VOLUME_CUSTOMERS),
 }
