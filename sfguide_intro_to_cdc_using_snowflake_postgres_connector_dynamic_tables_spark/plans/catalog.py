@@ -659,10 +659,41 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
 
 
 def _register_extensions() -> None:
+    """Merge the extension catalogs into :data:`CATALOG`.
+
+    Duplicate keys across the five source dicts are a hard
+    ``ImportError``: a later ``dict.update`` would otherwise silently
+    shadow the earlier entry, so the shadowed query never executes while
+    its name stays green in the gate (this bit twice in round 9 --
+    ``sequence_pack`` and ``q12_priority_lines``).
+    """
     from .catalog_ext import EXT_CATALOG
     from .catalog_more import MORE_CATALOG
     from .catalog_pipeline import PIPELINE_CATALOG
     from .catalog_train import TRAIN_CATALOG
+
+    # _BASE_KEYS is snapshotted below (before the first merge), so a
+    # re-invocation (tests) checks the same invariant as the first.
+    sources = [
+        ("base", {k: None for k in _BASE_KEYS}),
+        ("ext", EXT_CATALOG),
+        ("more", MORE_CATALOG),
+        ("pipeline", PIPELINE_CATALOG),
+        ("train", TRAIN_CATALOG),
+    ]
+    owner: dict[str, str] = {}
+    collisions: list[str] = []
+    for src_name, src in sources:
+        for key in src:
+            if key in owner:
+                collisions.append(f"{key!r} in both {owner[key]} and {src_name}")
+            else:
+                owner[key] = src_name
+    if collisions:
+        raise ImportError(
+            "catalog key collision(s) -- a later catalog would silently "
+            "shadow an earlier entry: " + "; ".join(collisions)
+        )
 
     CATALOG.update(EXT_CATALOG)
     CATALOG.update(MORE_CATALOG)
@@ -693,16 +724,10 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 9).  Reset this set at the start of each round.
+#: current round (round 10).  Reset this set at the start of each round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "corpus_filter",            # single-scan fused quality+lang+md5 window
-        "dedup_keep_best",          # quality_score extra= fusion (one scan)
-        "quality_score",            # extra= carry-through param
-        "quality_topfrac",          # rides quality_score
-        "funnel",                   # single-pass greedy fold rewrite
-        "khop_reachability",        # shuffle-partitions parse guard
-        "sequence_pack_global",     # NEW: global-order packing (prefix sum)
+        "q12_returnflag_priority",  # NEW: un-shadowed (was dead q12_priority_lines)
     }
 )
 
@@ -778,6 +803,11 @@ def _reorder_for_gate() -> None:
     CATALOG.clear()
     CATALOG.update(ordered)
 
+
+#: Keys native to THIS module, snapshotted before the first merge so
+#: the collision check in ``_register_extensions`` stays correct on
+#: re-invocation.
+_BASE_KEYS: frozenset[str] = frozenset(CATALOG)
 
 _register_extensions()
 _reorder_for_gate()

@@ -1644,7 +1644,7 @@ SELECT src AS part, rank * (SELECT n FROM nn) AS rank_x_n FROM r{iterations}
 # the classic "count by class within group" reporting query.
 # ---------------------------------------------------------------------------
 
-def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -1804,6 +1804,6 @@ MORE_CATALOG: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "sequence_pack_global": (q_sequence_pack_global, SQL_SEQUENCE_PACK_GLOBAL),
-    "q12_priority_lines": (q12_priority_lines, SQL_Q12_PRIORITY_LINES),
+    "q12_returnflag_priority": (q12_returnflag_priority, SQL_Q12_PRIORITY_LINES),
     "q18_volume_customers": (q18_volume_customers, SQL_Q18_VOLUME_CUSTOMERS),
 }

@@ -152,3 +152,69 @@ def test_rotation_records_overflow_without_raising(monkeypatch):
         monkeypatch.undo()
         cat._reorder_for_gate()
         assert cat._GATE_FORCED_OVERFLOW == ()
+
+
+def test_catalog_keys_pairwise_disjoint():
+    """The five catalog source dicts must have pairwise-disjoint keys.
+
+    ``_register_extensions`` merges them with ``dict.update``; a
+    duplicate key silently shadows the earlier entry (the shadowed
+    query never executes while its name stays green in the gate --
+    this happened twice in round 9: ``sequence_pack`` and
+    ``q12_priority_lines``).  Registration now raises ImportError on a
+    collision; this pin re-checks the source dicts directly so the
+    invariant survives refactors of the merge itself.
+    """
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog as cat,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_ext import (
+        EXT_CATALOG,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_more import (
+        MORE_CATALOG,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_pipeline import (
+        PIPELINE_CATALOG,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans.catalog_train import (
+        TRAIN_CATALOG,
+    )
+
+    dicts = {
+        "ext": EXT_CATALOG,
+        "more": MORE_CATALOG,
+        "pipeline": PIPELINE_CATALOG,
+        "train": TRAIN_CATALOG,
+    }
+    # base CATALOG already contains the merged keys; recover the base-only
+    # keys by subtracting the extension dicts.
+    ext_keys = set().union(*(d.keys() for d in dicts.values()))
+    base_keys = set(cat.CATALOG) - ext_keys
+    dicts["base"] = {k: None for k in base_keys}
+
+    names = sorted(dicts)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            overlap = set(dicts[a]) & set(dicts[b])
+            assert not overlap, f"catalog key collision between {a} and {b}: {overlap}"
+
+    # merged catalog size must equal the sum of the parts
+    assert len(cat.CATALOG) == sum(len(d) for d in dicts.values())
+
+
+def test_register_extensions_raises_on_collision(monkeypatch):
+    """A duplicate key across source dicts must be a hard ImportError."""
+    import pytest
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog as cat,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog_train as train_mod,
+    )
+
+    victim = next(iter(cat.CATALOG))
+    monkeypatch.setitem(train_mod.TRAIN_CATALOG, victim, train_mod.TRAIN_CATALOG[next(iter(train_mod.TRAIN_CATALOG))])
+    with pytest.raises(ImportError, match="collision"):
+        cat._register_extensions()
