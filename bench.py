@@ -436,6 +436,18 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Second, WARM pass (VERDICT r9 item 3): the first execution of a
+    # plan shape pays its whole-stage-codegen JIT, so in a single-pass
+    # bench that one-time compile is billed to whichever entry runs the
+    # shape first and round-over-round diffs conflate plan changes with
+    # compile-order changes.  The warm wall is the steady-state plan
+    # cost -- the number to diff across rounds.
+    timings_warm: dict[str, float] = {}
+    for name, (fn, _sql) in CATALOG.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings_warm[name] = round(time.perf_counter() - t0, 3)
+
     timings["cdc_pipeline"] = round(_bench_cdc(spark), 3)
     # 3 batches (not 5): the per-batch fixed job overhead of the
     # bucket-pruned path is what's being made auditable here, and it is
@@ -503,17 +515,24 @@ def main() -> None:
         if n in oracle_timings and n in timings
     }
     db_spark = round(sum(timings[n] for n in data_bound), 3)
+    db_spark_warm = round(sum(timings_warm[n] for n in data_bound), 3)
     db_oracle = round(sum(data_bound.values()), 3)
     result = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": timings_warm,
+        "warm_total": round(sum(timings_warm.values()), 3),
         "duckdb_oracle_sec": oracle_timings,
         "data_bound_spark_sec": db_spark,
         "data_bound_oracle_sec": db_oracle,
         "data_bound_ratio": (
             round(db_spark / db_oracle, 3) if db_oracle > 0 else None
+        ),
+        "data_bound_spark_warm_sec": db_spark_warm,
+        "data_bound_ratio_warm": (
+            round(db_spark_warm / db_oracle, 3) if db_oracle > 0 else None
         ),
         "data_bound_queries": sorted(data_bound),
         "sf": sf_val,

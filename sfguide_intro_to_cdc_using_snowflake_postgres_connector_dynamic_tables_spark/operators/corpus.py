@@ -447,7 +447,21 @@ def sequence_pack_global(
     add each partition's EXCLUSIVE prefix of the per-partition totals,
     broadcast back as a tiny map (bounded by the partition count, not
     the data).  Two narrow shuffles (range exchange + per-partition
-    window), one O(#partitions) driver collect."""
+    window), one O(#partitions) driver collect.
+
+    Execution notes: CALLING this function runs an eager Spark job
+    (the per-partition-totals collect) -- it is not a purely lazy
+    DataFrame constructor.  The ranged/tokenized intermediate is
+    checkpointed so phase 2 reuses phase 1's work (and so the
+    partition ids the offsets were computed against are FROZEN --
+    recomputing the range exchange could repartition differently and
+    mis-map offsets).  With a checkpoint dir configured
+    (``sc.setCheckpointDir``) this is a RELIABLE checkpoint and the
+    returned DataFrame recomputes from it on executor loss; without
+    one it falls back to ``localCheckpoint``, whose blocks live on
+    executors -- later actions on the returned frame FAIL (not
+    recompute) if those executors are lost.  Set a checkpoint dir in
+    any long-lived or fault-exposed deployment."""
     from .text import tokens
 
     sized = docs.select(
@@ -459,7 +473,11 @@ def sequence_pack_global(
     ranged = sized.repartitionByRange("doc_id").withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)
+    sc = docs.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        ranged = ranged.checkpoint(eager=False)
+    else:
+        ranged = ranged.localCheckpoint(eager=False)
     totals = {
         r["__pid"]: r["t"]
         for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()

@@ -25,6 +25,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    chained: bool = False,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many users completed step k --
     i.e. performed ``steps[k]`` at-or-after their earliest completion
@@ -43,17 +44,29 @@ def funnel_counts(
     (each min is taken as soon as it is reachable), and the sort
     tie-break ``(ts, step_idx)`` preserves the frontier's ``>=``:
     a step-k event at the SAME timestamp as the step-(k-1) frontier
-    sorts after it and still counts.  Per-user state is bounded by
-    the user's step-typed event count.  This replaced a k-branch
+    sorts after it and still counts.  This replaced a k-branch
     union of chained join/agg frontiers (r8: 2x wall drift from
     repeated subplans the optimizer didn't fully reuse).
 
-    Steps with a repeated event type fall back to the chained
+    Hot-key bound: the per-user array holds DISTINCT ``(ts,
+    step_idx)`` pairs (``collect_set``) -- a duplicate pair can never
+    move the greedy frontier (the first copy either advanced ``acc``
+    past it or matched nothing), so dedup is exact, and the set's
+    map-side partial aggregation collapses bot-grade repeat spam
+    BEFORE the shuffle.  A user's state is therefore bounded by their
+    distinct step-typed ``(ts, step)`` pairs, not their raw event
+    count.  For sources where even distinct pairs are adversarial
+    (one key emitting millions of unique-timestamp step events), pass
+    ``chained=True``: the chained-frontier formulation keeps O(1)
+    state per (user, step) per round at the cost of one join+agg
+    exchange pair per step.
+
+    Steps with a repeated event type always use the chained
     frontier formulation (a type-to-index map would be ambiguous).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    if len(set(steps)) == len(steps):
+    if not chained and len(set(steps)) == len(steps):
         k = len(steps)
         idx_col = F.lit(None).cast("int")
         for i, s in enumerate(steps):
@@ -66,10 +79,10 @@ def funnel_counts(
                 # (a frontier comparison against NULL is never true in
                 # the chained form and the SQL oracle) -- the F.when
                 # with no otherwise yields NULL for them, which
-                # collect_list drops.  sort_array would otherwise have
+                # collect_set drops.  sort_array would otherwise have
                 # placed null-ts structs FIRST and let them advance.
                 F.sort_array(
-                    F.collect_list(
+                    F.collect_set(
                         F.when(
                             F.col(ts_col).isNotNull(),
                             F.struct(

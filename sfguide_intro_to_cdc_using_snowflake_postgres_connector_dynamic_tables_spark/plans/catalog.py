@@ -728,6 +728,7 @@ _GATE_WINDOW = 50
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q12_returnflag_priority",  # NEW: un-shadowed (was dead q12_priority_lines)
+        "sequence_pack_global",     # reliable-checkpoint path when dir configured
     }
 )
 

@@ -56,6 +56,15 @@ FEED_SCHEMA_TXN = T.StructType(
 #: table_name carried by op='C' commit-marker rows (never a real table)
 TXN_COMMIT_TABLE = "_commit"
 
+#: lsn carried by commit-marker rows synthesized from a DUAL-TOPIC
+#: source (e.g. a Debezium transaction-metadata END event): such
+#: markers have no WAL lsn of their own and must never be dropped by
+#: the snapshot-LSN watermark, so they ride above any real lsn.  The
+#: complete-transaction gate also uses it to tell dual-topic markers
+#: (which MUST declare an event_count -- NULL means malformed) from
+#: single-feed WAL commit records (which legitimately have none).
+TXN_MARKER_LSN = 1 << 62
+
 #: group name under which the pipeline publishes consistent multi-table
 #: snapshots (ParquetTableStore.read_group(spark, CDC_GROUP, table))
 CDC_GROUP = "cdc"
@@ -239,7 +248,16 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
       tx's rows instead of re-deferring them.  Markers WITHOUT an
       ``event_count`` (single-feed WAL sources, where a commit record
       trails every change it covers by construction) keep the original
-      match-in-batch semantics and are never buffered.
+      match-in-batch semantics and are never buffered.  EXCEPTION: a
+      DUAL-TOPIC marker (lsn == ``TXN_MARKER_LSN``, i.e. synthesized
+      from a Debezium transaction-metadata END event) whose
+      ``event_count`` parsed as NULL is MALFORMED, not a WAL marker --
+      match-in-batch semantics would silently lose atomicity and
+      strand any later-arriving data rows with no signal.  Such
+      markers are never treated as assembled; they carry forward with
+      ``malformed: true`` in ``after_json`` so
+      :func:`~.monitoring.txn_pending_state` surfaces the stuck tx
+      (with its buffered rows) instead of half-applying it.
 
     The ``event_count`` gate also upgrades atomicity for dual-topic
     sources: a tx whose data straddles micro-batches applies all at
@@ -276,6 +294,14 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
             F.max("event_count").alias("event_count"),
             F.max("done").alias("done"),
         )
+        # dual-topic markers ride the sentinel lsn; a NULL event_count
+        # on one is a parse failure, not WAL match-in-batch semantics
+        .withColumn(
+            "malformed",
+            (F.col("lsn") >= F.lit(TXN_MARKER_LSN))
+            & F.col("event_count").isNull()
+            & ~F.col("done"),
+        )
     )
     # distinct-lsn count per tx: replay can duplicate a row between the
     # pending buffer and the re-presented source batch, and a duplicate
@@ -285,18 +311,24 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
     )
     status = markers.join(counts, "tx_id", "left").withColumn(
         "assembled",
-        F.col("done")
-        | F.col("event_count").isNull()
-        | (F.coalesce(F.col("n_rows"), F.lit(0)) >= F.col("event_count")),
+        F.coalesce(
+            F.col("done")
+            | (F.col("event_count").isNull() & ~F.col("malformed"))
+            | (F.coalesce(F.col("n_rows"), F.lit(0)) >= F.col("event_count")),
+            F.lit(False),  # malformed: NULL event_count comparison
+        ),
     )
     ready_tx = status.filter(F.col("assembled")).select("tx_id")
     ready = data.filter(F.col("tx_id").isNull()).unionByName(
         tx_rows.join(ready_tx, "tx_id", "left_semi")
     )
     # carry forward: waiting markers verbatim; newly-assembled counted
-    # markers once more as done tombstones; done/WAL markers drop
+    # markers once more as done tombstones; malformed dual-topic
+    # markers indefinitely (surfaced, never half-applied); done/WAL
+    # markers drop
     carry = status.filter(
-        F.col("event_count").isNotNull() & ~F.col("done")
+        (F.col("event_count").isNotNull() | F.col("malformed"))
+        & ~F.col("done")
     ).select(
         F.lit("C").alias("op"),
         F.col("lsn"),
@@ -306,6 +338,7 @@ def split_complete_transactions(envelope: DataFrame) -> tuple[DataFrame, DataFra
             F.struct(
                 F.col("event_count"),
                 F.col("assembled").alias("done"),
+                F.col("malformed"),
             )
         ).alias("after_json"),
         F.col("tx_id"),

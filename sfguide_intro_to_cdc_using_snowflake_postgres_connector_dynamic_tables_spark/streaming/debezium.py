@@ -42,8 +42,9 @@ from pyspark.sql import types as T
 #: END events have no WAL lsn of their own, and a marker must never be
 #: dropped by the snapshot-LSN watermark (its DATA rows carry the real
 #: lsns and are watermark-filtered individually), so markers ride above
-#: any real lsn.
-TXN_MARKER_LSN = 1 << 62
+#: any real lsn.  Defined in changefeed (the gate keys dual-topic
+#: semantics off it); re-exported here for adapter callers.
+from .changefeed import TXN_MARKER_LSN  # noqa: E402
 
 
 def _j(v, path: str):
@@ -272,7 +273,11 @@ def _marker_event_count(v, tables: list[str]):
     )
 
 
-def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def debezium_txn_markers(
+    raw: DataFrame,
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
     """Convert Debezium TRANSACTION-METADATA topic events to op='C'
     commit-marker envelope rows.
 
@@ -287,9 +292,18 @@ def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
     to hold a marker that arrived BEFORE (some of) its tx's data until
     the tx is fully assembled, instead of silently dropping it.  Union
     the result with the transactional data envelope and feed
-    :meth:`CDCPipeline.apply_envelope_batch`."""
+    :meth:`CDCPipeline.apply_envelope_batch`.
+
+    ``tables`` scopes the expected ``event_count`` to the collections
+    this deployment actually CONSUMES (defaults to every replicated
+    table in ``TABLE_SCHEMAS``).  A feed that subscribes to a strict
+    subset of the replicated tables' topics must pass that subset here,
+    or markers would gate on rows that never arrive and strand the
+    transaction in the pending buffer."""
     from ..sources.cdc_schemas import TABLE_SCHEMAS
 
+    if tables is None:
+        tables = list(TABLE_SCHEMAS)
     v = F.col(value_col)
     j = lambda path: _j(v, path)  # noqa: E731
     return (
@@ -301,9 +315,7 @@ def debezium_txn_markers(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.lit("_commit").alias("table_name"),
             F.to_json(
                 F.struct(
-                    _marker_event_count(v, list(TABLE_SCHEMAS)).alias(
-                        "event_count"
-                    )
+                    _marker_event_count(v, tables).alias("event_count")
                 )
             ).alias("after_json"),
             _tx_hash(j("id")).alias("tx_id"),

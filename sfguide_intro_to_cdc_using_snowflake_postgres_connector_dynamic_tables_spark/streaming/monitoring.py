@@ -110,9 +110,17 @@ def txn_pending_state(spark: SparkSession, store: ParquetTableStore) -> DataFram
     'why hasn't my transaction applied yet' view.  A tx with a marker
     and rows_buffered < expected_events is awaiting late data-topic
     rows (Debezium cross-topic lag); a tx without a marker is awaiting
-    its commit; a steadily-growing row count here means a source is
-    emitting data for transactions whose metadata topic is not being
-    consumed."""
+    its commit; a ``done`` tx is a one-batch replay tombstone (already
+    applied, drops next batch); a ``malformed`` tx has a dual-topic
+    marker whose ``event_count`` failed to parse -- it will never
+    assemble and needs operator intervention; a steadily-growing row
+    count here means a source is emitting data for transactions whose
+    metadata topic is not being consumed.
+
+    ``rows_buffered`` counts DISTINCT data lsns -- exactly what the
+    gate compares against ``expected_events`` -- because a replayed
+    micro-batch can legitimately leave duplicate copies of a row in
+    the buffer (raw row counts would over-report progress)."""
     from pyspark.sql import functions as F
 
     from .changefeed import TXN_PENDING_TABLE
@@ -121,14 +129,20 @@ def txn_pending_state(spark: SparkSession, store: ParquetTableStore) -> DataFram
         return spark.createDataFrame(
             [],
             "tx_id long, rows_buffered long, marker_arrived boolean, "
-            "expected_events long, min_lsn long, max_lsn long",
+            "expected_events long, done boolean, malformed boolean, "
+            "min_lsn long, max_lsn long",
         )
     pend = store.read(spark, TXN_PENDING_TABLE)
     is_marker = F.col("op") == "C"
+    jbool = lambda path: F.coalesce(  # noqa: E731
+        F.get_json_object("after_json", path).cast("boolean"), F.lit(False)
+    )
     return (
         pend.groupBy("tx_id")
         .agg(
-            F.sum((~is_marker).cast("long")).alias("rows_buffered"),
+            F.count_distinct(F.when(~is_marker, F.col("lsn"))).alias(
+                "rows_buffered"
+            ),
             F.max(is_marker).alias("marker_arrived"),
             F.max(
                 F.when(
@@ -138,8 +152,12 @@ def txn_pending_state(spark: SparkSession, store: ParquetTableStore) -> DataFram
                     ),
                 )
             ).alias("expected_events"),
+            F.max(F.when(is_marker, jbool("$.done"))).alias("done"),
+            F.max(F.when(is_marker, jbool("$.malformed"))).alias("malformed"),
             F.min(F.when(~is_marker, F.col("lsn"))).alias("min_lsn"),
             F.max(F.when(~is_marker, F.col("lsn"))).alias("max_lsn"),
         )
+        .withColumn("done", F.coalesce("done", F.lit(False)))
+        .withColumn("malformed", F.coalesce("malformed", F.lit(False)))
         .orderBy("tx_id")
     )

@@ -663,7 +663,18 @@ class ParquetTableStore:
         the payload STRUCTS (codegen, null-safe, exact -- no hash
         collision risk), and the payload travels in the same struct
         that becomes the output image, so nothing is read or shuffled
-        twice."""
+        twice.
+
+        Schema evolution: the output carries ``to_version``'s schema.
+        A column ADDED between the two versions is null-filled on the
+        old side (mirroring ``apply_changes``' allowMissingColumns
+        semantics -- rows written before an ADD COLUMN read the new
+        column as NULL), so an unchanged row whose only delta is the
+        new column being NULL on both sides stays quiet, and a row
+        whose new column is set reports as U.  A column DROPPED
+        between the versions (not produced by this pipeline's op='S'
+        path, but a replica could be rewritten) is simply absent from
+        the comparison and the output."""
         if key is None:
             spec = self.partition_spec(name)
             if spec is None:
@@ -674,6 +685,18 @@ class ParquetTableStore:
         old = self.read_version(spark, name, from_version)
         new = self.read_version(spark, name, to_version)
         cols = new.columns
+        # align the old side to to_version's schema: null-fill added
+        # columns (typed from the new side), drop removed ones
+        missing_in_old = [c for c in cols if c not in old.columns]
+        if missing_in_old:
+            new_types = dict(new.dtypes)
+            old = old.select(
+                *[F.col(c) for c in old.columns if c in cols],
+                *[
+                    F.lit(None).cast(new_types[c]).alias(c)
+                    for c in missing_in_old
+                ],
+            )
         payload = [c for c in cols if c != key]
         oh = old.select(
             F.col(key),

@@ -168,8 +168,14 @@ def test_full_wire_format_integration(spark, tmp_path):
         }
         return json.dumps({"payload": body})
 
-    def end_event(tx):
-        return json.dumps({"payload": {"status": "END", "id": tx, "ts_ms": 1_700_000_000_500}})
+    def end_event(tx, n=1):
+        # real Debezium END events always carry event_count; an END
+        # without one is treated as malformed by the txn gate (never
+        # silently match-in-batch -- see test_transactions)
+        return json.dumps({"payload": {
+            "status": "END", "id": tx, "ts_ms": 1_700_000_000_500,
+            "event_count": n,
+        }})
 
     alter = json.dumps({
         "payload": {

@@ -492,3 +492,49 @@ def test_funnel_null_timestamps_never_advance(spark):
     got = {r["step_order"]: r["n_users"]
            for r in funnel_counts(ev, ["view", "click"]).collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_funnel_hot_user_bounded_and_chained_param(spark):
+    """Hot-key bound (VERDICT r9 item 4): a bot-grade user emitting 1M
+    step events must complete with bounded task memory.  The greedy
+    path collects DISTINCT (ts, step_idx) pairs -- repeat spam
+    collapses map-side -- so the hot user's in-memory array is the
+    distinct-pair count (here 3k), not the raw 1M.  chained=True
+    forces the O(1)-state-per-step formulation; both agree with each
+    other and with the normal-user baseline."""
+    import pyspark.sql.functions as F
+
+    steps = ["view", "cart", "buy"]
+    # hot user 1: 1M events = 333_334 repeats over ~1000 distinct ts
+    # per step type (bot replaying the same burst); user 2: clean
+    # conversion; user 3: view only.
+    n_per_type = 333_334
+    hot = (
+        spark.range(0, 3 * n_per_type, 1, 32)
+        .select(
+            F.lit(1).alias("user_id"),
+            (
+                F.lit(T0)
+                + F.make_interval(mins=(F.col("id") % 1000).cast("int"))
+            ).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in steps]),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+    )
+    normal = _events(
+        spark,
+        [(2, 0, "view"), (2, 1, "cart"), (2, 2, "buy"), (3, 0, "view")],
+    )
+    ev = hot.unionByName(normal)
+    greedy = {
+        r["step"]: r["n_users"] for r in funnel_counts(ev, steps).collect()
+    }
+    forced = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, steps, chained=True).collect()
+    }
+    # users 1+2 complete all steps; user 3 stops at view
+    assert greedy == {"view": 3, "cart": 2, "buy": 2}
+    assert forced == greedy

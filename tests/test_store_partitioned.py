@@ -481,6 +481,40 @@ def test_table_changes_between_versions(spark, tmp_path):
     assert store.table_changes(spark, "t", v2, v2).count() == 0
 
 
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """CDF across an ADD COLUMN: the old side is null-filled for the
+    added column (allowMissingColumns semantics), the feed carries
+    to_version's schema, and a row whose only delta is the new column
+    staying NULL reports no change."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "s"))
+    store.overwrite(
+        "t",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        partition_key="k",
+        n_buckets=4,
+    )
+    v1 = store.current_version("t")
+    # v2 adds column 'extra': row 1 untouched (NULL extra), row 2 sets it
+    store.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", "x")], "k long, s string, extra string"
+        ),
+        partition_key="k",
+        n_buckets=4,
+    )
+    v2 = store.current_version("t")
+    feed = store.table_changes(spark, "t", v1, v2)
+    assert feed.columns == ["op", "k", "s", "extra"]
+    got = {(r["op"], r["k"]): r["extra"] for r in feed.collect()}
+    # row 1: pre-evolution image == null-filled image -> NOT in the feed
+    assert got == {("U", 2): "x"}
+
+
 def test_table_changes_replay_closure_random(spark, tmp_path):
     """Property: for random merge sequences, applying table_changes(v1,
     v2) onto the v1 snapshot reconstructs v2 exactly -- the CDF is a

@@ -489,3 +489,84 @@ def test_txn_pending_state_view(spark, tmp_path):
     assert state[2]["rows_buffered"] == 1 and state[2]["marker_arrived"]
     assert state[2]["expected_events"] == 3
     assert state[1]["min_lsn"] == 10 and state[1]["max_lsn"] == 11
+
+
+def test_malformed_dual_topic_marker_never_half_applies(spark):
+    """A dual-topic marker (lsn == TXN_MARKER_LSN) whose event_count
+    parsed NULL is malformed -- it must NOT degrade to match-in-batch
+    (which would apply whatever rows happen to share the batch and
+    strand the rest forever with no signal).  It carries forward
+    flagged, and its data rows stay deferred."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        TXN_MARKER_LSN,
+    )
+
+    rows = [
+        ("U", 10, None, "customers", json.dumps({"customer_id": 1}), 7),
+        # Debezium END marker with unparseable event_count
+        ("C", TXN_MARKER_LSN, None, "_commit", json.dumps({}), 7),
+    ]
+    env = spark.createDataFrame(rows, FEED_SCHEMA_TXN)
+    ready, deferred = split_complete_transactions(env)
+    assert ready.count() == 0  # nothing half-applies
+    d = {(r["op"], r["tx_id"]): r for r in deferred.collect()}
+    assert ("U", 7) in d  # data row still buffered
+    marker = d[("C", 7)]
+    flags = json.loads(marker["after_json"])
+    assert flags["malformed"] is True and flags["done"] is False
+
+    # round-trip: re-presenting the carried buffer next batch keeps the
+    # tx pending (doesn't flip to assembled or drop the marker)
+    ready2, deferred2 = split_complete_transactions(deferred)
+    assert ready2.count() == 0
+    assert deferred2.filter(F.col("op") == "C").count() == 1
+    assert deferred2.filter(F.col("op") != "C").count() == 1
+
+    # a WAL commit record (real lsn) with no event_count keeps
+    # match-in-batch semantics: same shape, real lsn -> applies
+    wal = [
+        ("U", 10, None, "customers", json.dumps({"customer_id": 1}), 8),
+        ("C", 11, None, "_commit", None, 8),
+    ]
+    ready3, deferred3 = split_complete_transactions(
+        spark.createDataFrame(wal, FEED_SCHEMA_TXN)
+    )
+    assert ready3.count() == 1 and deferred3.count() == 0
+
+
+def test_txn_pending_state_distinct_lsns_and_flags(spark, tmp_path):
+    """rows_buffered counts DISTINCT data lsns (replay can duplicate a
+    buffered row); done tombstones and malformed markers are exposed
+    as columns rather than masquerading as stuck transactions."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        TXN_MARKER_LSN,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.monitoring import (
+        txn_pending_state,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    # write a synthetic pending buffer directly (shape of _txn_pending)
+    rows = [
+        # tx 1: the SAME data row twice (replay duplicate) + waiting marker
+        ("U", 10, None, "customers", json.dumps({"customer_id": 1}), 1),
+        ("U", 10, None, "customers", json.dumps({"customer_id": 1}), 1),
+        ("C", TXN_MARKER_LSN, None, "_commit",
+         json.dumps({"event_count": 2, "done": False}), 1),
+        # tx 2: done tombstone only (applied last batch, drops next)
+        ("C", TXN_MARKER_LSN, None, "_commit",
+         json.dumps({"event_count": 1, "done": True}), 2),
+        # tx 3: malformed marker + one data row
+        ("U", 30, None, "customers", json.dumps({"customer_id": 3}), 3),
+        ("C", TXN_MARKER_LSN, None, "_commit",
+         json.dumps({"malformed": True, "done": False}), 3),
+    ]
+    store.overwrite(
+        TXN_PENDING_TABLE, spark.createDataFrame(rows, FEED_SCHEMA_TXN)
+    )
+    state = {r["tx_id"]: r.asDict() for r in txn_pending_state(spark, store).collect()}
+    assert state[1]["rows_buffered"] == 1  # distinct lsn, not raw rows
+    assert state[1]["expected_events"] == 2 and not state[1]["done"]
+    assert state[2]["done"] is True and state[2]["rows_buffered"] == 0
+    assert state[3]["malformed"] is True and not state[3]["done"]
+    assert state[1]["malformed"] is False
