@@ -356,12 +356,20 @@ def quality_top_fraction(
     percent_rank (deterministic doc_id tiebreak) rather than a global
     score cutoff: the kept fraction is exact per stratum regardless of
     score distribution drift between crawls.
+
+    Plan shape: the stratum column rides quality_score's ``extra=``
+    projection -- ONE scan, then the per-stratum rank window's single
+    exchange (the old form joined the scored frame back to the corpus
+    on the id: a second scan plus two join shuffles for a per-row
+    computation).
     """
     from pyspark.sql import Window
 
     from .text import quality_score
 
-    scored = docs.join(quality_score(docs, text_col, id_col), id_col)
+    scored = quality_score(
+        docs, text_col, id_col, extra={stratum_col: F.col(stratum_col)}
+    )
     w = Window.partitionBy(stratum_col).orderBy(
         F.col("quality").desc(), F.col(id_col)
     )

@@ -729,6 +729,8 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q12_returnflag_priority",  # NEW: un-shadowed (was dead q12_priority_lines)
         "sequence_pack_global",     # reliable-checkpoint path when dir configured
+        "funnel",                   # collect_set hot-key bound (greedy path)
+        "quality_topfrac",          # single-scan extra= stratum carry-through
     }
 )
 

@@ -366,9 +366,20 @@ def ingest_batch(
     paraphrase-level dups token-set Jaccard misses), upsert the rest
     (and the new fingerprints/band keys/cell rows into their bucketed
     index tables)."""
-    scored = quality_score(batch).filter(F.col("quality") >= min_quality)
-    keep = batch.join(scored.select("doc_id"), "doc_id", "left_semi").withColumn(
-        "content_fp", F.md5(F.encode(F.col("text"), "UTF-8"))
+    # gate + fingerprint in ONE projection of ONE pass over the batch
+    # (extra= carries the payload columns through the scoring
+    # projection; the old two-frame form semi-joined the scored ids
+    # back to the batch -- a second scan and two shuffles)
+    keep = (
+        quality_score(
+            batch,
+            extra={
+                **{c: F.col(c) for c in batch.columns if c != "doc_id"},
+                "content_fp": F.md5(F.encode(F.col("text"), "UTF-8")),
+            },
+        )
+        .filter(F.col("quality") >= min_quality)
+        .drop("quality")
     )
     # batch-internal exact dedup: one doc per content (min doc_id wins)
     keep = (

@@ -467,3 +467,13 @@ def test_funnel_two_exchanges(spark):
     plan = plan_of(CATALOG["funnel"][0](spark, SF), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 2
+
+
+def test_quality_topfrac_single_scan(spark):
+    # stratum rides quality_score's extra= projection: ONE corpus scan
+    # + the per-stratum rank window's exchange (the old form joined
+    # the scored frame back to the corpus on the id -- a second scan
+    # and two join shuffles for a per-row computation)
+    plan = plan_of(CATALOG["quality_topfrac"][0](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
