@@ -533,6 +533,42 @@ class ParquetTableStore:
             }
         return out
 
+    def _file_zones(
+        self, spark: SparkSession, stage_dir: str, tdir: str, zone_cols: list[str]
+    ) -> dict:
+        """Per-FILE min/max of ``zone_cols`` under ``stage_dir``, keyed
+        {bucket: {table-relative file path: {col: [min, max]}}} -- the
+        sub-bucket layer of the zone map, recorded by ``optimize`` when
+        rows were clustered within each bucket (so each file covers a
+        tight value range).  One grouped aggregate over the staged
+        files; O(#files) rows collected."""
+        df = spark.read.parquet(stage_dir)
+        present = [c for c in zone_cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        out: dict = {}
+        for r in (
+            df.withColumn("__f", F.input_file_name())
+            .groupBy("__part", "__f")
+            .agg(*aggs)
+            .collect()
+        ):
+            p = r["__f"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):  # file:///x -> /x
+                    p = p[1:]
+            rel = os.path.relpath(p, tdir)
+            out.setdefault(str(r["__part"]), {})[rel] = {
+                c: [self._zone_value(r[f"__mn_{c}"]), self._zone_value(r[f"__mx_{c}"])]
+                for c in present
+            }
+        return out
+
     def read_pruned(
         self,
         spark: SparkSession,
@@ -550,21 +586,92 @@ class ParquetTableStore:
         The storage-layer analogue of parquet row-group min/max
         pruning, one level up: at 100 TB a selective range predicate
         opens the few overlapping bucket directories instead of the
-        table."""
-        v = self.current_version(name)
-        m = self._read_manifest(name, v) if v is not None else None
-        if m is None:
-            raise ValueError(f"table {name!r} is not partitioned")
-        keep = self._zone_pruned_buckets(m, col, lower, upper)
-        tdir = self._table_dir(name)
-        paths = [os.path.join(tdir, m["partitions"][b]) for b in keep]
-        paths.append(os.path.join(tdir, m["schema_dir"]))
+        table.
+
+        After ``optimize(zorder_cols=[...])`` the manifest also carries
+        per-FILE stats (``file_zones``) for the optimized buckets:
+        rows are date-clustered within each hash bucket, so a
+        selective range probe opens only the few matching FILES of
+        each surviving bucket instead of the whole bucket directory --
+        the layout answer to hash-bucketed fact tables where every
+        bucket contains every date and bucket-level stats stop
+        pruning.  Buckets rewritten by a later ``merge``/``append``
+        lose file granularity until the next optimize (standard
+        compaction model); they fall back to whole-directory reads."""
+        paths, _stats = self._pruned_paths(name, col, lower, upper)
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if lower is not None:
             df = df.filter(F.col(col) >= F.lit(lower))
         if upper is not None:
             df = df.filter(F.col(col) <= F.lit(upper))
         return df
+
+    def _pruned_paths(self, name: str, col: str, lower, upper):
+        """(paths to scan, pruning stats) for a zone-pruned read --
+        shared by ``read_pruned`` and ``prune_plan``."""
+        v = self.current_version(name)
+        m = self._read_manifest(name, v) if v is not None else None
+        if m is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        keep = self._zone_pruned_buckets(m, col, lower, upper)
+        tdir = self._table_dir(name)
+        lo = self._zone_value(lower) if lower is not None else None
+        up = self._zone_value(upper) if upper is not None else None
+        file_zones = (
+            m.get("file_zones", {}) if (lo is not None or up is not None) else {}
+        )
+        paths = []
+        files_total = 0
+        files_kept = 0
+        for b in m["partitions"]:
+            fz = file_zones.get(b)
+            files_total += len(fz) if fz else 1
+            if b not in keep:
+                continue
+            if fz:
+                survivors = [
+                    rel
+                    for rel, stats in fz.items()
+                    if self._zone_keep(stats.get(col), lo, up)
+                ]
+                files_kept += len(survivors)
+                paths.extend(os.path.join(tdir, rel) for rel in survivors)
+            else:
+                files_kept += 1
+                paths.append(os.path.join(tdir, m["partitions"][b]))
+        paths.append(os.path.join(tdir, m["schema_dir"]))
+        stats = {
+            "buckets_total": len(m["partitions"]),
+            "buckets_kept": len(keep),
+            "files_total": files_total,
+            "files_kept": files_kept,
+        }
+        return paths, stats
+
+    def prune_plan(self, name: str, col: str, lower=None, upper=None) -> dict:
+        """What a ``read_pruned`` with these bounds would scan:
+        {buckets_total, buckets_kept, files_total, files_kept} (a
+        bucket without file-level stats counts as one file).  The
+        auditable metric behind the zone-map + clustered-layout claims
+        -- no data is read."""
+        _paths, stats = self._pruned_paths(name, col, lower, upper)
+        return stats
+
+    @staticmethod
+    def _zone_keep(z, lo, up) -> bool:
+        """Shared [min, max] overlap test for bucket- and file-level
+        stats: missing stats => must scan; all-NULL stats under a real
+        predicate => a range match is impossible, skip."""
+        if z is None:
+            return True
+        mn, mx = z
+        if mn is None or mx is None:
+            return False
+        if lo is not None and mx < lo:
+            return False
+        if up is not None and mn > up:
+            return False
+        return True
 
     def _zone_pruned_buckets(self, manifest: dict, col: str, lower, upper) -> list[str]:
         """Bucket ids (manifest keys) surviving the zone check."""
@@ -575,21 +682,11 @@ class ParquetTableStore:
             # no predicate -> no pruning: read_pruned(name, col) must be
             # exactly store.read(name), including all-NULL-stat buckets
             return list(manifest["partitions"])
-        keep = []
-        for b in manifest["partitions"]:
-            z = zones.get(b, {}).get(col)
-            if z is None:
-                keep.append(b)  # no stats -> must scan
-                continue
-            mn, mx = z
-            if mn is None or mx is None:
-                continue  # all-NULL bucket: a range predicate matches nothing
-            if lo is not None and mx < lo:
-                continue
-            if up is not None and mn > up:
-                continue
-            keep.append(b)
-        return keep
+        return [
+            b
+            for b in manifest["partitions"]
+            if self._zone_keep(zones.get(b, {}).get(col), lo, up)
+        ]
 
     def read_buckets(self, spark: SparkSession, name: str, bucket_ids) -> DataFrame:
         """Partition-pruned read: only the listed hash buckets are
@@ -874,6 +971,16 @@ class ParquetTableStore:
             if zone_cols:
                 manifest["zone_cols"] = zone_cols
                 manifest["zones"] = self._bucket_zones(spark, stage_dir, zone_cols)
+                if zorder_cols:
+                    # rows are clustered within each bucket, so per-file
+                    # stats are tight -- record them and read_pruned
+                    # prunes FILES inside surviving buckets (the layout
+                    # lever for range probes on a hash-bucketed table;
+                    # pair with writer_options={"maxRecordsPerFile": N}
+                    # to control the clustering granularity)
+                    manifest["file_zones"] = self._file_zones(
+                        spark, stage_dir, tdir, zone_cols
+                    )
             self._write_manifest(name, v, manifest)
             self._commit(name, v)
             return v
@@ -943,6 +1050,15 @@ class ParquetTableStore:
                     zones.update(self._bucket_zones(spark, stage_dir, zone_cols))
                     manifest["zone_cols"] = zone_cols
                     manifest["zones"] = zones
+                    # rewritten buckets lose file-level granularity until
+                    # the next optimize; untouched ones keep theirs
+                    file_zones = {
+                        b: fz
+                        for b, fz in m.get("file_zones", {}).items()
+                        if b not in written
+                    }
+                    if file_zones:
+                        manifest["file_zones"] = file_zones
                 self._write_manifest(name, nv, manifest)
                 self._commit(name, nv)
                 return nv
@@ -1090,6 +1206,15 @@ class ParquetTableStore:
                     zones.update(self._bucket_zones(spark, stage_dir, zone_cols))
                     manifest["zone_cols"] = zone_cols
                     manifest["zones"] = zones
+                    # rewritten buckets lose file-level granularity until
+                    # the next optimize; untouched ones keep theirs
+                    file_zones = {
+                        b: fz
+                        for b, fz in m.get("file_zones", {}).items()
+                        if b in partitions and b not in written
+                    }
+                    if file_zones:
+                        manifest["file_zones"] = file_zones
                 self._write_manifest(name, nv, manifest)
                 self._commit(name, nv)
                 return nv

@@ -224,3 +224,58 @@ def test_no_bounds_reads_everything_including_all_null_buckets(spark, tmp_path):
     # so skipping all-NULL buckets stays exact (and prunes everything)
     assert store.read_pruned(spark, "t", "v", 100, 200).count() == 0
     assert len(store._zone_pruned_buckets(m, "v", 100, 200)) == 0
+
+
+def test_optimize_file_zones_prune_within_buckets(spark, tmp_path):
+    """Date-clustered layout (VERDICT r9 item 7): after
+    optimize(zorder_cols=['d']) the manifest carries per-FILE stats;
+    a narrow date probe scans only the matching files of each
+    surviving bucket instead of whole bucket directories, and the
+    result still equals the exact filtered read."""
+    store = _seeded(spark, tmp_path, n=256, buckets=8)
+    # every bucket contains the full date range (hash on id), so
+    # bucket-level stats cannot prune a date probe
+    pre = store.prune_plan("t", "d", dt.date(2024, 3, 1), dt.date(2024, 3, 2))
+    assert pre["buckets_kept"] == pre["buckets_total"] == 8
+    assert pre["files_total"] == 8  # one unit per bucket pre-optimize
+
+    store.optimize(
+        spark, "t", zorder_cols=["d"],
+        writer_options={"maxRecordsPerFile": "8"},
+    )
+    post = store.prune_plan("t", "d", dt.date(2024, 3, 1), dt.date(2024, 3, 2))
+    assert post["files_total"] >= 8 * 3  # clustering split each bucket
+    assert post["files_kept"] <= 8  # ~1 matching file per bucket
+    assert post["files_kept"] < post["files_total"] // 2
+
+    got = store.read_pruned(
+        spark, "t", "d", dt.date(2024, 3, 1), dt.date(2024, 3, 2)
+    )
+    exact = store.read(spark, "t").filter(
+        (F.col("d") >= F.lit(dt.date(2024, 3, 1)))
+        & (F.col("d") <= F.lit(dt.date(2024, 3, 2)))
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in exact.collect()
+    )
+
+    # a later merge drops file granularity for rewritten buckets only,
+    # and results stay exact
+    ups = spark.createDataFrame(
+        [(3, 999, dt.date(2024, 3, 1))], "id long, v long, d date"
+    )
+    store.merge(spark, "t", ups, spark.createDataFrame([(3,)], "id long"))
+    after = store.prune_plan("t", "d", dt.date(2024, 3, 1), dt.date(2024, 3, 2))
+    # exactly the delta bucket coarsened (its several clustered files
+    # became one unit); every untouched bucket kept file granularity
+    assert post["files_total"] - after["files_total"] >= 2
+    assert after["files_total"] > 8
+    got2 = store.read_pruned(
+        spark, "t", "d", dt.date(2024, 3, 1), dt.date(2024, 3, 2)
+    ).collect()
+    assert {r["id"] for r in got2} >= {3}
+    exact2 = store.read(spark, "t").filter(
+        (F.col("d") >= F.lit(dt.date(2024, 3, 1)))
+        & (F.col("d") <= F.lit(dt.date(2024, 3, 2)))
+    ).collect()
+    assert sorted(r["id"] for r in got2) == sorted(r["id"] for r in exact2)
