@@ -570,3 +570,47 @@ def test_txn_pending_state_distinct_lsns_and_flags(spark, tmp_path):
     assert state[2]["done"] is True and state[2]["rows_buffered"] == 0
     assert state[3]["malformed"] is True and not state[3]["done"]
     assert state[1]["malformed"] is False
+
+
+def test_malformed_marker_pipeline_surfaces_and_recovers(spark, pipeline):
+    """End-to-end: a malformed Debezium marker (NULL event_count) holds
+    its tx in the pending buffer across batches -- nothing
+    half-applies -- and txn_pending_state flags it; a corrected
+    re-emission of the marker (source-side fix/replay) then releases
+    the buffered rows."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.changefeed import (
+        TXN_MARKER_LSN,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.monitoring import (
+        txn_pending_state,
+    )
+
+    p, store, customers = pipeline
+    cid = customers[0][0]
+    batch = [
+        ("U", 9000, None, "customers",
+         json.dumps({"customer_id": cid, "age": 77}), 21),
+        ("C", TXN_MARKER_LSN, None, "_commit", json.dumps({}), 21),
+    ]
+    p.apply_envelope_batch(spark.createDataFrame(batch, FEED_SCHEMA_TXN))
+    cust = store.read(spark, "customers")
+    assert cust.filter(F.col("customer_id") == cid).first()["age"] != 77
+    state = {r["tx_id"]: r.asDict()
+             for r in txn_pending_state(spark, store).collect()}
+    assert state[21]["malformed"] is True
+    assert state[21]["rows_buffered"] == 1
+
+    # an empty follow-up batch must keep (not drop) the stuck tx
+    p.apply_envelope_batch(
+        spark.createDataFrame([], FEED_SCHEMA_TXN)
+    )
+    state = {r["tx_id"]: r.asDict()
+             for r in txn_pending_state(spark, store).collect()}
+    assert 21 in state and state[21]["malformed"] is True
+
+    # corrected marker re-emission releases the tx atomically
+    fixed = [("C", TXN_MARKER_LSN, None, "_commit",
+              json.dumps({"event_count": 1}), 21)]
+    p.apply_envelope_batch(spark.createDataFrame(fixed, FEED_SCHEMA_TXN))
+    cust = store.read(spark, "customers")
+    assert cust.filter(F.col("customer_id") == cid).first()["age"] == 77
