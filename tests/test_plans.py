@@ -477,3 +477,16 @@ def test_quality_topfrac_single_scan(spark):
     plan = plan_of(CATALOG["quality_topfrac"][0](spark, SF), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_lsh_token_table_not_redistincted(spark):
+    # The exploded (doc_id, token) table is unique by construction
+    # (per-row array_distinct / distinct gram build), so the LSH engine
+    # must not pay a cross-partition distinct of it: the only exchanges
+    # keyed on the token table are the per-doc signature aggregate
+    # (doc_id) and the candidate-pair dedup (doc_a, doc_b).
+    import re
+
+    for entry in ("ngram_jaccard_dup", "minhash_near_dup"):
+        plan = plan_of(CATALOG[entry][0](spark, SF), mode="simple")
+        assert not re.search(r"hashpartitioning\(doc_id#\d+L?, token#", plan), entry

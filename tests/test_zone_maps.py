@@ -279,3 +279,46 @@ def test_optimize_file_zones_prune_within_buckets(spark, tmp_path):
         & (F.col("d") <= F.lit(dt.date(2024, 3, 2)))
     ).collect()
     assert sorted(r["id"] for r in got2) == sorted(r["id"] for r in exact2)
+
+
+def test_file_zone_pruning_exact_under_random_merges(spark, tmp_path):
+    """Property: after optimize + a random sequence of merges, every
+    range probe through read_pruned equals the exact filtered read --
+    file-level pruning is an optimization, never a correctness
+    dependency."""
+    import random
+
+    rng = random.Random(20240815)
+    store = _seeded(spark, tmp_path, n=128, buckets=8)
+    store.optimize(
+        spark, "t", zorder_cols=["d"],
+        writer_options={"maxRecordsPerFile": "8"},
+    )
+    for step in range(3):
+        ids = rng.sample(range(128), 5)
+        ups = spark.createDataFrame(
+            [
+                (
+                    i,
+                    rng.randrange(10_000),
+                    dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(128)),
+                )
+                for i in ids[:3]
+            ],
+            "id long, v long, d date",
+        )
+        touched = spark.createDataFrame([(i,) for i in ids], "id long")
+        store.merge(spark, "t", ups, touched)
+        lo = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(100))
+        up = lo + dt.timedelta(days=rng.randrange(10))
+        got = sorted(
+            (r["id"], r["d"])
+            for r in store.read_pruned(spark, "t", "d", lo, up).collect()
+        )
+        exact = sorted(
+            (r["id"], r["d"])
+            for r in store.read(spark, "t")
+            .filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(up)))
+            .collect()
+        )
+        assert got == exact, f"step {step}: pruned read diverged"
