@@ -341,6 +341,67 @@ def stratified_sample(
     )
 
 
+def mixture_to_proportions(
+    docs: DataFrame,
+    proportions: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic DOWN-sample to a target domain mixture -- the
+    "data mixing" step of LLM corpus assembly (train on X% web, Y%
+    code, Z% books): keep the LARGEST corpus whose domain proportions
+    match ``proportions`` exactly in expectation, without upsampling
+    any domain.
+
+    Mechanics: with per-domain counts ``n_d`` and normalized target
+    weights ``p_d``, the achievable corpus size is
+    ``N* = min_d(n_d / p_d)`` (the binding domain is kept whole);
+    every other domain keeps rate ``N* p_d / n_d`` via a hash
+    threshold on the doc id -- membership is a pure function of ids
+    (reruns/backfills/engines agree), selection is uniform within a
+    domain, and realized counts deviate from exact only by binomial
+    noise O(sqrt n_d).  Domains absent from ``proportions`` are
+    dropped; a REQUESTED domain with no rows forces N* = 0 (an exact
+    mixture containing it is impossible -- fail loudly-empty rather
+    than silently distort the mix).
+
+    Returns (``id_col``, domain) for the kept docs.
+
+    Plan shape: one bounded aggregate (O(#domains) rows collected to
+    compute the rates), then a NARROW hash-threshold filter over one
+    scan -- no shuffle touches the corpus, so this runs at any scale;
+    compare ``stratified_sample`` (exact per-stratum counts, but a
+    per-stratum window sort).
+    """
+    total = float(sum(proportions.values()))
+    if total <= 0:
+        raise ValueError("proportions must have positive total weight")
+    p = {d: w / total for d, w in proportions.items() if w > 0}
+    counts = {
+        r["d"]: r["n"]
+        for r in docs.filter(F.col(domain_col).isin(list(p)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if any(d not in counts for d in p):
+        nstar = 0.0
+    else:
+        nstar = min(counts[d] / p[d] for d in p)
+    rate = F.lit(0.0)
+    for d in p:
+        r_d = (nstar * p[d] / counts[d]) if counts.get(d) else 0.0
+        rate = F.when(F.col(domain_col) == d, F.lit(r_d)).otherwise(rate)
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("double") / F.lit(float(16**6))
+    return (
+        docs.filter(F.col(domain_col).isin(list(p)))
+        .filter(u < rate)
+        .select(F.col(id_col), F.col(domain_col).alias("domain"))
+    )
+
+
 def quality_top_fraction(
     docs: DataFrame,
     fraction: float,

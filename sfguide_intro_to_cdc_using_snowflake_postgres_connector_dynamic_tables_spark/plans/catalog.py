@@ -731,6 +731,7 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "sequence_pack_global",     # reliable-checkpoint path when dir configured
         "funnel",                   # collect_set hot-key bound (greedy path)
         "quality_topfrac",          # single-scan extra= stratum carry-through
+        "mixture_proportions",      # NEW: target-mixture down-sampling
         "minhash_near_dup",         # token set built narrow (no extra shuffle)
         "ngram_jaccard_dup",        # gram table no longer re-distinct'd
         "dup_components",           # 1-action rounds + single pair materialization

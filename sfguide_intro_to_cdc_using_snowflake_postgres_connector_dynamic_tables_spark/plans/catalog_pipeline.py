@@ -636,6 +636,47 @@ SELECT doc_id, lang, quality FROM r WHERE pr <= 0.25
 
 
 # ---------------------------------------------------------------------------
+# Domain mixture solving: deterministic down-sample to TARGET domain
+# proportions (the "data mixing" step of corpus assembly) -- keep the
+# largest corpus whose lang mix is 50% en / 25% fr / 25% zh without
+# upsampling; hash-threshold membership, narrow filter, no corpus
+# shuffle.
+# ---------------------------------------------------------------------------
+
+_MIXTURE_PROPS = {"en": 0.5, "fr": 0.25, "zh": 0.25}
+
+
+def q_mixture_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.mixture_to_proportions(docs, _MIXTURE_PROPS)
+
+
+def _mixture_sql(props: dict[str, float]) -> str:
+    """Oracle mirroring corpus.mixture_sample byte-for-byte: the
+    NORMALIZED weights are embedded as ::DOUBLE literals (bare decimal
+    literals type as DECIMAL in DuckDB and diverge), N* / rates use
+    the identical arithmetic order (min(n / w), then nstar * w / n),
+    and the id hash is the shared 6-nibble md5 prefix over 16^6."""
+    total = float(sum(props.values()))
+    p = {d: w / total for d, w in props.items() if w > 0}
+    vals = ", ".join(f"('{d}', {p_d!r}::DOUBLE)" for d, p_d in p.items())
+    in_list = ", ".join(f"'{d}'" for d in p)
+    u = _hex_sql("md5(CAST(doc_id AS VARCHAR))", 6)
+    return f"""
+WITH p(domain, w) AS (VALUES {vals}),
+c AS (SELECT lang AS domain, count(*) AS n FROM documents
+      WHERE lang IN ({in_list}) GROUP BY 1),
+r AS (SELECT p.domain, p.w, c.n FROM p JOIN c USING (domain)),
+ns AS (SELECT CASE WHEN (SELECT count(*) FROM r) = (SELECT count(*) FROM p)
+              THEN (SELECT min(n / w) FROM r) ELSE 0.0 END AS v),
+rates AS (SELECT domain, (SELECT v FROM ns) * w / n AS rate FROM r)
+SELECT d.doc_id AS doc_id, d.lang AS domain
+FROM documents d JOIN rates ON d.lang = rates.domain
+WHERE ({u}) / 16777216.0 < rates.rate
+"""
+
+
+# ---------------------------------------------------------------------------
 # Span-level (substring) dedup: maximal repeated 5-gram spans across
 # the corpus (Lee et al. ACL'22 shape), gaps-and-islands merge.
 # ---------------------------------------------------------------------------
@@ -822,6 +863,7 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quality_topfrac": (q_quality_topfrac, SQL_QUALITY_TOPFRAC),
+    "mixture_proportions": (q_mixture_proportions, _mixture_sql(_MIXTURE_PROPS)),
     "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
     "text_embed": (q_text_embed, SQL_TEXT_EMBED),
     "text_sim_topk": (q_text_sim_topk, _text_sim_topk_sql()),

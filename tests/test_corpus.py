@@ -643,3 +643,57 @@ def test_sequence_pack_global_matches_sequential_model(spark):
         acc += n
     # bins are dense from 0 and every bin's started-docs fit the rule
     assert min(b for _, b in got.values()) == 0
+
+
+def test_mixture_to_proportions_semantics(spark):
+    """Target-mixture down-sampling: achieved proportions track the
+    targets (binomial noise), the binding domain is kept whole,
+    unlisted domains drop, a requested-but-absent domain forces empty
+    (exact mixture impossible), and membership is deterministic."""
+    import pyspark.sql.functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        mixture_to_proportions,
+    )
+
+    # 4000 web / 1000 code / 500 books / 300 junk (unlisted)
+    docs = (
+        spark.range(5800)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 4000, "web")
+            .when(F.col("id") < 5000, "code")
+            .when(F.col("id") < 5500, "books")
+            .otherwise("junk")
+            .alias("lang"),
+        )
+    )
+    # target 50/25/25 over (web, code, books): books binds --
+    # N* = 500/0.25 = 2000 -> web rate 0.25, code rate 0.5, books 1.0
+    out = mixture_to_proportions(docs, {"web": 0.5, "code": 0.25, "books": 0.25})
+    by = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert by["books"] == 500  # binding domain kept whole (rate 1.0)
+    assert "junk" not in by
+    assert abs(by["web"] - 1000) < 150  # ~N* * 0.5, binomial noise
+    assert abs(by["code"] - 500) < 110
+    # determinism: re-running yields the identical membership
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_to_proportions(
+            docs, {"web": 0.5, "code": 0.25, "books": 0.25}
+        ).collect()
+    )
+    assert ids1 == ids2
+    # un-normalized weights mean the same mixture
+    ids3 = sorted(
+        r["doc_id"]
+        for r in mixture_to_proportions(
+            docs, {"web": 2.0, "code": 1.0, "books": 1.0}
+        ).collect()
+    )
+    assert ids1 == ids3
+    # a requested domain with no rows -> empty (never distort the mix)
+    assert (
+        mixture_to_proportions(docs, {"web": 0.5, "absent": 0.5}).count() == 0
+    )
