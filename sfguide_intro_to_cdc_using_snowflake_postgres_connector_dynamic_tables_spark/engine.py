@@ -127,6 +127,28 @@ class Engine:
             self.spark, name, from_version, to_version, key=key
         )
 
+    def read_pruned(
+        self, name: str, col: str, lower=None, upper=None
+    ) -> DataFrame:
+        """Zone-map-pruned range scan of a replicated table (bucket- and,
+        after ``optimize_table(zorder_cols=...)``, file-level pruning)."""
+        return self.store.read_pruned(self.spark, name, col, lower, upper)
+
+    def prune_plan(self, name: str, col: str, lower=None, upper=None) -> dict:
+        """What a pruned range scan would touch: {buckets_total,
+        buckets_kept, files_total, files_kept} -- the audit view of the
+        zone-map + clustered-layout behavior, no data read."""
+        return self.store.prune_plan(name, col, lower, upper)
+
+    def optimize_table(self, name: str, zorder_cols=None, **kwargs) -> int:
+        """Compact a replicated table's merge generations; with
+        ``zorder_cols`` also cluster rows within each bucket and record
+        per-file zone stats so selective range probes prune files
+        (pair with ``writer_options={"maxRecordsPerFile": N}``)."""
+        return self.store.optimize(
+            self.spark, name, zorder_cols=zorder_cols, **kwargs
+        )
+
     # -- monitoring (S10) ----------------------------------------------------
 
     def replication_state(self) -> DataFrame:

@@ -265,3 +265,40 @@ def test_engine_table_changes(spark, tmp_path):
     v2 = engine.store.current_version("customers")
     ops = {(r["op"], r["customer_id"]) for r in engine.table_changes("customers", v1, v2).collect()}
     assert ops == {("U", upd), ("D", dele)}
+
+
+def test_engine_layout_maintenance_facade(spark, tmp_path):
+    """Facade for the replica layout levers: optimize_table(zorder) ->
+    prune_plan shows file-level pruning -> read_pruned returns the
+    exact filtered rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    engine = Engine(spark, str(tmp_path / "store"))
+    rows = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 32)) for i in range(128)],
+        "id long, d date",
+    )
+    engine.store.overwrite(
+        "t", rows, partition_key="id", n_buckets=4, zone_cols=["d"]
+    )
+    engine.optimize_table(
+        "t", zorder_cols=["d"], writer_options={"maxRecordsPerFile": "8"}
+    )
+    plan = engine.prune_plan("t", "d", dt.date(2024, 1, 3), dt.date(2024, 1, 4))
+    assert plan["files_total"] > plan["buckets_total"]
+    assert plan["files_kept"] < plan["files_total"] // 2
+    got = sorted(
+        r["id"]
+        for r in engine.read_pruned(
+            "t", "d", dt.date(2024, 1, 3), dt.date(2024, 1, 4)
+        ).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in engine.table("t")
+        .filter((F.col("d") >= "2024-01-03") & (F.col("d") <= "2024-01-04"))
+        .collect()
+    )
+    assert got == want and got
