@@ -33,6 +33,7 @@ EXAMPLES: dict[str, list[str]] = {
     "retrieval_pipeline.py": [SF],
     "training_prep.py": [SF],
     "transactional_cdc.py": [],
+    "replica_maintenance.py": [],
 }
 
 
