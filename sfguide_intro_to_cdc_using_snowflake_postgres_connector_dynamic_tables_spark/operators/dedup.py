@@ -74,15 +74,36 @@ def _token_set(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _minhash_min_exprs(num_hashes: int) -> list[Column]:
+    """k per-doc minimum-hash aggregates from ONE md5 per token.
+
+    Each of the k hash functions is a disjoint 5-nibble slice of the
+    token's single md5 digest (the bloom-filter trick from
+    ``corpus._bloom_pos``): slices of one digest are as independent as
+    k salted hashes for MinHash purposes, and hashing is the dominant
+    cost of the signature aggregate -- the hottest loop of the whole
+    dedup pipeline at corpus scale -- so this cuts it k-fold (codegen
+    CSE evaluates the shared digest once per token).  Lexicographic
+    min over fixed-width hex equals numeric min, and the shuffled
+    signature row shrinks from k x 32 to k x 5 chars.  The DuckDB
+    oracles rebuild the identical slices with substr."""
+    if num_hashes * 5 > 32:
+        raise ValueError(
+            "num_hashes > 6 exceeds the md5 digest's 32 nibbles"
+        )
+    h = F.md5(F.encode(F.col("token"), "UTF-8"))
+    return [
+        F.min(F.substring(h, 1 + 5 * i, 5)).alias(f"h{i + 1}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     tok: DataFrame, num_hashes: int = 6
 ) -> DataFrame:
-    """k salted-md5 minimum hashes per doc (columns h1..hk)."""
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("token")), "UTF-8"))).alias(f"h{i}")
-        for i in range(1, num_hashes + 1)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    """k minimum hashes per doc (columns h1..hk), one md5 per token
+    (see ``_minhash_min_exprs``)."""
+    return tok.groupBy("doc_id").agg(*_minhash_min_exprs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -154,12 +175,10 @@ def lsh_pairs_from_tokens(
     and the verification token-set/size per doc (fused aggregate);
     everything downstream works on the per-doc table (|docs| rows).
     """
-    per_doc_aggs = [
-        F.min(
-            F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("token")), "UTF-8"))
-        ).alias(f"h{i}")
-        for i in range(1, num_hashes + 1)
-    ] + [F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("n")]
+    per_doc_aggs = _minhash_min_exprs(num_hashes) + [
+        F.collect_set("token").alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    ]
     # The signature aggregate feeds 4 branches of the final plan (bands
     # self-join sides + the two verify joins); caching it halves wall
     # time vs recomputing the token shuffle per branch (measured 2x at

@@ -72,10 +72,12 @@ doclist AS MATERIALIZED (
   SELECT doc_id, list(token) AS toks, count(*) AS n FROM tok GROUP BY doc_id
 ),
 sig AS (
+  -- 6 minhashes = disjoint 5-nibble slices of ONE md5 per token
+  -- (mirrors operators/dedup.py::_minhash_min_exprs byte-for-byte)
   SELECT t.doc_id, d.source,
-         min(md5('1|' || token)) AS h1, min(md5('2|' || token)) AS h2,
-         min(md5('3|' || token)) AS h3, min(md5('4|' || token)) AS h4,
-         min(md5('5|' || token)) AS h5, min(md5('6|' || token)) AS h6
+         min(substr(md5(token), 1, 5))  AS h1, min(substr(md5(token), 6, 5))  AS h2,
+         min(substr(md5(token), 11, 5)) AS h3, min(substr(md5(token), 16, 5)) AS h4,
+         min(substr(md5(token), 21, 5)) AS h5, min(substr(md5(token), 26, 5)) AS h6
   FROM tok t JOIN documents d ON d.doc_id = t.doc_id
   GROUP BY t.doc_id, d.source
 ),
@@ -120,10 +122,12 @@ tok AS (
         FROM base) u
 ),
 sig AS (
+  -- 6 minhashes = disjoint 5-nibble slices of ONE md5 per token
+  -- (mirrors operators/dedup.py::_minhash_min_exprs byte-for-byte)
   SELECT doc_id,
-         min(md5('1|' || token)) AS h1, min(md5('2|' || token)) AS h2,
-         min(md5('3|' || token)) AS h3, min(md5('4|' || token)) AS h4,
-         min(md5('5|' || token)) AS h5, min(md5('6|' || token)) AS h6
+         min(substr(md5(token), 1, 5))  AS h1, min(substr(md5(token), 6, 5))  AS h2,
+         min(substr(md5(token), 11, 5)) AS h3, min(substr(md5(token), 16, 5)) AS h4,
+         min(substr(md5(token), 21, 5)) AS h5, min(substr(md5(token), 26, 5)) AS h6
   FROM tok GROUP BY doc_id
 ),
 bands AS (
