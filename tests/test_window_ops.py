@@ -96,3 +96,45 @@ def test_topk_per_group_matches_naive_window(spark):
         df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_exact_percentiles_matches_percentile_aggregate(spark):
+    """Differential: window-sort exact_percentiles == F.percentile on
+    random data with duplicates, NULLs, and an all-NULL group."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.window_ops import (
+        exact_percentiles,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(rng.randrange(5, 60)):
+            v = None if rng.random() < 0.2 else float(rng.randrange(100))
+            rows.append((g, v))
+    rows += [("z", None), ("z", None)]  # all-NULL group
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p99"])
+        for r in exact_percentiles(
+            df, ["g"], [("v", 0.25, "p25"), ("v", 0.5, "p50"), ("v", 0.99, "p99")]
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p25"], r["p50"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", 0.25).alias("p25"),
+            F.percentile("v", 0.5).alias("p50"),
+            F.percentile("v", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for x, y in zip(got[g], want[g]):
+            assert (x is None and y is None) or abs(x - y) < 1e-9, (g, got[g], want[g])
