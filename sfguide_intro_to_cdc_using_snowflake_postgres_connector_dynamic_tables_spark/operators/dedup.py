@@ -14,8 +14,10 @@ scale-first:
   LSH-bucketed (scale path) variants.
 
 MinHash design note: each "permutation" is the lexicographic MIN of a
-salted md5 over the token set.  md5 is identical across engines, and
-``min(varchar)`` is plain ASCII ordering -- so the DuckDB oracle can
+disjoint 5-nibble slice of ONE md5 over the token set (see
+``_minhash_min_exprs`` -- one digest per token, k slices).  md5 is
+identical across engines, and ``min(varchar)`` over fixed-width hex is
+plain ASCII ordering == numeric order -- so the DuckDB oracle can
 reproduce signatures byte-for-byte, which keeps this operator under the
 strong hash-match gate instead of a weak rows-only check.
 """
@@ -25,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
@@ -147,7 +149,7 @@ def band_keys_for_docs(
 ) -> DataFrame:
     """(doc_id, band) LSH band keys for each doc -- byte-identical to
     the bands ``lsh_pairs_from_tokens`` builds internally (same
-    salted-md5 minhash, same band hash), exposed for INDEXED near-dup
+    md5-slice minhash, same band hash), exposed for INDEXED near-dup
     lookups: a streaming ingest stores these rows in a band-bucketed
     index table and each batch probes only its own bands' buckets."""
     tok = _token_set(docs, text_col, id_col)

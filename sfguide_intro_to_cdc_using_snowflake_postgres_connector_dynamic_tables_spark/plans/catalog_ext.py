@@ -5,8 +5,8 @@ tables.
 
 Oracle-strength notes -- every entry is under the strong hash-match
 gate, including the formerly rows-only ones:
-- minhash/ngram dedup: salted-md5 lexicographic-min signatures are
-  reproducible in ANSI-ish SQL;
+- minhash/ngram dedup: the lexicographic-min 5-nibble md5-slice
+  signatures are reproducible in ANSI-ish SQL;
 - embedding near-dup, both variants: exact (block BLAS) matches the
   all-pairs SQL; the banded hyperplane LSH's plane matrix is
   md5-derived so SQL rebuilds identical buckets;
