@@ -257,6 +257,35 @@ def _soak_cdc(
                 )
             before = after
         elapsed = time.perf_counter() - t0
+        post_optimize: dict = {}
+        if zone_cols and "transactions" in zone_cols:
+            # the maintenance answer to the degrading prune-hit column:
+            # date-cluster each bucket (file-level zone stats) and
+            # re-probe -- the r9 finding was that current-date rows land
+            # in every hash bucket, so bucket-level stats stop pruning;
+            # file-level stats restore selectivity without touching the
+            # merge path (VERDICT r9 item 7)
+            import datetime as _dt
+
+            # size files to ~1/6 of a bucket so clustering is visible at
+            # soak scale (at 100 TB the analogous knob is row-group /
+            # file size in bytes)
+            n_tx = p.store.read(spark, "transactions").count()
+            per_file = max(32, n_tx // buckets // 6)
+            p.store.optimize(
+                spark,
+                "transactions",
+                zorder_cols=zone_cols["transactions"],
+                writer_options={"maxRecordsPerFile": str(per_file)},
+            )
+            probe = _dt.date(2024, 10, 11)
+            plan = p.store.prune_plan(
+                "transactions", "transaction_date", probe, probe
+            )
+            post_optimize = {
+                "post_optimize_files_total": plan["files_total"],
+                "post_optimize_files_scanned": plan["files_kept"],
+            }
         live_bytes = sum(m[0] for m in before.values())
         n_rows = batches * rows_per_batch
         lags_sorted = sorted(lags)
@@ -301,6 +330,7 @@ def _soak_cdc(
                 if prune_keep
                 else {}
             ),
+            **post_optimize,
         }
 
 
