@@ -735,6 +735,7 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "minhash_near_dup",         # token set built narrow (no extra shuffle)
         "ngram_jaccard_dup",        # gram table no longer re-distinct'd
         "dup_components",           # 1-action rounds + single pair materialization
+        "percentiles",              # tradeoff re-measured (F.percentile kept)
     }
 )
 
