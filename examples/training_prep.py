@@ -56,6 +56,9 @@ def main(sf_dir: str, out_dir: str) -> None:
         [("src1", 256), ("src0", 128), ("src2", 128), ("src3", 128), ("src4", 128)],
         default_threshold=64,
     )
+    # (the rate-SOLVING variant -- "make the language mix exactly
+    # 50/25/25 without upsampling" -- is corpus.mixture_to_proportions;
+    # rate_thresholds above are the fixed-keep-rate form)
 
     # 2. token budget per (language, shard): best-first by length
     kept = training.token_budget_select(mixed, budget_per_shard=5000, n_shards=8)
