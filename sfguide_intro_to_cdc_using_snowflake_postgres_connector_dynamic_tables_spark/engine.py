@@ -144,9 +144,21 @@ class Engine:
         """Compact a replicated table's merge generations; with
         ``zorder_cols`` also cluster rows within each bucket and record
         per-file zone stats so selective range probes prune files
-        (pair with ``writer_options={"maxRecordsPerFile": N}``)."""
+        (pair with ``writer_options={"maxRecordsPerFile": N}``).
+        ``buckets=[...]`` limits the rewrite to those buckets."""
         return self.store.optimize(
             self.spark, name, zorder_cols=zorder_cols, **kwargs
+        )
+
+    def maintain_clustering(
+        self, name: str, zorder_cols, max_coarse_frac: float = 0.15, **kwargs
+    ) -> dict:
+        """Auto-compaction: when merges have coarsened more than
+        ``max_coarse_frac`` of the table's buckets (file-level zone
+        stats lost), incrementally re-cluster ONLY those buckets.
+        Call after merge cycles; no manual optimize step needed."""
+        return self.store.maintain_clustering(
+            self.spark, name, zorder_cols, max_coarse_frac=max_coarse_frac, **kwargs
         )
 
     # -- monitoring (S10) ----------------------------------------------------

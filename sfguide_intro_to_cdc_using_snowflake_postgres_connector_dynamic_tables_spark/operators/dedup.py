@@ -76,7 +76,28 @@ def _token_set(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_min_exprs(num_hashes: int) -> list[Column]:
+#: Version tag of the minhash/band computation, stamped into the NAME
+#: of every persisted band-index table (``corpus_ingest.bands_table_name``).
+#: BUMP THIS whenever ``_minhash_min_exprs``, ``_token_set`` or the band
+#: hash in ``band_keys_for_docs``/``lsh_pairs_from_tokens`` changes in a
+#: way that alters band-key values: a persisted index written under the
+#: old scheme would otherwise be probed with keys that can never match,
+#: silently missing already-indexed near-dups.  With the scheme in the
+#: table name, upgraded code simply doesn't find the old index and
+#: rebuilds from the main table (the existing one-time backfill path);
+#: the stale index is never probed.  "mh2" = k disjoint 5-nibble slices
+#: of one md5 per token (round 10); the retired salted-md5 scheme is
+#: implicitly "mh1".
+BAND_SCHEME = "mh2"
+
+
+def band_scheme(wide: bool = False) -> str:
+    """Scheme tag for a given slice width -- the string persisted-index
+    names carry (see ``BAND_SCHEME``)."""
+    return BAND_SCHEME + ("w" if wide else "")
+
+
+def _minhash_min_exprs(num_hashes: int, wide: bool = False) -> list[Column]:
     """k per-doc minimum-hash aggregates from ONE md5 per token.
 
     Each of the k hash functions is a disjoint 5-nibble slice of the
@@ -88,7 +109,34 @@ def _minhash_min_exprs(num_hashes: int) -> list[Column]:
     CSE evaluates the shared digest once per token).  Lexicographic
     min over fixed-width hex equals numeric min, and the shuffled
     signature row shrinks from k x 32 to k x 5 chars.  The DuckDB
-    oracles rebuild the identical slices with substr."""
+    oracles rebuild the identical slices with substr.
+
+    Slice-width bound: a 5-nibble slice has a 2^20 value space, so two
+    UNRELATED docs with ~n distinct tokens each agree on one slice's
+    minimum with probability ~n/2^20 (the min of n uniform draws
+    concentrates in a width-(2^20/n) band).  At web-doc token counts
+    (n <= ~10^4) a band of 2 slices false-fires at ~(n/2^20)^2 <= 1e-4
+    per pair per band -- negligible, and every candidate still passes
+    the exact-Jaccard verify, so output stays correct regardless.  For
+    corpora of very large documents (n ~ 10^5-10^6 distinct tokens,
+    e.g. whole books) pass ``wide=True``: each hash becomes a 10-nibble
+    slice (2^40 space) drawn from TWO salted digests -- twice the
+    hashing cost, collision term back to ~n/2^40.
+    """
+    if wide:
+        # 10 nibbles per hash from two salted digests (3 slices each).
+        if num_hashes * 10 > 64:
+            raise ValueError("num_hashes > 6 exceeds two md5 digests' 64 nibbles")
+        d = [
+            F.md5(F.encode(F.col("token"), "UTF-8")),
+            F.md5(F.encode(F.concat(F.col("token"), F.lit("#w2")), "UTF-8")),
+        ]
+        # three whole 10-nibble slices per 32-nibble digest (nibbles
+        # 31-32 of each digest go unused -- slices must not straddle)
+        return [
+            F.min(F.substring(d[i // 3], 1 + 10 * (i % 3), 10)).alias(f"h{i + 1}")
+            for i in range(num_hashes)
+        ]
     if num_hashes * 5 > 32:
         raise ValueError(
             "num_hashes > 6 exceeds the md5 digest's 32 nibbles"
@@ -101,11 +149,12 @@ def _minhash_min_exprs(num_hashes: int) -> list[Column]:
 
 
 def minhash_signatures(
-    tok: DataFrame, num_hashes: int = 6
+    tok: DataFrame, num_hashes: int = 6, wide: bool = False
 ) -> DataFrame:
     """k minimum hashes per doc (columns h1..hk), one md5 per token
-    (see ``_minhash_min_exprs``)."""
-    return tok.groupBy("doc_id").agg(*_minhash_min_exprs(num_hashes))
+    (see ``_minhash_min_exprs``; ``wide=True`` for very-large-document
+    corpora -- 10-nibble slices from two salted digests)."""
+    return tok.groupBy("doc_id").agg(*_minhash_min_exprs(num_hashes, wide))
 
 
 def minhash_lsh_pairs(
@@ -116,6 +165,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.5,
     block_col: str | None = None,
+    wide: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact Jaccard verify.
 
@@ -137,7 +187,7 @@ def minhash_lsh_pairs(
         if block_col is not None
         else None
     )
-    return lsh_pairs_from_tokens(tok, num_hashes, band_size, threshold, blocks)
+    return lsh_pairs_from_tokens(tok, num_hashes, band_size, threshold, blocks, wide)
 
 
 def band_keys_for_docs(
@@ -146,6 +196,7 @@ def band_keys_for_docs(
     id_col: str = "doc_id",
     num_hashes: int = 6,
     band_size: int = 2,
+    wide: bool = False,
 ) -> DataFrame:
     """(doc_id, band) LSH band keys for each doc -- byte-identical to
     the bands ``lsh_pairs_from_tokens`` builds internally (same
@@ -153,7 +204,7 @@ def band_keys_for_docs(
     lookups: a streaming ingest stores these rows in a band-bucketed
     index table and each batch probes only its own bands' buckets."""
     tok = _token_set(docs, text_col, id_col)
-    sig = minhash_signatures(tok, num_hashes)
+    sig = minhash_signatures(tok, num_hashes, wide)
     n_bands = num_hashes // band_size
     exprs = []
     for b in range(n_bands):
@@ -168,6 +219,7 @@ def lsh_pairs_from_tokens(
     band_size: int = 2,
     threshold: float = 0.5,
     blocks: DataFrame | None = None,
+    wide: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over a prepared (doc_id, token) set
     table -- the shared engine behind word-set and shingle-set dedup.
@@ -177,7 +229,7 @@ def lsh_pairs_from_tokens(
     and the verification token-set/size per doc (fused aggregate);
     everything downstream works on the per-doc table (|docs| rows).
     """
-    per_doc_aggs = _minhash_min_exprs(num_hashes) + [
+    per_doc_aggs = _minhash_min_exprs(num_hashes, wide) + [
         F.collect_set("token").alias("toks"),
         F.count(F.lit(1)).alias("n"),
     ]

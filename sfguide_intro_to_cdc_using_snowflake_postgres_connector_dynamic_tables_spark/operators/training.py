@@ -51,6 +51,52 @@ def mixture_sample(
     return docs.filter(b < thr)
 
 
+def shuffle_shards(
+    rows: DataFrame,
+    n_shards: int = 64,
+    seed: str = "0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    The last training-prep step after ``sequence_pack``: training wants
+    the corpus in random order, but a 100 TB backfill also wants
+    RERUNS to produce byte-identical shards (resume a failed write,
+    regenerate one shard, diff two pipeline versions).  So the
+    "shuffle" is a pure function of (seed, key): every row lands in
+    ``shard = md5(seed|key) nibbles 1-6 mod n_shards`` and gets a
+    within-shard position ``pos`` by ordering on DISJOINT hash nibbles
+    7-32 (key as tiebreak) -- uniform placement, deterministic order,
+    no RNG state, no sampling pass, stable under retries/appends/input
+    layout, matching the determinism contract of ``mixture_sample``
+    and ``corpus_split``.
+
+    ONE exchange: the shard window's hash partitioning.  Window task
+    size is |rows| / n_shards -- pick n_shards for the shard FILE size
+    you want (hundreds at corpus scale), which simultaneously bounds
+    the sort.  Changing ``seed`` is a full reshuffle by construction.
+    Returns the input columns + (shard int, pos bigint).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(
+        F.substring("__h", 7, 26).asc(), F.col(key_col).asc()
+    )
+    return (
+        rows.withColumn("__h", h)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring("__h", 1, 6), 16, 10).cast("long"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget_per_shard: int,

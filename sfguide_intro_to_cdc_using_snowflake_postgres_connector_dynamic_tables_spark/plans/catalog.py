@@ -724,18 +724,19 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 10).  Reset this set at the start of each round.
+#: current round (round 11).  Reset this set at the start of each round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "q12_returnflag_priority",  # NEW: un-shadowed (was dead q12_priority_lines)
-        "sequence_pack_global",     # reliable-checkpoint path when dir configured
-        "funnel",                   # collect_set hot-key bound (greedy path)
-        "quality_topfrac",          # single-scan extra= stratum carry-through
-        "mixture_proportions",      # NEW: target-mixture down-sampling
-        "minhash_near_dup",         # token set built narrow (no extra shuffle)
-        "ngram_jaccard_dup",        # gram table no longer re-distinct'd
-        "dup_components",           # 1-action rounds + single pair materialization
-        "percentiles",              # tradeoff re-measured (F.percentile kept)
+        "shuffle_shards",             # NEW: deterministic training-shard shuffle
+        "q2_min_cost_supplier",       # NEW: correlated-MIN multi-dim join shape
+        "q9_product_profit",          # NEW: expression-heavy profit rollup shape
+        "q20_half_volume_suppliers",  # NEW: nested semi-join vs correlated half-sum
+        "minhash_near_dup",           # wide= slice param threaded (default unchanged)
+        "ngram_jaccard_dup",          # lsh_pairs_from_tokens signature extended
+        "dup_components",             # consumes the touched LSH pair engine
+        "khop_reachability",          # copurchase support agg: explicit reduce width
+        "triangle_count",             # shares the copurchase edge build
+        "pagerank",                   # shares the copurchase edge build
     }
 )
 

@@ -652,7 +652,7 @@ def q_mixture_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mixture_sql(props: dict[str, float]) -> str:
-    """Oracle mirroring corpus.mixture_sample byte-for-byte: the
+    """Oracle mirroring corpus.mixture_to_proportions byte-for-byte: the
     NORMALIZED weights are embedded as ::DOUBLE literals (bare decimal
     literals type as DECIMAL in DuckDB and diverge), N* / rates use
     the identical arithmetic order (min(n / w), then nstar * w / n),

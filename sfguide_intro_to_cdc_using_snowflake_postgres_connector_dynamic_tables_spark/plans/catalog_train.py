@@ -133,6 +133,239 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Deterministic training-shard shuffle: the step AFTER sequence_pack.
+# shard = md5(seed|key) nibbles 1-6 mod N; within-shard order by the
+# DISJOINT nibbles 7-32 -- reruns produce byte-identical shards.
+# ---------------------------------------------------------------------------
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return training.shuffle_shards(docs, n_shards=8, seed="r11")
+
+
+def _shuffle_shards_sql() -> str:
+    """Mirrors training.shuffle_shards byte-for-byte: same md5 input
+    string, same 6-nibble shard arithmetic (strpos form of Spark's
+    conv), same (nibbles 7-32, key) within-shard order."""
+    from .catalog_pipeline import _hex_sql
+
+    hex6 = _hex_sql("hx", 6)
+    return f"""
+WITH h AS (SELECT doc_id, md5('r11|' || CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+s AS (SELECT doc_id, CAST(({hex6}) % 8 AS INT) AS shard,
+             substr(hx, 7, 26) AS ord, hx
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+SQL_SHUFFLE_SHARDS = _shuffle_shards_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated MIN over a multi-dimension join.  The driver
+# schema has no partsupp, so "supply cost" of a (part, supplier) pair
+# is its minimum effective unit price over that supplier's lines
+# (min(extprice*(1-disc)/qty)) -- the exact Q2 skeleton survives: for
+# region-local suppliers of filtered parts, keep the supplier(s)
+# achieving the per-part MINIMUM cost.  The correlated scalar
+# decorrelates to a groupBy(part).min re-joined against the candidate
+# set; region/nation/part dims broadcast, the only shuffles are the
+# supply rollup and the candidate join.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    supply = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("l_quantity")
+        ).alias("cost")
+    )
+    n = broadcast_if_small(_t(spark, sf_dir, "nation"), sf_dir, "nation")
+    r = broadcast_if_small(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+        sf_dir,
+        "region",
+    )
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = supply.join(rs, F.col("suppkey") == F.col("s_suppkey"))
+    min_cost = cand.groupBy("partkey").agg(F.min("cost").alias("__min_cost"))
+    p = broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+        ),
+        sf_dir,
+        "part",
+    ).select("p_partkey", "p_name")
+    return (
+        cand.join(min_cost, "partkey")
+        .filter(F.col("cost") == F.col("__min_cost"))
+        .join(p, F.col("partkey") == F.col("p_partkey"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nation"),
+            "partkey",
+            F.col("p_name").alias("pname"),
+            "cost",
+        )
+    )
+
+
+SQL_Q2_MIN_COST_SUPPLIER = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice * (1 - l_discount) / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2),
+rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'),
+cand AS (SELECT * FROM supply JOIN rs ON suppkey = s_suppkey)
+SELECT s_acctbal AS acctbal, s_name AS sname, n_name AS nation,
+       partkey, p_name AS pname, cost
+FROM cand JOIN part ON partkey = p_partkey
+WHERE p_size <= 5 AND p_type = 'STANDARD'
+  AND cost = (SELECT min(c2.cost) FROM cand c2 WHERE c2.partkey = cand.partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: expression-heavy multi-join profit rollup with a LIKE
+# filter on the part dimension.  No partsupp, so unit cost is a
+# retail-price fraction (0.6 * p_retailprice), keeping the Q9 amount
+# expression shape: extprice*(1-disc) - cost*qty.  part (LIKE-filtered)
+# and nation broadcast; lineitem shuffles once for the orders join and
+# once for the final (nation, year) aggregate.
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")),
+        sf_dir,
+        "part",
+    ).select("p_partkey", "p_retailprice")
+    s = broadcast_if_small(_t(spark, sf_dir, "supplier"), sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = broadcast_if_small(_t(spark, sf_dir, "nation"), sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # per-row decimal(18,4) BEFORE the sum: the double inputs are
+    # bit-identical across engines so the per-row cast agrees exactly
+    # (verified row-for-row at sf0.01), and decimal addition is
+    # associative -- the double-sum form flaked at a 2dp rounding
+    # boundary because Spark and DuckDB accumulate in different orders
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("sum_profit"))
+    )
+
+
+SQL_Q9_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(l_extendedprice * (1 - l_discount)
+                - 0.6::DOUBLE * p_retailprice * l_quantity
+           AS DECIMAL(18,4))) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested semi-join against a correlated half-sum.  Without
+# partsupp's availqty, the analogue asks: which region-local suppliers
+# shipped MORE THAN HALF of their all-time volume of some LIKE-filtered
+# part during 1995?  The correlated HAVING scalar decorrelates to a
+# (partkey, suppkey) rollup joined against the 1995-only rollup; both
+# IN-subqueries become left-semi hash joins (part filter broadcast).
+# ---------------------------------------------------------------------------
+
+def q20_half_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    parts = broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")),
+        sf_dir,
+        "part",
+    ).select("p_partkey")
+    filtered = l.join(
+        parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    q95 = (
+        filtered.filter(F.year("l_shipdate") == 1995)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty95"))
+    )
+    qall = filtered.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qtyall")
+    )
+    heavy = (
+        q95.join(qall, ["l_partkey", "l_suppkey"])
+        .filter(F.col("qty95") > F.lit(0.5) * F.col("qtyall"))
+        .select("l_suppkey")
+    )
+    n = broadcast_if_small(_t(spark, sf_dir, "nation"), sf_dir, "nation")
+    r = broadcast_if_small(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+        sf_dir,
+        "region",
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_name").alias("sname"), F.col("s_acctbal").alias("acctbal"))
+    )
+
+
+SQL_Q20_HALF_VOLUME_SUPPLIERS = """
+SELECT s_name AS sname, s_acctbal AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey FROM lineitem l1
+    WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+      AND year(l1.l_shipdate) = 1995
+    GROUP BY l1.l_partkey, l1.l_suppkey
+    HAVING sum(l1.l_quantity) > 0.5::DOUBLE * (
+      SELECT sum(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey))
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q12 shape: conditional aggregation of order-priority classes per
 # line status.  One join shuffle + one agg; the CASE arms are codegen.
 # ---------------------------------------------------------------------------
@@ -735,6 +968,13 @@ TRAIN_CATALOG = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2_MIN_COST_SUPPLIER),
+    "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
+    "q20_half_volume_suppliers": (
+        q20_half_volume_suppliers,
+        SQL_Q20_HALF_VOLUME_SUPPLIERS,
+    ),
     "q12_priority_lines": (q12_priority_lines, SQL_Q12_PRIORITY_LINES),
     "q14_promo_revenue": (q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
     "q16_supplier_variety": (q16_supplier_variety, SQL_Q16_SUPPLIER_VARIETY),

@@ -75,8 +75,208 @@ def _seen_fps_for_batch(
     return store.read_buckets(spark, fp_name, batch_buckets)
 
 
-def bands_table_name(table: str) -> str:
-    return f"{table}__bands"
+def bands_table_name(
+    table: str, num_hashes: int = 6, band_size: int = 2, wide: bool = False
+) -> str:
+    """Name of the persisted LSH band index for ``table`` -- the minhash
+    SCHEME VERSION and band parameters are part of the name, so code
+    running a different band computation (a scheme bump, different
+    num_hashes/band_size, wide slices) never probes an index whose keys
+    it cannot reproduce: it simply doesn't find the table and rebuilds
+    via the one-time backfill path.  A stale-scheme index left behind by
+    old code is never read again (harmless dead weight; drop manually
+    if space matters)."""
+    from ..operators.dedup import band_scheme
+
+    return f"{table}__bands__{band_scheme(wide)}-{num_hashes}x{band_size}"
+
+
+def _ensure_band_index(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    num_hashes: int,
+    band_size: int,
+    n_buckets: int,
+) -> str:
+    """Bootstrap the band index for the CURRENT scheme/parameters if it
+    doesn't exist yet (one-time O(table) backfill -- also the rebuild
+    path after a scheme bump invalidates a previously persisted index,
+    per ADVICE r10: stale-scheme keys must never be probed)."""
+    from ..operators.dedup import band_keys_for_docs
+
+    bands_name = bands_table_name(table, num_hashes, band_size)
+    if not store.exists(bands_name):
+        store.overwrite(
+            bands_name,
+            band_keys_for_docs(
+                store.read(spark, table), num_hashes=num_hashes, band_size=band_size
+            ),
+            partition_key="band",
+            n_buckets=n_buckets,
+        )
+    return bands_name
+
+
+def _cross_pairs(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    bands_name: str,
+    new_docs: DataFrame,
+    new_bands: DataFrame,
+    threshold: float,
+    exclude_batch_ids: bool = False,
+) -> DataFrame:
+    """Verified near-dup pairs between ``new_docs`` and STORED docs:
+    probe only the band buckets ``new_bands`` hashes into, fetch only
+    the candidate stored docs (bucket-pruned by the main table's
+    doc_id partitioning), exact token-set Jaccard verify.  Returns
+    (doc_id, stored_id, jaccard) with jaccard >= threshold -- O(batch
+    bands + candidates) I/O, never a corpus scan.
+
+    ``exclude_batch_ids``: drop index rows whose doc_id is in the batch
+    itself (re-probe safety for callers whose batch may already be
+    indexed); the per-tick ingest filter skips this join because batch
+    docs are never indexed before the filter runs."""
+    from ..operators.text import tokens
+
+    empty = new_docs.select(
+        F.col("doc_id"),
+        F.col("doc_id").alias("stored_id"),
+        F.lit(1.0).alias("jaccard"),
+    ).limit(0)
+    _key, B = store.partition_spec(bands_name)
+    batch_buckets = [
+        r[0]
+        for r in new_bands.select(store.bucket_expr("band", B).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    if not batch_buckets:
+        return empty
+    stored_bands = store.read_buckets(spark, bands_name, batch_buckets)
+    if exclude_batch_ids:
+        stored_bands = stored_bands.join(
+            new_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    cand = (
+        new_bands.join(stored_bands.withColumnRenamed("doc_id", "stored_id"), "band")
+        .select("doc_id", "stored_id")
+        .distinct()
+    )
+    if cand.isEmpty():
+        return empty
+    # fetch ONLY the candidate stored docs (bucket-pruned by the
+    # main table's doc_id partitioning when available)
+    cand_ids = cand.select(F.col("stored_id").alias("doc_id")).distinct()
+    spec = store.partition_spec(table)
+    if spec is not None:
+        _mk, MB = spec
+        id_buckets = [
+            r[0]
+            for r in cand_ids.select(store.bucket_expr("doc_id", MB).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        stored_docs = store.read_buckets(spark, table, id_buckets)
+    else:
+        stored_docs = store.read(spark, table)
+    stored_docs = stored_docs.join(cand_ids, "doc_id", "left_semi")
+
+    # exact token-set Jaccard verify of candidate pairs (same token
+    # definition and arithmetic as dedup.lsh_pairs_from_tokens, so an
+    # index probe reproduces the full-corpus LSH run's pairs exactly)
+    new_toks = new_docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks_new")
+    )
+    old_toks = stored_docs.select(
+        F.col("doc_id").alias("stored_id"),
+        F.array_distinct(tokens(F.col("text"))).alias("toks_old"),
+    )
+    return (
+        cand.join(new_toks, "doc_id")
+        .join(old_toks, "stored_id")
+        .withColumn("n_inter", F.size(F.array_intersect("toks_new", "toks_old")))
+        .select(
+            "doc_id",
+            "stored_id",
+            (
+                F.col("n_inter")
+                * 1.0
+                / (F.size("toks_new") + F.size("toks_old") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_incremental(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    n_buckets: int = 16,
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental BATCH near-dup over the persisted band index: the
+    pairs a full ``minhash_lsh_pairs`` run over (corpus + new_docs)
+    would emit that involve at least one new doc -- WITHOUT touching
+    the corpus beyond the band buckets the new docs hash into.
+
+    Today's alternative is re-running LSH over the full corpus to
+    dedup an increment; at 100 TB that is the difference between
+    O(corpus) and O(delta x bucket) per backfill batch.  Probe I/O is
+    bounded by the new docs' own band keys (<= |delta| x n_bands rows
+    joined against <= that many index buckets), candidate fetches are
+    bucket-pruned on the main table's doc_id partitioning, and the
+    final exact-Jaccard verify touches only candidate pairs.
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b, the union of
+    - batch-internal pairs (both docs new), and
+    - batch-vs-store pairs (one doc new, one already in ``table``),
+    each exactly verified -- identical values to the full-corpus run
+    because the index stores the same band keys LSH builds internally
+    (``band_keys_for_docs``) and the verify reuses the same token
+    definition and arithmetic.
+
+    ``update_index=True`` then upserts the new docs' band keys, so the
+    NEXT increment sees this one -- consecutive calls compose to the
+    full-corpus result.  Index rows for docs the caller later drops
+    are harmless: their candidates find no main-table row and emit no
+    pair.  Requires the main table to exist (bootstraps the band index
+    from it on first call or after a scheme bump -- see
+    ``bands_table_name``).
+    """
+    from ..operators.dedup import _SIG_CACHES, band_keys_for_docs, minhash_lsh_pairs
+
+    bands_name = _ensure_band_index(
+        store, spark, table, num_hashes, band_size, n_buckets
+    )
+    # batch-internal pairs (retires the previous LSH call's caches)
+    intra = minhash_lsh_pairs(
+        new_docs, num_hashes=num_hashes, band_size=band_size, threshold=threshold
+    )
+    new_bands = band_keys_for_docs(
+        new_docs, num_hashes=num_hashes, band_size=band_size
+    ).cache()
+    _SIG_CACHES.append(new_bands)  # retired by the next dedup call
+    cross = _cross_pairs(
+        store, spark, table, bands_name, new_docs, new_bands, threshold,
+        exclude_batch_ids=True,
+    ).select(
+        F.least("doc_id", "stored_id").alias("doc_a"),
+        F.greatest("doc_id", "stored_id").alias("doc_b"),
+        "jaccard",
+    )
+    pairs = intra.unionByName(cross)
+    if update_index:
+        # eager: the next increment must see this one's band keys
+        store.append(spark, bands_name, new_bands)
+    return pairs
 
 
 def _near_dup_filter(
@@ -91,15 +291,15 @@ def _near_dup_filter(
 ) -> DataFrame:
     """Drop batch docs that are near-duplicates (token-set Jaccard >=
     threshold) of anything already in the store, using the band-bucketed
-    ``<table>__bands`` index so each tick reads only the band buckets
-    the batch's own band keys hash into -- O(batch bands + candidates)
-    per tick, never a corpus scan.
+    index (``bands_table_name``) so each tick reads only the band
+    buckets the batch's own band keys hash into -- O(batch bands +
+    candidates) per tick, never a corpus scan.
 
     Index bootstrap mirrors the fp table: a one-time O(table) backfill
-    for stores created before the index existed.
+    for stores created before the index existed (or indexed under a
+    retired band scheme).
     """
     from ..operators.dedup import band_keys_for_docs, minhash_lsh_pairs
-    from ..operators.text import tokens
 
     # 1. batch-internal near-dup: keep the lowest-id doc of each pair
     intra = minhash_lsh_pairs(
@@ -109,72 +309,20 @@ def _near_dup_filter(
         intra.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
 
-    bands_name = bands_table_name(table)
-    if not store.exists(bands_name):
-        store.overwrite(
-            bands_name,
-            band_keys_for_docs(
-                store.read(spark, table), num_hashes=num_hashes, band_size=band_size
-            ),
-            partition_key="band",
-            n_buckets=n_buckets,
-        )
+    bands_name = _ensure_band_index(
+        store, spark, table, num_hashes, band_size, n_buckets
+    )
     new_bands = band_keys_for_docs(
         survivors, num_hashes=num_hashes, band_size=band_size
     ).cache()
     try:
-        _key, B = store.partition_spec(bands_name)
-        batch_buckets = [
-            r[0]
-            for r in new_bands.select(store.bucket_expr("band", B).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not batch_buckets:
-            return survivors
-        stored_bands = store.read_buckets(spark, bands_name, batch_buckets)
-        cand = (
-            new_bands.join(stored_bands.withColumnRenamed("doc_id", "stored_id"), "band")
-            .select("doc_id", "stored_id")
-            .distinct()
-        )
-        if cand.isEmpty():
-            return survivors
-        # 2. fetch ONLY the candidate stored docs (bucket-pruned by the
-        # main table's doc_id partitioning when available)
-        cand_ids = cand.select(F.col("stored_id").alias("doc_id")).distinct()
-        spec = store.partition_spec(table)
-        if spec is not None:
-            _mk, MB = spec
-            id_buckets = [
-                r[0]
-                for r in cand_ids.select(store.bucket_expr("doc_id", MB).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            stored_docs = store.read_buckets(spark, table, id_buckets)
-        else:
-            stored_docs = store.read(spark, table)
-        stored_docs = stored_docs.join(cand_ids, "doc_id", "left_semi")
-
-        # 3. exact token-set Jaccard verify of candidate pairs
-        new_toks = survivors.select(
-            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks_new")
-        )
-        old_toks = stored_docs.select(
-            F.col("doc_id").alias("stored_id"),
-            F.array_distinct(tokens(F.col("text"))).alias("toks_old"),
-        )
+        # 2.-3. probe the index + exact-verify candidates (shared with
+        # the batch-incremental API); batch docs are never indexed
+        # before this runs, so the re-probe exclusion join is skipped
         dup_ids = (
-            cand.join(new_toks, "doc_id")
-            .join(old_toks, "stored_id")
-            .withColumn("n_inter", F.size(F.array_intersect("toks_new", "toks_old")))
-            .withColumn(
-                "jaccard",
-                F.col("n_inter")
-                / (F.size("toks_new") + F.size("toks_old") - F.col("n_inter")),
+            _cross_pairs(
+                store, spark, table, bands_name, survivors, new_bands, threshold
             )
-            .filter(F.col("jaccard") >= threshold)
             .select("doc_id")
             .distinct()
         )
@@ -451,7 +599,7 @@ def ingest_batch(
             )
             if near_dup:
                 store.overwrite(
-                    bands_table_name(table),
+                    bands_table_name(table, num_hashes, band_size),
                     band_keys_for_docs(
                         keep, num_hashes=num_hashes, band_size=band_size
                     ),
@@ -500,7 +648,7 @@ def ingest_batch(
 
                 store.append(
                     spark,
-                    bands_table_name(table),
+                    bands_table_name(table, num_hashes, band_size),
                     band_keys_for_docs(
                         new_rows, num_hashes=num_hashes, band_size=band_size
                     ),

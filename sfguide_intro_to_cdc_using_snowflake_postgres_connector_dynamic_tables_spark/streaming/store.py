@@ -912,6 +912,7 @@ class ParquetTableStore:
         zorder_cols: list[str] | None = None,
         bits: int = 12,
         writer_options: dict[str, str] | None = None,
+        buckets: list | None = None,
     ) -> int:
         """Maintenance rewrite of a partitioned table -- the managed
         store's ``OPTIMIZE [ZORDER BY]``: compacts each hash bucket's
@@ -921,25 +922,40 @@ class ParquetTableStore:
         pruning works on those columns on top of the bucket pruning
         the hash key already provides.
 
-        Cost: one full-table pass (off-peak maintenance, like
-        ``rebucket``); bucket membership is untouched, so merges and
-        pruned reads are unaffected.  Atomic via the version pointer.
+        ``buckets=None`` rewrites the whole table (one full pass --
+        off-peak maintenance, like ``rebucket``).  ``buckets=[...]``
+        is the INCREMENTAL form: only the named buckets are read and
+        rewritten, every other bucket's directory, zone stats, and
+        file-level stats carry over untouched -- O(touched buckets)
+        I/O, which is what a steady merge load needs (merges coarsen
+        only the buckets they rewrite, so only those ever need
+        re-clustering; see ``maintain_clustering``).  Bucket
+        membership is untouched either way, so merges and pruned
+        reads are unaffected.  Atomic via the version pointer.
         """
         spec = self.partition_spec(name)
         if spec is None:
             raise ValueError(f"table {name!r} is not partitioned")
         key, B = spec
-        df = self.read(spark, name)
+        v = self.current_version(name) + 1
+        old_m = self._read_manifest(name, v - 1)
+        if buckets is not None:
+            buckets = [str(b) for b in buckets if str(b) in old_m["partitions"]]
+            if not buckets:
+                return v - 1  # nothing to rewrite
+            df = self.read_buckets(spark, name, buckets)
+        else:
+            df = self.read(spark, name)
         if zorder_cols:
             from ..operators.zorder import with_morton
 
             df = with_morton(df, zorder_cols, bits)
-        v = self.current_version(name) + 1
         with self._claimed(name, v):
             tdir = self._table_dir(name)
             stage = f"w{v}-{uuid.uuid4().hex[:8]}"
             stage_dir = os.path.join(tdir, stage)
-            out = df.repartition(B, self.bucket_expr(key, B).alias("__part"))
+            width = B if buckets is None else max(len(buckets), 1)
+            out = df.repartition(width, self.bucket_expr(key, B).alias("__part"))
             out = out.withColumn("__part", self.bucket_expr(key, B))
             if zorder_cols:
                 # __part leads the sort so the dynamic-partition writer's
@@ -953,24 +969,42 @@ class ParquetTableStore:
             for k_opt, v_opt in (writer_options or {}).items():
                 writer = writer.option(k_opt, v_opt)
             writer.parquet(stage_dir)
-            schema_dir = f"{stage}-schema"
-            self.read(spark, name).limit(0).write.parquet(os.path.join(tdir, schema_dir))
-            partitions = {
+            written = {
                 entry.split("=", 1)[1]: f"{stage}/{entry}"
                 for entry in os.listdir(stage_dir)
                 if entry.startswith("__part=")
             }
+            if buckets is None:
+                schema_dir = f"{stage}-schema"
+                self.read(spark, name).limit(0).write.parquet(
+                    os.path.join(tdir, schema_dir)
+                )
+                partitions = written
+            else:
+                # a re-cluster never evolves the schema: carry the marker
+                schema_dir = old_m["schema_dir"]
+                partitions = dict(old_m["partitions"])
+                partitions.update(written)
             manifest = {
                 "key": key,
                 "n_buckets": B,
                 "partitions": partitions,
                 "schema_dir": schema_dir,
             }
-            old_m = self._read_manifest(name, v - 1)
             zone_cols = (old_m or {}).get("zone_cols")
             if zone_cols:
                 manifest["zone_cols"] = zone_cols
-                manifest["zones"] = self._bucket_zones(spark, stage_dir, zone_cols)
+                zones = (
+                    {}
+                    if buckets is None
+                    else {
+                        b: z
+                        for b, z in old_m.get("zones", {}).items()
+                        if b in partitions and b not in written
+                    }
+                )
+                zones.update(self._bucket_zones(spark, stage_dir, zone_cols))
+                manifest["zones"] = zones
                 if zorder_cols:
                     # rows are clustered within each bucket, so per-file
                     # stats are tight -- record them and read_pruned
@@ -978,12 +1012,91 @@ class ParquetTableStore:
                     # lever for range probes on a hash-bucketed table;
                     # pair with writer_options={"maxRecordsPerFile": N}
                     # to control the clustering granularity)
-                    manifest["file_zones"] = self._file_zones(
-                        spark, stage_dir, tdir, zone_cols
+                    file_zones = (
+                        {}
+                        if buckets is None
+                        else {
+                            b: fz
+                            for b, fz in old_m.get("file_zones", {}).items()
+                            if b in partitions and b not in written
+                        }
                     )
+                    file_zones.update(
+                        self._file_zones(spark, stage_dir, tdir, zone_cols)
+                    )
+                    manifest["file_zones"] = file_zones
             self._write_manifest(name, v, manifest)
             self._commit(name, v)
             return v
+
+    def maintain_clustering(
+        self,
+        spark: SparkSession,
+        name: str,
+        zorder_cols: list[str],
+        max_coarse_frac: float = 0.15,
+        bits: int = 12,
+        writer_options: dict[str, str] | None = None,
+    ) -> dict:
+        """Auto-compaction policy: re-cluster ONLY the buckets merges
+        have coarsened, when enough of the table has degraded.
+
+        The signal is the manifest itself -- a bucket rewritten by
+        ``merge``/``append`` loses its ``file_zones`` entry (its files
+        no longer cover tight value ranges), so the fraction of
+        buckets WITHOUT file-level stats is exactly the fraction of
+        the table where a range probe pays full-bucket I/O.  When that
+        fraction exceeds ``max_coarse_frac``, run the incremental
+        ``optimize`` over just those buckets; otherwise do nothing.
+        Hook this after each merge cycle (or on a timer) and 1-day
+        probe selectivity stays bounded with no manual optimize step
+        and no full-table rewrite ever.
+
+        A table never optimized with ``zorder_cols`` has NO
+        ``file_zones`` at all; the policy treats that as 100% coarse
+        and performs the initial full clustering (via the incremental
+        path over every bucket -- same cost as the full form).
+
+        Returns {coarse_frac, threshold, rewritten (bucket ids),
+        version} -- ``rewritten`` is [] when below threshold.
+        """
+        spec = self.partition_spec(name)
+        if spec is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        v = self.current_version(name)
+        m = self._read_manifest(name, v)
+        if not m.get("zone_cols"):
+            # without zone stats, file_zones can never be recorded and
+            # the policy would re-cluster everything on every call
+            raise ValueError(
+                f"table {name!r} has no zone_cols; write it with "
+                "zone_cols=... before clustering maintenance"
+            )
+        fz = m.get("file_zones", {})
+        coarse = [b for b in m["partitions"] if b not in fz]
+        total = max(len(m["partitions"]), 1)
+        frac = len(coarse) / total
+        if not coarse or frac <= max_coarse_frac:
+            return {
+                "coarse_frac": frac,
+                "threshold": max_coarse_frac,
+                "rewritten": [],
+                "version": v,
+            }
+        nv = self.optimize(
+            spark,
+            name,
+            zorder_cols=zorder_cols,
+            bits=bits,
+            writer_options=writer_options,
+            buckets=coarse,
+        )
+        return {
+            "coarse_frac": frac,
+            "threshold": max_coarse_frac,
+            "rewritten": coarse,
+            "version": nv,
+        }
 
     def append(self, spark: SparkSession, name: str, rows: DataFrame) -> int:
         """Bucket-pruned APPEND into a partitioned table: like ``merge``

@@ -697,3 +697,48 @@ def test_mixture_to_proportions_semantics(spark):
     assert (
         mixture_to_proportions(docs, {"web": 0.5, "absent": 0.5}).count() == 0
     )
+
+
+def test_shuffle_shards_deterministic_and_uniform(spark):
+    """The training-shard shuffle's contract: byte-identical output
+    across reruns and input layouts, full reshuffle under a new seed,
+    every row placed exactly once, positions contiguous per shard."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.training import (
+        shuffle_shards,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out1 = shuffle_shards(docs, n_shards=7, seed="s1").collect()
+    got1 = sorted((r["doc_id"], r["shard"], r["pos"]) for r in out1)
+    # rerun AND a different physical layout: same assignment, same order
+    out2 = shuffle_shards(docs.repartition(13), n_shards=7, seed="s1").collect()
+    assert got1 == sorted((r["doc_id"], r["shard"], r["pos"]) for r in out2)
+    # appending later docs never moves earlier ones (backfill stability:
+    # shard membership is a pure function of the key)
+    more = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500, 600)], "doc_id long, text string"
+    )
+    out3 = shuffle_shards(docs.unionByName(more), n_shards=7, seed="s1").collect()
+    shard3 = {r["doc_id"]: r["shard"] for r in out3}
+    assert all(shard3[d] == s for d, s, _p in got1)
+
+    # every row exactly once; per-shard positions are 1..len contiguous
+    assert len(out1) == 500 and len({r["doc_id"] for r in out1}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(7))  # all shards populated
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # roughly uniform (md5 on 500 keys over 7 shards)
+    sizes = sorted(len(p) for p in by_shard.values())
+    assert sizes[0] > 500 / 7 * 0.5 and sizes[-1] < 500 / 7 * 1.6
+
+    # a different seed is a genuine reshuffle
+    outb = shuffle_shards(docs, n_shards=7, seed="s2").collect()
+    moved = sum(
+        1 for r in outb if shard3[r["doc_id"]] != r["shard"]
+    )
+    assert moved > 300  # ~6/7 of rows expected to change shard

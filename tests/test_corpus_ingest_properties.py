@@ -2,8 +2,10 @@
 
 The engine's MinHash is md5-derived and fully deterministic, so the
 whole near-dup policy has an exact executable spec in plain Python:
-same tokens, same salted-md5 minhash, same band keys, same candidate
-generation (band equality), same Jaccard verify.  Randomized batches
+same tokens, same md5-slice minhash (k disjoint 5-nibble slices of one
+digest per token -- dedup._minhash_min_exprs), same band keys, same
+candidate generation (band equality), same Jaccard verify.  Randomized
+batches
 with planted near-copies must leave the store holding EXACTLY the doc
 set the model predicts -- including documents the banding process
 legitimately misses (a model that recomputes true Jaccard for all
@@ -37,10 +39,16 @@ def _tokens(text: str) -> list[str]:
 
 
 def _bands(text: str) -> list[str]:
+    # mirrors dedup._minhash_min_exprs: hash i = 5-nibble slice [5i, 5i+5)
+    # of ONE md5 per token (the r10 slice scheme -- the salted-md5 model
+    # this test shipped with silently diverged when the engine switched,
+    # making the test flaky under hypothesis' random examples)
     toks = set(_tokens(text))
     if not toks:
         return []
-    sig = [min(_md5(f"{i}|{t}") for t in toks) for i in range(1, NUM_HASHES + 1)]
+    sig = [
+        min(_md5(t)[5 * i : 5 * i + 5] for t in toks) for i in range(NUM_HASHES)
+    ]
     return [
         _md5("".join(sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]))
         for b in range(NUM_HASHES // BAND_SIZE)

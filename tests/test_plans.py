@@ -490,3 +490,44 @@ def test_lsh_token_table_not_redistincted(spark):
     for entry in ("ngram_jaccard_dup", "minhash_near_dup"):
         plan = plan_of(CATALOG[entry][0](spark, SF), mode="simple")
         assert not re.search(r"hashpartitioning\(doc_id#\d+L?, token#", plan), entry
+
+
+def test_shuffle_shards_single_exchange(spark):
+    # the deterministic shard shuffle is ONE hash exchange on shard
+    # (the window's partitioning) over one scan -- no extra sort-merge
+    # or re-exchange; rerun-stability comes from the hash, not a
+    # second pass
+    plan = plan_of(CATALOG["shuffle_shards"][0](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_q2_broadcast_dims_no_nested_loop(spark):
+    # correlated-MIN shape: supplier/nation/region/part dims broadcast,
+    # the decorrelated per-part MIN re-join is a hash join -- nothing
+    # quadratic, no cartesian edge
+    plan = plan_of(CATALOG["q2_min_cost_supplier"][0](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q9_broadcast_dims_no_nested_loop(spark):
+    # profit rollup: part (LIKE-filtered), supplier, nation broadcast;
+    # lineitem never exchanged for them (only the orders join + final
+    # aggregate shuffle)
+    plan = plan_of(CATALOG["q9_product_profit"][0](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q20_semi_joins_hash_based(spark):
+    # nested semi-join vs correlated half-sum: both IN-subqueries are
+    # hash semi-joins (part filter broadcast), the half-sum compare is
+    # a co-partitioned rollup join -- no nested-loop anywhere
+    plan = plan_of(CATALOG["q20_half_volume_suppliers"][0](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan

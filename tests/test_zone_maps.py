@@ -322,3 +322,107 @@ def test_file_zone_pruning_exact_under_random_merges(spark, tmp_path):
             .collect()
         )
         assert got == exact, f"step {step}: pruned read diverged"
+
+
+def test_maintain_clustering_soak_no_manual_step(spark, tmp_path):
+    """Auto-compaction closes the r10 loop: a merge load with
+    maintain_clustering() hooked after each cycle keeps 1-day probe
+    file I/O bounded with NO manual optimize, and every triggered pass
+    rewrites ONLY the merge-coarsened buckets (asserted via manifest
+    diff: untouched buckets keep their directory pointers and their
+    file-level stats)."""
+    import random
+
+    rng = random.Random(2026_08_15)
+    store = _seeded(spark, tmp_path, n=256, buckets=8)
+    store.optimize(
+        spark, "t", zorder_cols=["d"], writer_options={"maxRecordsPerFile": "4"}
+    )
+    probe = (dt.date(2024, 3, 1), dt.date(2024, 3, 2))
+    triggered = skipped = 0
+    for cycle in range(6):
+        # one key per cycle: a single coarsened bucket (12.5% of 8) sits
+        # below the 15% threshold (the policy declines), a second one
+        # trips it (25% -> incremental re-cluster of exactly those two)
+        ids = [rng.randrange(256)]
+        ups = spark.createDataFrame(
+            [
+                (
+                    i,
+                    rng.randrange(10_000),
+                    dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(256)),
+                )
+                for i in ids
+            ],
+            "id long, v long, d date",
+        )
+        store.merge(spark, "t", ups, ups.select("id"))
+        before = store._read_manifest("t", store.current_version("t"))
+        coarse_before = {
+            b for b in before["partitions"] if b not in before.get("file_zones", {})
+        }
+        res = store.maintain_clustering(
+            spark, "t", ["d"], max_coarse_frac=0.15,
+            writer_options={"maxRecordsPerFile": "4"},
+        )
+        if res["rewritten"]:
+            triggered += 1
+            # the pass rewrote exactly the coarsened buckets...
+            assert set(res["rewritten"]) == coarse_before
+            after = store._read_manifest("t", store.current_version("t"))
+            for b in before["partitions"]:
+                if b in coarse_before:
+                    assert after["partitions"][b] != before["partitions"][b]
+                    assert b in after.get("file_zones", {})  # re-clustered
+                else:
+                    # ...and untouched buckets carried over verbatim
+                    assert after["partitions"][b] == before["partitions"][b]
+                    assert after["file_zones"][b] == before["file_zones"][b]
+            # nothing left coarse after the pass
+            assert not {
+                b for b in after["partitions"] if b not in after["file_zones"]
+            }
+        else:
+            skipped += 1
+            assert res["coarse_frac"] <= res["threshold"]
+        # probe I/O stays bounded every cycle: at worst the sub-threshold
+        # coarse buckets (<= 15% of the table) plus ~1 clustered file per
+        # clean bucket
+        plan = store.prune_plan("t", "d", *probe)
+        assert plan["files_kept"] / plan["files_total"] <= 0.20, (cycle, plan)
+        # pruning stays an optimization only
+        got = sorted(
+            r["id"] for r in store.read_pruned(spark, "t", "d", *probe).collect()
+        )
+        exact = sorted(
+            r["id"]
+            for r in store.read(spark, "t")
+            .filter((F.col("d") >= F.lit(probe[0])) & (F.col("d") <= F.lit(probe[1])))
+            .collect()
+        )
+        assert got == exact, f"cycle {cycle}"
+    # the policy must have both fired and declined during the soak
+    assert triggered >= 1 and skipped >= 1, (triggered, skipped)
+
+
+def test_maintain_clustering_bootstrap_and_guard(spark, tmp_path):
+    """A never-optimized table reads as 100% coarse (initial clustering
+    happens through the same incremental path); a table without
+    zone_cols is rejected instead of looping on a full rewrite."""
+    import pytest
+
+    store = _seeded(spark, tmp_path, n=64, buckets=8)
+    res = store.maintain_clustering(
+        spark, "t", ["d"], writer_options={"maxRecordsPerFile": "8"}
+    )
+    assert res["coarse_frac"] == 1.0
+    m = store._read_manifest("t", store.current_version("t"))
+    assert set(res["rewritten"]) == set(m["partitions"])
+    assert set(m["file_zones"]) == set(m["partitions"])
+    # immediately after: nothing coarse, policy is a no-op
+    res2 = store.maintain_clustering(spark, "t", ["d"])
+    assert res2["rewritten"] == [] and res2["coarse_frac"] == 0.0
+
+    store.overwrite("plain", _rows(spark, 16), partition_key="id", n_buckets=4)
+    with pytest.raises(ValueError, match="zone_cols"):
+        store.maintain_clustering(spark, "plain", ["d"])
