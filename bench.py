@@ -384,10 +384,162 @@ def _bench_scaling(spark, sf_dir: str, factors=(1, 2, 4, 8)) -> dict:
     return out
 
 
+def _bench_minhash_scaling(spark, sf_dir: str, factors=(1, 8, 32, 64)) -> dict:
+    """Candidate-inflation audit of the md5-slice MinHash (VERDICT r10
+    item 7): a 5-nibble slice has a 2^20 value space, so as the corpus
+    grows, unrelated docs could increasingly share band keys by
+    min-collision alone -- correctness is safe (exact-Jaccard verify)
+    but candidate volume would creep toward quadratic.
+
+    Setup isolates the false-candidate signal: the documents table is
+    replicated Nx with every replica's tokens PREFIXED by its replica
+    id, so token sets across replicas are DISJOINT -- any cross-replica
+    same-band candidate is a pure hash-space collision.  Within-replica
+    candidates (the real near-dups) scale linearly by construction.
+    Reported per factor and per scheme (slice = one-md5 5-nibble,
+    salted = k independent digests ~ the collision-free reference,
+    wide = two salted digests / 10-nibble slices):
+
+      cand        all distinct same-band pairs
+      cand_x      cross-replica pairs (false candidates)
+      verified    pairs passing exact Jaccard >= 0.5
+      max_bucket  largest band bucket
+    """
+    from pyspark.sql import functions as F
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
+        _minhash_min_exprs,
+        _token_set,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok0 = _token_set(docs0, "text", "doc_id").localCheckpoint()
+    num_hashes, band_size = 6, 2
+    n_bands = num_hashes // band_size
+
+    def exprs_for(scheme: str):
+        if scheme == "slice":
+            return _minhash_min_exprs(num_hashes)
+        if scheme == "wide":
+            return _minhash_min_exprs(num_hashes, wide=True)
+        # salted reference: k fully independent digests (128-bit space,
+        # collisions effectively impossible -- the r9 scheme)
+        return [
+            F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("token")), "UTF-8"))).alias(
+                f"h{i + 1}"
+            )
+            for i in range(num_hashes)
+        ]
+
+    out: dict = {}
+    for k in factors:
+        reps = spark.range(k).withColumnRenamed("id", "rep")
+        tok = (
+            tok0.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+                F.concat(F.col("rep").cast("string"), F.lit("_"), F.col("token")).alias(
+                    "token"
+                ),
+            )
+            .localCheckpoint()
+        )
+        row: dict = {}
+        for scheme in ("slice", "salted", "wide"):
+            t0 = time.perf_counter()
+            # materialize once: bands, the candidate stats, and both
+            # sides of the verify join all read the signature table
+            sig = tok.groupBy("doc_id").agg(
+                *exprs_for(scheme),
+                F.collect_set("token").alias("toks"),
+                F.count(F.lit(1)).alias("n"),
+            ).localCheckpoint()
+            band_exprs = [
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            *[
+                                F.col(f"h{b * band_size + j + 1}")
+                                for j in range(band_size)
+                            ]
+                        ),
+                        "UTF-8",
+                    )
+                )
+                for b in range(n_bands)
+            ]
+            bands = sig.select(
+                "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+            ).localCheckpoint()
+            a, b = bands.alias("a"), bands.alias("b")
+            cand = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+                .distinct()
+                .localCheckpoint()
+            )
+            stats = cand.agg(
+                F.count(F.lit(1)).alias("cand"),
+                F.sum(
+                    (F.pmod("da", F.lit(k)) != F.pmod("db", F.lit(k))).cast("long")
+                ).alias("cand_x"),
+            ).collect()[0]
+            ds = sig.select("doc_id", "toks", "n")
+            verified = (
+                cand.join(
+                    ds.select(
+                        F.col("doc_id").alias("da"),
+                        F.col("toks").alias("ta"),
+                        F.col("n").alias("na"),
+                    ),
+                    "da",
+                )
+                .join(
+                    ds.select(
+                        F.col("doc_id").alias("db"),
+                        F.col("toks").alias("tb"),
+                        F.col("n").alias("nb"),
+                    ),
+                    "db",
+                )
+                .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
+                .filter(
+                    F.col("ni") * 1.0 / (F.col("na") + F.col("nb") - F.col("ni"))
+                    >= 0.5
+                )
+                .count()
+            )
+            max_bucket = (
+                bands.groupBy("band").count().agg(F.max("count")).collect()[0][0]
+            )
+            row[scheme] = {
+                "cand": int(stats["cand"] or 0),
+                "cand_x": int(stats["cand_x"] or 0),
+                "verified": int(verified),
+                "max_bucket": int(max_bucket or 0),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        out[f"x{k}"] = row
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench", conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--scaling-minhash" in sys.argv:
+        print(json.dumps({"metric": "minhash_scaling", "sf_dir": sf_dir,
+                          **_bench_minhash_scaling(spark, sf_dir)}))
+        spark.stop()
+        return
 
     if "--scaling" in sys.argv:
         print(json.dumps({"metric": "scaling_curve", "sf_dir": sf_dir,

@@ -96,6 +96,29 @@ def main() -> None:
     print(f"pruned read rows={n_got}, exact filter rows={n_exact}")
     assert n_got == n_exact
 
+    # steady state: no manual optimize step -- more merges land, and the
+    # auto-compaction policy re-clusters ONLY the coarsened buckets once
+    # enough of the table has degraded (here: 3 merges touch ~3 of 16
+    # buckets -> ~19% coarse > the 15% default threshold)
+    for i in (101, 203, 307):
+        d2 = spark.createDataFrame(
+            [(i, i, dt.date(2024, 1, 18))], "id long, amount long, d date"
+        )
+        engine.store.merge(spark, "fact", d2, d2.select("id"))
+        res = engine.maintain_clustering(
+            "fact", ["d"], writer_options={"maxRecordsPerFile": "64"}
+        )
+        print(
+            f"maintain_clustering after merge id={i}: coarse="
+            f"{res['coarse_frac']:.0%} rewritten={len(res['rewritten'])} buckets"
+        )
+    final = engine.prune_plan("fact", "d", *probe)
+    print(
+        f"1-day probe at steady state: {final['files_kept']}/"
+        f"{final['files_total']} scan units"
+    )
+    assert final["files_kept"] < final["files_total"]
+
     spark.stop()
     print("replica maintenance demo complete")
 
