@@ -65,19 +65,23 @@ def main(sf_dir: str, out_dir: str) -> None:
     selected = mixed.join(kept.select("doc_id"), "doc_id", "left_semi")
 
     # 3. deterministic split, then pack each split separately (val/test
-    #    sequences must never mix with train)
+    #    sequences must never mix with train), then SHUFFLE the packed
+    #    docs into output shards -- training wants random order, but a
+    #    rerun or single-shard backfill must produce byte-identical
+    #    shards, so the shuffle is a pure hash of (seed, doc_id)
     split = corpus.assign_split(selected)
     for part in ("train", "val", "test"):
         sub = split.filter(F.col("split") == part)
         packed = training.sequence_pack(sub, max_len=512, n_shards=8)
         out = (
-            sub.join(packed, "doc_id")
-            .select("doc_id", "shard", "seq_id", "n_tok", "source", "lang", "text")
+            sub.join(packed.withColumnRenamed("shard", "pack_shard"), "doc_id")
+            .select("doc_id", "pack_shard", "seq_id", "n_tok", "source", "lang", "text")
         )
+        shuffled = training.shuffle_shards(out, n_shards=8, seed=f"demo-{part}")
         path = os.path.join(out_dir, part)
-        out.write.mode("overwrite").partitionBy("shard").parquet(path)
-        n_docs = out.count()
-        n_seqs = out.select("shard", "seq_id").distinct().count()
+        shuffled.write.mode("overwrite").partitionBy("shard").parquet(path)
+        n_docs = shuffled.count()
+        n_seqs = shuffled.select("pack_shard", "seq_id").distinct().count()
         print(f"{part}: {n_docs} docs packed into {n_seqs} sequences -> {path}")
 
     # 4. tokenizer prep: learn a BPE vocabulary on the train split only
