@@ -1005,6 +1005,19 @@ class ParquetTableStore:
                 )
                 zones.update(self._bucket_zones(spark, stage_dir, zone_cols))
                 manifest["zones"] = zones
+                # untouched buckets' clustered files stay on disk, so
+                # their file-level stats carry regardless of whether
+                # THIS pass clusters (an unclustered incremental
+                # compaction must not blind the reader to them)
+                file_zones = (
+                    {}
+                    if buckets is None
+                    else {
+                        b: fz
+                        for b, fz in old_m.get("file_zones", {}).items()
+                        if b in partitions and b not in written
+                    }
+                )
                 if zorder_cols:
                     # rows are clustered within each bucket, so per-file
                     # stats are tight -- record them and read_pruned
@@ -1012,18 +1025,10 @@ class ParquetTableStore:
                     # lever for range probes on a hash-bucketed table;
                     # pair with writer_options={"maxRecordsPerFile": N}
                     # to control the clustering granularity)
-                    file_zones = (
-                        {}
-                        if buckets is None
-                        else {
-                            b: fz
-                            for b, fz in old_m.get("file_zones", {}).items()
-                            if b in partitions and b not in written
-                        }
-                    )
                     file_zones.update(
                         self._file_zones(spark, stage_dir, tdir, zone_cols)
                     )
+                if file_zones:
                     manifest["file_zones"] = file_zones
             self._write_manifest(name, v, manifest)
             self._commit(name, v)

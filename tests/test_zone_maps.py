@@ -426,3 +426,43 @@ def test_maintain_clustering_bootstrap_and_guard(spark, tmp_path):
     store.overwrite("plain", _rows(spark, 16), partition_key="id", n_buckets=4)
     with pytest.raises(ValueError, match="zone_cols"):
         store.maintain_clustering(spark, "plain", ["d"])
+
+
+def test_incremental_compaction_without_zorder_keeps_file_stats(spark, tmp_path):
+    """optimize(buckets=[...]) WITHOUT zorder_cols (pure compaction of
+    a few buckets) must not blind the reader to the file-level stats of
+    the UNTOUCHED buckets -- their clustered files are still on disk."""
+    store = _seeded(spark, tmp_path, n=128, buckets=8)
+    store.optimize(
+        spark, "t", zorder_cols=["d"], writer_options={"maxRecordsPerFile": "4"}
+    )
+    m0 = store._read_manifest("t", store.current_version("t"))
+    assert set(m0["file_zones"]) == set(m0["partitions"])
+    target = sorted(m0["partitions"])[0]
+    store.optimize(spark, "t", buckets=[target])  # no zorder: plain compaction
+    m1 = store._read_manifest("t", store.current_version("t"))
+    # the compacted bucket lost file granularity (unclustered rewrite)...
+    assert target not in m1.get("file_zones", {})
+    # ...every other bucket kept stats AND pointers
+    for b in m0["partitions"]:
+        if b == target:
+            continue
+        assert m1["file_zones"][b] == m0["file_zones"][b]
+        assert m1["partitions"][b] == m0["partitions"][b]
+    # pruned reads stay exact either way
+    got = sorted(
+        r["id"]
+        for r in store.read_pruned(
+            spark, "t", "d", dt.date(2024, 2, 1), dt.date(2024, 2, 5)
+        ).collect()
+    )
+    exact = sorted(
+        r["id"]
+        for r in store.read(spark, "t")
+        .filter(
+            (F.col("d") >= F.lit(dt.date(2024, 2, 1)))
+            & (F.col("d") <= F.lit(dt.date(2024, 2, 5)))
+        )
+        .collect()
+    )
+    assert got == exact
