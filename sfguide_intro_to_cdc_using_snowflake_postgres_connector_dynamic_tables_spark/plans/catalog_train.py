@@ -282,15 +282,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(amount).alias("sum_profit"))
+        # exact decimal sum, surfaced as double: the driver's dtype
+        # audit bans DECIMAL output columns (HUGEINT bug class), and the
+        # decimal->double cast of the SAME exact value is bit-identical
+        # in both engines
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
 
 
 SQL_Q9_PRODUCT_PROFIT = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       sum(CAST(l_extendedprice * (1 - l_discount)
-                - 0.6::DOUBLE * p_retailprice * l_quantity
-           AS DECIMAL(18,4))) AS sum_profit
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.6::DOUBLE * p_retailprice * l_quantity
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
