@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import corpus, text as text_ops
+from ..operators import corpus, quality_model, text as text_ops
 from ..sources.testdata import load_table
 
 
@@ -843,7 +843,74 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Learned quality classifier, scoring path.  The weights below stand in
+# for an exported train_token_weights() fit (training itself is
+# pyspark.ml LBFGS -- not SQL-expressible, pytest-differential-tested
+# in tests/test_quality_model.py); the SCORING kernel is what runs
+# corpus-wide at 100 TB and is what the gate pins: a map-literal fold
+# + sigmoid, one scan, zero shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+_CLF_WEIGHTS: dict[str, float] = {
+    "join": 0.35,
+    "hash": 0.30,
+    "merge": 0.25,
+    "scan": 0.20,
+    "filter": 0.15,
+    "vector": 0.10,
+    "batch": 0.05,
+    "window": -0.05,
+    "the": -0.10,
+    "a": -0.15,
+    "small": -0.25,
+    "slow": -0.40,
+}
+
+#: not a multiple of 0.05: token-weight sums land on a 0.05 grid, so
+#: z = sum + bias is bounded away from 0 by >= 0.013 and the keep
+#: flag can never flip on float-addition-order noise between engines
+_CLF_BIAS = -0.737
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_model.linear_token_score(
+        docs, _CLF_WEIGHTS, _CLF_BIAS, extra={"lang": F.col("lang")}
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "clf_score",
+        (F.col("clf_score") >= F.lit(0.5)).alias("keep"),
+    )
+
+
+def _classifier_sql() -> str:
+    """Oracle generated from the SAME weight dict (byte-parity by
+    construction).  ::DOUBLE casts everywhere -- DuckDB types bare
+    decimal literals as DECIMAL and the decimal-typed sum would
+    diverge from Spark's double arithmetic."""
+    values = ", ".join(
+        f"('{tok}', CAST({wt!r} AS DOUBLE))"
+        for tok, wt in sorted(_CLF_WEIGHTS.items())
+    )
+    return f"""
+WITH w(tok, wt) AS (VALUES {values}),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (
+  SELECT tk.doc_id, SUM(w.wt) AS z
+  FROM tk JOIN w ON tk.tok = w.tok GROUP BY tk.doc_id)
+SELECT d.doc_id, d.lang,
+       1.0 / (1.0 + exp(-(COALESCE(s.z, 0.0) + CAST({_CLF_BIAS!r} AS DOUBLE)))) AS clf_score,
+       1.0 / (1.0 + exp(-(COALESCE(s.z, 0.0) + CAST({_CLF_BIAS!r} AS DOUBLE)))) >= 0.5 AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
+    "classifier_score": (q_classifier_score, _classifier_sql()),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),
