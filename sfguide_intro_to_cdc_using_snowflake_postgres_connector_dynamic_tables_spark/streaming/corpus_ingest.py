@@ -505,6 +505,8 @@ def ingest_batch(
     sem_threshold: float = 0.9,
     sem_dim: int = 16,
     sem_cells: int = 16,
+    clf_weights: dict[str, float] | None = None,
+    clf_bias: float = 0.0,
 ) -> None:
     """Apply one micro-batch: quality-gate, drop docs whose exact
     content already exists in the store, optionally drop NEAR
@@ -513,22 +515,37 @@ def ingest_batch(
     hashing-trick embedding cosine vs the cell-bucketed index --
     paraphrase-level dups token-set Jaccard misses), upsert the rest
     (and the new fingerprints/band keys/cell rows into their bucketed
-    index tables)."""
+    index tables).
+
+    ``clf_weights``: swap the heuristic quality gate for the LEARNED
+    scorer (``operators.quality_model``): the gate becomes
+    ``linear_token_score(...) >= min_quality`` with the exported
+    (weights, bias) of a trained classifier compiled into the plan --
+    same single-projection shape, same zero-shuffle cost, so upgrading
+    the gate from heuristic to model is a config change, not a
+    pipeline change."""
     # gate + fingerprint in ONE projection of ONE pass over the batch
     # (extra= carries the payload columns through the scoring
     # projection; the old two-frame form semi-joined the scored ids
     # back to the batch -- a second scan and two shuffles)
-    keep = (
-        quality_score(
-            batch,
-            extra={
-                **{c: F.col(c) for c in batch.columns if c != "doc_id"},
-                "content_fp": F.md5(F.encode(F.col("text"), "UTF-8")),
-            },
+    gate_extra = {
+        **{c: F.col(c) for c in batch.columns if c != "doc_id"},
+        "content_fp": F.md5(F.encode(F.col("text"), "UTF-8")),
+    }
+    if clf_weights is not None:
+        from ..operators.quality_model import linear_token_score
+
+        keep = (
+            linear_token_score(batch, clf_weights, clf_bias, extra=gate_extra)
+            .filter(F.col("clf_score") >= min_quality)
+            .drop("clf_score")
         )
-        .filter(F.col("quality") >= min_quality)
-        .drop("quality")
-    )
+    else:
+        keep = (
+            quality_score(batch, extra=gate_extra)
+            .filter(F.col("quality") >= min_quality)
+            .drop("quality")
+        )
     # batch-internal exact dedup: one doc per content (min doc_id wins)
     keep = (
         keep.withColumn(
@@ -679,6 +696,8 @@ def start_corpus_ingest(
     near_threshold: float = 0.8,
     semantic: bool = False,
     sem_threshold: float = 0.9,
+    clf_weights: dict[str, float] | None = None,
+    clf_bias: float = 0.0,
 ):
     """Start the ingestion stream (availableNow-compatible).  Returns
     the StreamingQuery.  ``near_dup=True`` additionally drops documents
@@ -687,7 +706,9 @@ def start_corpus_ingest(
     reads per tick); ``semantic=True`` drops documents whose
     hashing-trick embedding cosine vs ANY stored document reaches
     ``sem_threshold`` (cell-bucketed index probe, O(batch cells)
-    reads per tick)."""
+    reads per tick); ``clf_weights``/``clf_bias`` swap the heuristic
+    quality gate for a trained classifier's exported weights (see
+    ``ingest_batch``)."""
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(feed_dir)
     deduped = dedup_stream(stream, keys=("doc_id",), ts_col="ts", watermark=watermark)
     return (
@@ -704,6 +725,8 @@ def start_corpus_ingest(
                 near_threshold=near_threshold,
                 semantic=semantic,
                 sem_threshold=sem_threshold,
+                clf_weights=clf_weights,
+                clf_bias=clf_bias,
             )
         )
         .trigger(availableNow=True)
