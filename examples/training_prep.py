@@ -3,11 +3,14 @@
 The stage AFTER cleaning/dedup (examples/corpus_pipeline.py) and
 BEFORE a training run:
 
-    clean corpus -> mixture sampling (per-source keep rates)
+    clean corpus -> learned quality gate (trained classifier, scored
+                    via the zero-shuffle codegen fold)
+                 -> mixture sampling (per-source keep rates)
                  -> per-language token-budget selection (best-first)
                  -> deterministic train/val/test split
                  -> sequence packing (fixed-token-length rows)
-                 -> shard-partitioned parquet
+                 -> checksummed shard export (one file per shard,
+                    manifest verified after the write)
                  -> BPE vocabulary learned on the TRAIN split only
                     (no val/test leakage into the tokenizer), then
                     applied corpus-wide
@@ -33,6 +36,7 @@ from pyspark.sql import functions as F
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
     bpe,
     corpus,
+    quality_model,
     training,
 )
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.session import (
@@ -48,6 +52,20 @@ def main(sf_dir: str, out_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")
+
+    # 0. learned quality gate: weak-label the corpus with the heuristic
+    #    score's confident bands, train a logistic regression on token
+    #    counts (distributed LBFGS), export the per-token weights, and
+    #    gate the corpus with the codegen fold -- training is a sample-
+    #    sized ml job, scoring is one corpus scan with zero shuffle
+    labeled = quality_model.weak_labels(docs)
+    vocab = quality_model.top_vocabulary(docs, size=64)
+    weights, bias = quality_model.train_token_weights(labeled, vocab)
+    scored = quality_model.linear_token_score(
+        docs, weights, bias, extra={c: F.col(c) for c in docs.columns if c != "doc_id"}
+    )
+    docs = scored.filter(F.col("clf_score") >= 0.3).drop("clf_score")
+    print(f"classifier gate kept {docs.count()} docs (vocab={len(vocab)})")
 
     # 1. mixture: keep all of src1*, half of the other low-numbered
     #    sources, a quarter of src5-9, ~10% of the rest
@@ -79,10 +97,14 @@ def main(sf_dir: str, out_dir: str) -> None:
         )
         shuffled = training.shuffle_shards(out, n_shards=8, seed=f"demo-{part}")
         path = os.path.join(out_dir, part)
-        shuffled.write.mode("overwrite").partitionBy("shard").parquet(path)
-        n_docs = shuffled.count()
+        manifest = training.export_shards(shuffled, path)
+        report = training.verify_shards(spark, path)
+        assert report["ok"], report
         n_seqs = shuffled.select("pack_shard", "seq_id").distinct().count()
-        print(f"{part}: {n_docs} docs packed into {n_seqs} sequences -> {path}")
+        print(
+            f"{part}: {manifest['total_rows']} docs packed into {n_seqs} "
+            f"sequences -> {path} ({manifest['n_shards']} verified shards)"
+        )
 
     # 4. tokenizer prep: learn a BPE vocabulary on the train split only
     #    (tokenizers trained on val/test leak them into the model), then
