@@ -1260,7 +1260,94 @@ FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: each doc renders as a REAL image file whose
+# pixels depend only on doc_id % 16 (16 gradient classes with
+# class-dependent slope) but whose CONTAINER alternates PPM/BMP by
+# parity -- so byte-level fingerprints see ~500 distinct files while
+# the pixel-domain average hash groups re-encoded copies (shallow
+# slopes that don't wrap mod 256 are above-mean-identical and group
+# together too -- aHash is deliberately brightness/contrast-invariant).
+# Spark: encode -> decode_image -> ahash_bits (exact
+# integer rule: bit j = s_j * n > sum(s)) -> keep = min media_id per
+# hash.  The oracle reproduces the hash in closed form from the pixel
+# formula -- the encode/decode round trip through genuine containers is
+# what the hash gate certifies.  At 100 TB the shape is one mapInPandas
+# scan + one window over hash groups (bounded by class sizes).
+# ---------------------------------------------------------------------------
+
+
+def q_image_ahash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        image_hashes,
+    )
+
+    w, h = _IMG_W, _IMG_H
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_media(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        base = (
+            np.arange(h)[:, None, None] * 8
+            + np.arange(w)[None, :, None] * 3
+            + np.arange(3)[None, None, :]
+        )
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                cls = int(did) % 16
+                arr = ((base * (3 + cls) + cls) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_ppm(arr) if did % 2 == 0 else encode_bmp(arr)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": None,
+                }
+            )
+
+    hashes = image_hashes(docs.mapInPandas(gen_media, MEDIA_SCHEMA))
+    keep = F.min("media_id").over(Window.partitionBy("ahash")) == F.col("media_id")
+    return hashes.select("media_id", "ahash", keep.alias("keep"))
+
+
+# closed-form mirror: pixel(j, ch) = (((j//w)*8 + (j%w)*3 + ch) *
+# (3 + doc_id%16) + doc_id%16) % 256; s_j sums the channels; bit j set
+# iff s_j * npix > sum(s)
+SQL_IMAGE_AHASH_DUP = f"""
+WITH px AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, {_IMG_W * _IMG_H}), j ->
+             (((j // {_IMG_W}) * 8 + (j % {_IMG_W}) * 3 + 0) * (3 + doc_id % 16) + doc_id % 16) % 256
+           + (((j // {_IMG_W}) * 8 + (j % {_IMG_W}) * 3 + 1) * (3 + doc_id % 16) + doc_id % 16) % 256
+           + (((j // {_IMG_W}) * 8 + (j % {_IMG_W}) * 3 + 2) * (3 + doc_id % 16) + doc_id % 16) % 256) AS s
+  FROM documents),
+hh AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, {_IMG_W * _IMG_H}), j ->
+             CASE WHEN s[j + 1] * {_IMG_W * _IMG_H} > list_sum(s)
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS ahash
+  FROM px)
+SELECT media_id, ahash,
+       media_id = MIN(media_id) OVER (PARTITION BY ahash) AS keep
+FROM hh
+"""
+
+
 EXT_CATALOG: dict[str, tuple] = {
+    "image_ahash_dup": (q_image_ahash_dup, SQL_IMAGE_AHASH_DUP),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),

@@ -1008,3 +1008,126 @@ def test_qoi_external_decoder_conformance():
     leading_black[2:] = (40, 80, 120)
     for arr in (adversarial, noise, leading_black):
         np.testing.assert_array_equal(_qoi_reference_decode(encode_qoi(arr)), arr)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash / pHash + banded-hamming near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _rand_img(seed: int, size: int = 24):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def test_phash_noise_robust_and_discriminative():
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        phash_bits,
+    )
+
+    img = _rand_img(7)
+    noisy = img.copy()
+    noisy[::7, ::7] = (noisy[::7, ::7].astype(int) + 11 % 256).astype("uint8")
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(phash_bits(img), phash_bits(noisy)) <= 4
+    for seed in (8, 9, 10):
+        assert ham(phash_bits(img), phash_bits(_rand_img(seed))) > 8
+
+
+def test_phash_resize_invariant():
+    """A re-encoded/re-sized copy of the same picture hashes close --
+    the property byte fingerprints can't have."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        phash_bits,
+        resize_image,
+    )
+
+    img = _rand_img(3, size=32)
+    big = resize_image(img, 64, 64)
+    ham = bin(phash_bits(img) ^ phash_bits(big)).count("1")
+    assert ham <= 4, ham
+
+
+def test_ahash_exact_integer_rule():
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        ahash_bits,
+    )
+
+    img = _rand_img(5, size=4)[:3]  # 3x4
+    s = img.astype(np.int64).sum(axis=2).reshape(-1)
+    expect = sum(1 << j for j, v in enumerate(s) if int(v) * s.size > int(s.sum()))
+    assert ahash_bits(img) == expect
+    # >64 pixels requires a resize
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ahash_bits(_rand_img(1))
+    assert isinstance(ahash_bits(_rand_img(1), resize_to=8), int)
+    # signed-long range (Spark LongType), never the unsigned overflow
+    h = ahash_bits(_rand_img(2), resize_to=8)
+    assert -(1 << 63) <= h < (1 << 63)
+
+
+def test_phash_near_dup_banded_join_exact_recall(spark):
+    """Banded join recall vs brute force: with n_bands > max_dist the
+    pigeonhole guarantees EVERY pair within max_dist is found."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        phash_bits,
+        phash_near_dup,
+    )
+
+    base = [phash_bits(_rand_img(s)) for s in range(6)]
+    rows = []
+    mid = 0
+    for hb in base:
+        for flip in ([], [1], [5, 9], [13, 22, 40]):  # planted near-dups
+            h = hb
+            for b in flip:
+                h ^= 1 << b
+            rows.append((mid, h))
+            mid += 1
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup(hashes, max_dist=4, n_bands=8).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (a, b)
+        for i, (a, ha) in enumerate(rows)
+        for b, hb in rows[i + 1 :]
+        if ham(ha, hb) <= 4
+    }
+    # 5 of the 6 within-class pairs sit at distance <= 4 (the 2-flip vs
+    # 3-flip pair is at 5): 6 classes x 5 = 30 pairs, all found
+    assert got == want and len(want) == 30
+
+
+def test_image_hashes_auto_skips_undecodable(spark):
+    import pandas as pd
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        image_hashes,
+    )
+
+    good = encode_ppm(_rand_img(11, size=4)[:3])
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "media_type": ["image", "image"],
+                "payload": [good, b"not an image"],
+                "meta": [None, None],
+            }
+        ),
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: (r["ahash"], r["phash"]) for r in image_hashes(media, decode="auto").collect()}
+    assert out[1][0] is not None and out[1][1] is not None
+    assert out[2] == (None, None)
