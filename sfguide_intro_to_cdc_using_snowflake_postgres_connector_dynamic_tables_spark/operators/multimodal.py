@@ -1015,3 +1015,186 @@ def phash_near_dup(
     return pairs.select(
         "id_a", "id_b", dist.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= F.lit(max_dist))
+
+
+# ---------------------------------------------------------------------------
+# Audio + video perceptual fingerprints -- the same banded-hamming
+# near-dup machinery as images, fed by modality-specific kernels:
+# audio gets a spectral (FFT band-energy) fingerprint, video gets a
+# per-sampled-frame pHash sequence with positional overlap verify.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+VIDEO_SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_hashes", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def audio_fingerprint_bits(
+    samples: np.ndarray, n_frames: int = 8, n_bands: int = 8
+) -> int:
+    """Spectral fingerprint of PCM audio: downmix to mono, split into
+    ``n_frames`` windows, FFT magnitude per window binned into
+    ``n_bands`` frequency bands, bit set where a band's energy exceeds
+    its frame's median band energy.
+
+    The per-frame median threshold makes the hash AMPLITUDE-INVARIANT
+    (a re-encoded copy at half volume scales every band equally) and
+    dropping the DC bin makes it offset-invariant -- the two
+    distortions lossless-to-lossy audio reprocessing actually
+    introduces.  64 bits at the defaults; pair with
+    :func:`phash_near_dup` (``hash_col="afp"``) for banded near-dup
+    pairing."""
+    x = samples.astype(np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if x.size < n_frames:
+        x = np.pad(x, (0, n_frames - x.size))
+    frame_len = x.size // n_frames
+    frames = x[: frame_len * n_frames].reshape(n_frames, frame_len)
+    mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    if mag.shape[1] < n_bands:
+        mag = np.pad(mag, ((0, 0), (0, n_bands - mag.shape[1])))
+    idx = np.linspace(0, mag.shape[1], n_bands + 1).astype(int)
+    e = np.stack(
+        [np.square(mag[:, idx[k] : idx[k + 1]]).sum(axis=1) for k in range(n_bands)],
+        axis=1,
+    )
+    med = np.median(e, axis=1, keepdims=True)
+    bits = (e > med).reshape(-1)
+    return _to_i64(int(sum(1 << j for j, b in enumerate(bits) if b)))
+
+
+def audio_fingerprints(media: DataFrame, decode: str = "audio") -> DataFrame:
+    """Per-clip spectral fingerprint over Arrow batches (real RIFF/WAVE
+    decode); undecodable payloads yield NULL under ``decode='auto'``
+    and raise under ``decode='audio'``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for payload in pdf["payload"]:
+                try:
+                    samples, _rate, _ch = decode_wav(
+                        bytes(payload) if payload is not None else None
+                    )
+                except (ValueError, TypeError):
+                    if decode == "audio":
+                        raise
+                    fps.append(None)
+                    continue
+                fps.append(audio_fingerprint_bits(samples))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+
+    return media.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def video_hash_seq(media: DataFrame, every_n: int = 1, decode: str = "video") -> DataFrame:
+    """Per-video pHash sequence: decode the AVI, pHash every
+    ``every_n``-th frame.  The sequence is the video's perceptual
+    signature -- re-encoded/noised copies produce near-identical
+    sequences frame-for-frame."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            seqs = []
+            for payload in pdf["payload"]:
+                try:
+                    frames, _fps = decode_avi(
+                        bytes(payload) if payload is not None else None
+                    )
+                except (ValueError, TypeError):
+                    if decode == "video":
+                        raise
+                    seqs.append(None)
+                    continue
+                seqs.append(
+                    [phash_bits(frames[i]) for i in range(0, frames.shape[0], every_n)]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "frame_hashes": seqs})
+
+    return media.mapInPandas(batches, VIDEO_SEQ_SCHEMA)
+
+
+def video_near_dup(
+    seqs: DataFrame,
+    max_dist: int = 4,
+    n_bands: int = 8,
+    min_frac: float = 0.8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate video pairs: candidates from a banded-hamming
+    join on (frame position, hash band) -- two videos become a
+    candidate the moment ANY aligned frame pair shares a band -- then
+    verified positionally: the pair survives if >= ``min_frac`` of the
+    shorter video's frames are within ``max_dist`` of the other's
+    frame AT THE SAME POSITION.
+
+    Same pigeonhole recall as :func:`phash_near_dup` per frame
+    (complete for frame distance < ``n_bands``), and candidate volume
+    is O(frames x bands) with buckets keyed by (position, band) -- a
+    popular-but-unrelated hash value at different positions never
+    joins.  Returns (id_a, id_b, matched, frames, frac)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    frames = seqs.select(
+        F.col(id_col),
+        F.size("frame_hashes").alias("n_frames"),
+        F.posexplode("frame_hashes").alias("fidx", "fh"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("fh"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    keyed = frames.select(
+        id_col, "n_frames", "fidx", "fh", F.explode(bands).alias("b")
+    ).select(id_col, "n_frames", "fidx", "fh", "b.band_idx", "b.band_val")
+    left = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_frames").alias("nf_a"),
+        "fidx",
+        F.col("fh").alias("fh_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_frames").alias("nf_b"),
+        "fidx",
+        F.col("fh").alias("fh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["fidx", "band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "nf_a", "nf_b", "fidx", "fh_a", "fh_b")
+        .distinct()
+    )
+    close = F.bit_count(F.col("fh_a").bitwiseXOR(F.col("fh_b"))) <= F.lit(max_dist)
+    agg = cand.groupBy("id_a", "id_b").agg(
+        F.sum(close.cast("int")).alias("matched"),
+        F.least(F.first("nf_a"), F.first("nf_b")).alias("frames"),
+    )
+    frac = F.col("matched") / F.col("frames")
+    return agg.select(
+        "id_a", "id_b", "matched", "frames", frac.alias("frac")
+    ).filter(frac >= F.lit(min_frac))

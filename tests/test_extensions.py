@@ -1131,3 +1131,113 @@ def test_image_hashes_auto_skips_undecodable(spark):
     out = {r["media_id"]: (r["ahash"], r["phash"]) for r in image_hashes(media, decode="auto").collect()}
     assert out[1][0] is not None and out[1][1] is not None
     assert out[2] == (None, None)
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative():
+    import numpy as np
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        audio_fingerprint_bits,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(4000)
+    a = (
+        3000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + 1500 * np.sin(2 * np.pi * 97 * t / 8000)
+    ).astype(np.int16)
+    half = (a * 0.5).astype(np.int16)  # re-encode at half volume
+    other = (3000 * np.sin(2 * np.pi * 1333 * t / 8000)).astype(np.int16)
+    ham = lambda u, v: bin((u ^ v) & ((1 << 64) - 1)).count("1")
+    fa = audio_fingerprint_bits(a)
+    assert ham(fa, audio_fingerprint_bits(half)) <= 2
+    assert ham(fa, audio_fingerprint_bits(other)) > 4
+    # the fingerprint survives a REAL WAV encode->decode round trip
+    samples, _r, _c = decode_wav(encode_wav(a, 8000))
+    assert audio_fingerprint_bits(samples) == fa
+
+
+def test_audio_fingerprints_frame_and_near_dup(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        encode_wav,
+        phash_near_dup,
+    )
+
+    t = np.arange(4000)
+
+    def tone(freq, amp):
+        return (amp * np.sin(2 * np.pi * freq * t / 8000)).astype(np.int16)
+
+    rows = [
+        (1, encode_wav(tone(440, 3000), 8000)),
+        (2, encode_wav(tone(440, 1400), 8000)),   # same tone, re-leveled
+        (3, encode_wav(tone(1333, 3000), 8000)),  # different content
+        (4, b"not audio"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [r[0] for r in rows],
+                "media_type": "audio",
+                "payload": [r[1] for r in rows],
+                "meta": None,
+            }
+        ),
+        MEDIA_SCHEMA,
+    )
+    fps = audio_fingerprints(media, decode="auto")
+    got = {r["media_id"]: r["afp"] for r in fps.collect()}
+    assert got[4] is None
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup(
+            fps.filter("afp is not null"), max_dist=4, hash_col="afp"
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_near_dup_positional_overlap(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        video_hash_seq,
+        video_near_dup,
+    )
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    noisy = a.copy()
+    noisy[:, ::7, ::7] = ((noisy[:, ::7, ::7].astype(int) + 7) % 256).astype(
+        np.uint8
+    )
+    other = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "media_type": "video",
+                "payload": [encode_avi(v) for v in (a, noisy, other)],
+                "meta": None,
+            }
+        ),
+        MEDIA_SCHEMA,
+    )
+    seqs = video_hash_seq(media)
+    assert all(len(r["frame_hashes"]) == 6 for r in seqs.collect())
+    dups = {
+        (r["id_a"], r["id_b"]): r["frac"]
+        for r in video_near_dup(seqs, max_dist=4, min_frac=0.8).collect()
+    }
+    # one of the six noised frames drifts past max_dist (5/6 aligned
+    # frames match): the positional-overlap verify is doing real work
+    assert set(dups) == {(1, 2)} and 0.8 <= dups[(1, 2)] < 1.0
