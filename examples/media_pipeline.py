@@ -76,6 +76,47 @@ def main() -> None:
     n_dup_groups = dups.count()
     print(f"duplicate still groups: {n_dup_groups} "
           f"(expected 12: 6 shared videos x 2 sampled frames each)")
+
+    # -- perceptual tier: byte/feature fingerprints miss RE-PROCESSED
+    # copies (noise, re-leveling); the perceptual hashes catch them --
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        audio_fingerprints,
+        encode_wav,
+        phash_near_dup,
+        video_hash_seq,
+        video_near_dup,
+    )
+
+    print("== perceptual video near-dup (noised re-encode of video 0) ==")
+    big = rng.randint(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    noised = big.copy()
+    noised[:, ::7, ::7] = ((noised[:, ::7, ::7].astype(int) + 7) % 256).astype(np.uint8)
+    vids = spark.createDataFrame(
+        [
+            (100, "video", bytearray(encode_avi(big, fps=10)), None),
+            (101, "video", bytearray(encode_avi(noised, fps=10)), None),
+            (102, "video", bytearray(
+                encode_avi(rng.randint(0, 256, size=(4, 32, 32, 3), dtype=np.uint8), fps=10)
+            ), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    video_near_dup(video_hash_seq(vids), max_dist=4, min_frac=0.8).show()
+
+    print("== perceptual audio near-dup (half-volume re-encode of clip 0) ==")
+    t = np.arange(4000)
+    tone = lambda f, amp: (amp * np.sin(2 * np.pi * f * t / 8000)).astype(np.int16)
+    clips = spark.createDataFrame(
+        [
+            (200, "audio", bytearray(encode_wav(tone(440, 3000), 8000)), None),
+            (201, "audio", bytearray(encode_wav(tone(440, 1400), 8000)), None),
+            (202, "audio", bytearray(encode_wav(tone(1333, 3000), 8000)), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    phash_near_dup(
+        audio_fingerprints(clips), max_dist=4, hash_col="afp"
+    ).show()
     spark.stop()
 
 
