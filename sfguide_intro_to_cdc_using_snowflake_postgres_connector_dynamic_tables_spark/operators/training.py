@@ -304,3 +304,83 @@ def verify_shards(
         "extra": extra,
         "mismatched": mismatched,
     }
+
+
+def export_shards_incremental(
+    shards: DataFrame,
+    path: str,
+    manifest_path: str | None = None,
+) -> dict:
+    """Re-export after an upstream change, rewriting ONLY the shards
+    whose content actually moved.
+
+    Because shard assignment is a pure hash of (seed, key)
+    (:func:`shuffle_shards`), an appended/backfilled document changes
+    exactly one shard's membership -- so a delta ingest should not
+    rewrite the other N-1 shard files.  This pass recomputes the
+    per-shard (rows, checksum) stats (one scan -- compute is
+    O(corpus), unavoidable since within-shard positions are
+    rank-based), diffs them against the stored manifest, and uses
+    dynamic partition overwrite to replace only the changed
+    ``shard=<k>`` directories; unchanged shards' files are untouched
+    on disk (asserted byte-for-byte in tests).  Shards that lost ALL
+    rows are deleted.  Returns ``{"rewritten": [...], "removed":
+    [...], "unchanged": [...], "manifest": {...}}``.
+
+    At 100 TB this is the difference between "nightly full shard
+    rewrite" and write I/O proportional to the delta's shard
+    footprint -- the same contract as the store's bucket-pruned MERGE.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    mpath = manifest_path or _os.path.join(path, "_shard_manifest.json")
+    try:
+        with open(mpath) as fh:
+            old = {
+                int(k): (v["rows"], v["checksum"])
+                for k, v in _json.load(fh)["shards"].items()
+            }
+    except (OSError, ValueError, KeyError):
+        old = {}
+
+    stats = {
+        int(r["shard"]): (int(r["rows"]), int(r["checksum"]))
+        for r in _shard_stats(shards).collect()
+    }
+    changed = sorted(k for k in stats if old.get(k) != stats[k])
+    removed = sorted(k for k in old if k not in stats)
+    unchanged = sorted(k for k in stats if old.get(k) == stats[k])
+
+    if changed:
+        (
+            shards.filter(F.col("shard").isin([int(k) for k in changed]))
+            .repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    for k in removed:
+        _shutil.rmtree(_os.path.join(path, f"shard={k}"), ignore_errors=True)
+
+    manifest = {
+        "n_shards": len(stats),
+        "total_rows": sum(r for r, _ in stats.values()),
+        "shards": {
+            str(k): {"rows": r, "checksum": c}
+            for k, (r, c) in sorted(stats.items())
+        },
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    _os.replace(tmp, mpath)
+    return {
+        "rewritten": changed,
+        "removed": removed,
+        "unchanged": unchanged,
+        "manifest": manifest,
+    }

@@ -117,3 +117,74 @@ def test_ingest_batch_classifier_gate(spark, tmp_path):
     # corpus has distinct texts, so the sets match exactly
     assert kept == expect and len(kept) > 0
     assert kept != {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def _dir_bytes(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_export_shards_incremental_rewrites_only_touched(spark, tmp_path):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.training import (
+        export_shards_incremental,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    export_shards(shuffle_shards(docs, n_shards=5, seed="s1"), out)
+    before = _dir_bytes(out)
+
+    # append three new docs; their hash shards are the only ones that move
+    extra = spark.createDataFrame(
+        [(90001, "alpha beta"), (90002, "gamma delta"), (90003, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bigger = shuffle_shards(docs.unionByName(extra), n_shards=5, seed="s1")
+    touched = {
+        r["shard"]
+        for r in bigger.filter(F.col("doc_id") >= 90001).select("shard").collect()
+    }
+    rep = export_shards_incremental(bigger, out)
+    assert set(rep["rewritten"]) == touched and rep["removed"] == []
+
+    after = _dir_bytes(out)
+    for rel, data in before.items():
+        shard = rel.split(os.sep)[0]
+        if shard.startswith("shard=") and int(shard.split("=")[1]) not in touched:
+            # untouched shard files are BYTE-IDENTICAL on disk
+            assert after.get(rel) == data, rel
+    assert verify_shards(spark, out)["ok"]
+
+    # the incremental result equals a fresh full export, shard by shard
+    fresh = str(tmp_path / "fresh")
+    export_shards(bigger, fresh)
+    for k in rep["manifest"]["shards"]:
+        a = spark.read.parquet(os.path.join(out, f"shard={k}")).collect()
+        b = spark.read.parquet(os.path.join(fresh, f"shard={k}")).collect()
+        assert sorted(a) == sorted(b), k
+
+
+def test_export_shards_incremental_removes_emptied_shard(spark, tmp_path):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.training import (
+        export_shards_incremental,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sh = shuffle_shards(docs, n_shards=5, seed="s1")
+    out = str(tmp_path / "shards")
+    export_shards(sh, out)
+    # drop EVERY doc of shard 3: the incremental pass must delete it
+    remaining = sh.filter(F.col("shard") != 3).drop("shard", "pos")
+    rep = export_shards_incremental(
+        shuffle_shards(remaining, n_shards=5, seed="s1"), out
+    )
+    assert rep["removed"] == [3] and not os.path.exists(
+        os.path.join(out, "shard=3")
+    )
+    assert verify_shards(spark, out)["ok"]
+    assert rep["rewritten"] == []  # other shards' rows never moved
