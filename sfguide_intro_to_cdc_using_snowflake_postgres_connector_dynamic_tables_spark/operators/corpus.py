@@ -45,13 +45,62 @@ def assign_split(
     is uniform within any stratum -- and membership is stable under
     appends and reshuffles (no ordering or sampling dependence).
     """
-    b = hash_bucket(F.col(id_col))
     return docs.withColumn(
-        "split",
+        "split", _split_expr(F.col(id_col), train_hi, val_hi)
+    )
+
+
+def _split_expr(anchor: Column, train_hi: int, val_hi: int) -> Column:
+    """train/val/test from the hash bucket of ``anchor`` -- shared by
+    :func:`assign_split` (anchor = the doc id) and
+    :func:`leakage_safe_split` (anchor = the dup-cluster label)."""
+    b = hash_bucket(anchor)
+    return (
         F.when(b < train_hi, F.lit("train"))
         .when(b < val_hi, F.lit("val"))
-        .otherwise(F.lit("test")),
+        .otherwise(F.lit("test"))
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_hi: int = 205,
+    val_hi: int = 231,
+) -> DataFrame:
+    """Split assignment that never separates near-duplicates: members
+    of a dup cluster share one split, so a test document can never
+    have a paraphrase sitting in train (the classic silent-eval-leak
+    that per-doc hash splits permit by construction).
+
+    ``pairs``: any near-dup pair list (``minhash_lsh_pairs``,
+    ``ngram_jaccard_pairs``, ``phash_near_dup`` ids, ...).  The split
+    anchor is the doc's connected-component label (min member id) when
+    it has one, else the doc id itself -- so singleton docs split
+    exactly like :func:`assign_split`, and the whole cluster inherits
+    the split its label hashes to.  Same determinism contract as every
+    split/sample here: stable under appends, retries, and input
+    layout; adding a NEW member to an existing cluster lands it in the
+    cluster's split (the label only changes if the new doc undercuts
+    the min id -- use stable ids).
+
+    Cost on top of the pair list: the component propagation
+    (O(log n) rounds over the pair list, see
+    ``dedup.connected_components``) + one broadcast-sized join of the
+    component map (dup-cluster members only, a small fraction of the
+    corpus) onto the doc spine.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)
+    joined = docs.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    anchor = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.withColumn(
+        "split", _split_expr(anchor, train_hi, val_hi)
+    ).drop("component")
 
 
 def _word_grams(toks: Column, n: int) -> Column:

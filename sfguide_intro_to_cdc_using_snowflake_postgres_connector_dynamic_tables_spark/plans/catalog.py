@@ -730,6 +730,7 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "shuffle_shards",             # NEW: deterministic training-shard shuffle
         "classifier_score",           # NEW: learned quality classifier scoring kernel
         "image_ahash_dup",            # NEW: perceptual image dedup (real decode + aHash)
+        "leakage_safe_split",         # NEW: dup clusters share one train/val/test split
         "q2_min_cost_supplier",       # NEW: correlated-MIN multi-dim join shape
         "q9_product_profit",          # NEW: expression-heavy profit rollup shape
         "q20_half_volume_suppliers",  # NEW: nested semi-join vs correlated half-sum

@@ -381,6 +381,45 @@ SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe split: near-dup clusters share one split (a test doc can
+# never have a paraphrase in train).  Anchor = component label if the
+# doc is in a dup cluster, else the doc id; split by the anchor's md5
+# bucket -- singletons split exactly like corpus_split.
+# ---------------------------------------------------------------------------
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6)
+    return corpus.leakage_safe_split(docs, pairs).select(
+        "doc_id", "lang", "split"
+    )
+
+
+_ANCHOR_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(anchor AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(anchor AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+def _leakage_safe_split_sql() -> str:
+    comp = _dup_components_sql()
+    return f"""
+WITH comp AS ({comp}),
+anch AS (
+  SELECT d.doc_id, d.lang, COALESCE(c.component, d.doc_id) AS anchor
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (SELECT doc_id, lang, {_ANCHOR_BUCKET_SQL} AS bucket FROM anch)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 205 THEN 'train'
+            WHEN bucket < 231 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary extraction: exact corpus-wide top-k tokens.  Partial
 # (map-side) counts collapse the explode before the single shuffle;
 # TakeOrderedAndProject keeps the top-k without a global sort.
@@ -918,6 +957,7 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "stats_pack": (q_stats_pack, SQL_STATS_PACK),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dup_components": (q_dup_components, _dup_components_sql()),
+    "leakage_safe_split": (q_leakage_safe_split, _leakage_safe_split_sql()),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),

@@ -742,3 +742,54 @@ def test_shuffle_shards_deterministic_and_uniform(spark):
         1 for r in outb if shard3[r["doc_id"]] != r["shard"]
     )
     assert moved > 300  # ~6/7 of rows expected to change shard
+
+
+def test_leakage_safe_split_keeps_dup_clusters_together(spark):
+    """Every near-dup cluster lands whole in ONE split, and docs with
+    no near-dup split exactly like assign_split."""
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+        corpus,
+        dedup,
+    )
+
+    words = "spark table row scan filter join agg window stream batch".split()
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(40))))
+    # plant 30 near-dup copies (one word changed) => 30 clusters of 2
+    for i in range(30):
+        toks = rows[i][1].split()
+        toks[7] = "changed"
+        rows.append((1000 + i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6)
+    out = corpus.leakage_safe_split(docs, pairs)
+
+    comp = dedup.connected_components(pairs)
+    merged = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in out.join(comp, "doc_id", "left").collect()
+    }
+    by_comp: dict = {}
+    for _did, (c, s) in merged.items():
+        if c is not None:
+            by_comp.setdefault(c, set()).add(s)
+    assert by_comp and all(len(s) == 1 for s in by_comp.values()), by_comp
+    # the planted pairs ARE clustered (the property isn't vacuous)
+    assert sum(len(s) for s in by_comp.values()) >= 25
+
+    # singletons: identical to the plain per-doc split
+    plain = {r["doc_id"]: r["split"] for r in corpus.assign_split(docs).collect()}
+    for did, (c, s) in merged.items():
+        if c is None:
+            assert s == plain[did], did
+
+    # determinism under repartitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in corpus.leakage_safe_split(docs.repartition(7), pairs).collect()
+    }
+    assert again == {d: s for d, (_c, s) in merged.items()}
