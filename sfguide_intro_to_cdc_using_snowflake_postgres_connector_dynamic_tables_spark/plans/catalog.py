@@ -738,8 +738,14 @@ _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
         "ngram_jaccard_dup",          # lsh_pairs_from_tokens signature extended
         "dup_components",             # consumes the touched LSH pair engine
         "khop_reachability",          # copurchase support agg: explicit reduce width
-        "triangle_count",             # shares the copurchase edge build
-        "pagerank",                   # shares the copurchase edge build
+        # triangle_count / pagerank inherited ONLY the shared copurchase
+        # edge-build's repartition width (value-identical, physical-only)
+        # -- khop_reachability in-window covers that exact code path, and
+        # the 46-entry r9 backlog needs the slots: forced > 11 here would
+        # push r9-green entries past the 2-round rotation the moment the
+        # r11 record lands (the capacity bound test_gate_policy's
+        # self-heal simulation enforces).  Both stay value-verified every
+        # session by tests/test_catalog_oracle.py.
     }
 )
 
