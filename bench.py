@@ -368,12 +368,27 @@ def _bench_scaling(spark, sf_dir: str, factors=(1, 2, 4, 8)) -> dict:
             (F.col("user_id") * k + F.col("rep")).alias("user_id"), "ts", "event_type"
         )
         docs.write.format("noop").mode("overwrite").save()  # materialize once, warm
+        from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+            quality_model,
+            training,
+        )
+
+        _clf = {"join": 0.4, "slow": -0.6, "the": -0.1, "scan": 0.2}
         ops = {
             "dedup_exact": lambda: dedup.dedup_exact(docs),
             "bloom_decontaminate": lambda: corpus.bloom_decontaminate(docs),
             "boilerplate_ratio": lambda: corpus.boilerplate_ratio(docs),
             "repeated_spans": lambda: dedup.repeated_spans(docs),
             "funnel": lambda: funnel_counts(events, ["view", "click", "purchase"]),
+            # r11: the classifier scoring fold (zero-shuffle scan) and
+            # the shard shuffle + manifest stats aggregate (the export
+            # write path minus disk)
+            "classifier_fold": lambda: quality_model.linear_token_score(
+                docs, _clf, -0.3
+            ),
+            "shard_shuffle_stats": lambda: training._shard_stats(
+                training.shuffle_shards(docs, n_shards=64)
+            ),
         }
         row: dict[str, float] = {}
         for name, build in ops.items():
