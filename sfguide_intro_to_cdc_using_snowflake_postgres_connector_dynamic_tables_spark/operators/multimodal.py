@@ -892,10 +892,14 @@ def ahash_bits(pixels: np.ndarray, resize_to: int | None = None) -> int:
     (row-major) -- no float mean, no rounding, so any engine
     (including a SQL oracle) reproduces it bit-for-bit.
 
-    ``resize_to``: optional nearest-neighbor downsample to
-    ``resize_to x resize_to`` first (required when the image has more
-    than 64 pixels -- the hash is one bit per pixel in a long)."""
-    if resize_to is not None:
+    ``resize_to``: nearest-neighbor downsample to ``resize_to x
+    resize_to`` first (the hash is one bit per pixel in a long, so >64
+    pixels need one).  Default ``None`` hashes raw pixels when they fit
+    and auto-downsamples to 8x8 otherwise; pass an explicit value to
+    pin the geometry (0/negative to forbid resizing)."""
+    if resize_to is None and pixels.shape[0] * pixels.shape[1] > 64:
+        resize_to = 8
+    if resize_to is not None and resize_to > 0:
         pixels = resize_image(pixels, resize_to, resize_to)
     s = pixels.astype(np.int64).sum(axis=2).reshape(-1)
     if s.size > 64:

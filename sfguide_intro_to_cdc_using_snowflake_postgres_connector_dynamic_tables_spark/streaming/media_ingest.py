@@ -1,0 +1,241 @@
+"""Streaming MEDIA ingestion: decode gate + exact-bytes dedup +
+perceptual (pHash band-index) dedup into the bucketed store.
+
+The media twin of ``corpus_ingest``: a pretraining image feed carries
+the same picture re-encoded through different containers, resized, or
+noised -- byte fingerprints miss all of it.  Per micro-batch:
+
+    decode gate      undecodable payloads drop (the quality gate of a
+                     binary column: if it doesn't parse, it doesn't
+                     train)
+    exact tier       md5(payload) vs the bucketed fingerprint table --
+                     catches byte-identical re-uploads
+    perceptual tier  64-bit DCT pHash vs the band-bucketed index:
+                     probe ONLY the band buckets the batch hashes
+                     into, verify candidates with xor+bit_count --
+                     recall is EXACT for hamming distance < n_bands
+                     (pigeonhole), and unlike the text tier no
+                     main-table fetch is needed: the index row carries
+                     the stored hash, which IS the verdict input
+
+Per-tick I/O is O(batch bands + candidates), never a media-table
+scan -- the same contract as the text band index, with the verify one
+codegen expression instead of a token-set intersection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .store import ParquetTableStore
+
+#: index-layout version: bump if the pHash kernel or band split changes
+#: (a stale-scheme index must never be probed -- same rule as the text
+#: band index's scheme tag)
+PHASH_SCHEME = "ph1"
+
+
+def media_fp_table(table: str) -> str:
+    return f"{table}__mediafp"
+
+
+def phash_index_table(table: str, n_bands: int) -> str:
+    return f"{table}__pbands__{PHASH_SCHEME}-{n_bands}"
+
+
+def _band_keys(hash_col, n_bands: int):
+    """Combined (band index, band value) keys as one long each:
+    ``band_idx << width | band_val`` -- a single join/bucket column for
+    the index table.  Unsigned shifts so the sign bit stays in-band."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(hash_col, i * width)
+            .bitwiseAND(F.lit(mask))
+            .bitwiseOR(F.lit(i << width))
+            .alias(f"b{i}")
+            for i in range(n_bands)
+        ]
+    )
+
+
+def _hash_pass(batch: DataFrame, decode: str) -> DataFrame:
+    """ONE decode pass: payload fingerprint + pHash next to the media
+    row.  Undecodable payloads yield NULL phash (dropped by the gate
+    under ``decode='auto'``; ``decode='image'`` raises instead)."""
+    from ..operators.multimodal import image_hashes
+
+    hashed = image_hashes(batch, decode=decode).select("media_id", "phash")
+    return (
+        batch.withColumn(
+            "content_fp", F.md5(F.coalesce(F.col("payload"), F.lit(b"")))
+        )
+        .join(hashed, "media_id")
+        .filter(F.col("phash").isNotNull())
+    )
+
+
+def ingest_media_batch(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str = "media",
+    n_buckets: int = 8,
+    max_dist: int = 4,
+    n_bands: int = 8,
+    decode: str = "auto",
+) -> None:
+    """Apply one media micro-batch (see module docstring).  ``batch``
+    carries MEDIA_SCHEMA columns; survivors upsert into ``table``
+    (bucketed on media_id) and their fingerprints/band keys into the
+    two index tables so the NEXT batch sees them."""
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import phash_near_dup
+
+    fp_name = media_fp_table(table)
+    idx_name = phash_index_table(table, n_bands)
+
+    keep = _hash_pass(batch, decode)
+    # batch-internal exact dedup: one row per payload (min id wins)
+    keep = (
+        keep.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("content_fp").orderBy("media_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # batch-internal perceptual dedup: drop the higher id of each pair
+    intra = phash_near_dup(
+        keep.select("media_id", "phash"), max_dist=max_dist, n_bands=n_bands
+    )
+    keep = keep.join(
+        intra.select(F.col("id_b").alias("media_id")).distinct(),
+        "media_id",
+        "left_anti",
+    ).cache()
+    try:
+        if not store.exists(table):
+            store.overwrite(table, keep, partition_key="media_id", n_buckets=n_buckets)
+            store.overwrite(
+                fp_name,
+                keep.select("content_fp"),
+                partition_key="content_fp",
+                n_buckets=n_buckets,
+            )
+            store.overwrite(
+                idx_name,
+                keep.select(
+                    "media_id",
+                    "phash",
+                    F.explode(_band_keys(F.col("phash"), n_bands)).alias("band"),
+                ),
+                partition_key="band",
+                n_buckets=n_buckets,
+            )
+            return
+
+        # exact tier: probe only the fp buckets the batch hashes into
+        _k, FB = store.partition_spec(fp_name)
+        fp_buckets = [
+            r[0]
+            for r in keep.select(store.bucket_expr("content_fp", FB).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        seen = store.read_buckets(spark, fp_name, fp_buckets) if fp_buckets else None
+        new_rows = keep.join(seen, "content_fp", "left_anti") if seen is not None else keep
+
+        # perceptual tier: probe only the band buckets the batch hashes
+        # into; the index row carries the stored phash, so the hamming
+        # verify happens ON the join -- no media-table fetch
+        new_bands = new_rows.select(
+            "media_id",
+            F.col("phash").alias("phash_new"),
+            F.explode(_band_keys(F.col("phash"), n_bands)).alias("band"),
+        )
+        _k2, BB = store.partition_spec(idx_name)
+        band_buckets = [
+            r[0]
+            for r in new_bands.select(store.bucket_expr("band", BB).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if band_buckets:
+            stored = store.read_buckets(spark, idx_name, band_buckets).select(
+                F.col("band"), F.col("phash").alias("phash_old")
+            )
+            dup_ids = (
+                new_bands.join(stored, "band")
+                .filter(
+                    F.bit_count(
+                        F.col("phash_new").bitwiseXOR(F.col("phash_old"))
+                    )
+                    <= F.lit(max_dist)
+                )
+                .select("media_id")
+                .distinct()
+            )
+            new_rows = new_rows.join(dup_ids, "media_id", "left_anti")
+
+        new_rows = new_rows.cache()
+        try:
+            if new_rows.isEmpty():
+                return
+            store.merge(spark, table, new_rows, new_rows.select("media_id"))
+            fps = new_rows.select("content_fp")
+            store.merge(spark, fp_name, fps, fps)
+            store.append(
+                spark,
+                idx_name,
+                new_rows.select(
+                    "media_id",
+                    "phash",
+                    F.explode(_band_keys(F.col("phash"), n_bands)).alias("band"),
+                ),
+            )
+        finally:
+            new_rows.unpersist()
+    finally:
+        keep.unpersist()
+
+
+def start_media_ingest(
+    spark: SparkSession,
+    feed_dir: str,
+    store: ParquetTableStore,
+    checkpoint: str,
+    table: str = "media",
+    n_buckets: int = 8,
+    max_dist: int = 4,
+    n_bands: int = 8,
+    decode: str = "auto",
+):
+    """Tail a parquet directory of MEDIA_SCHEMA files (binary payloads
+    don't survive JSON feeds) and ingest each micro-batch.  Returns the
+    started StreamingQuery (availableNow: drain-and-stop)."""
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(feed_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, _id: ingest_media_batch(
+                store,
+                spark,
+                b,
+                table=table,
+                n_buckets=n_buckets,
+                max_dist=max_dist,
+                n_bands=n_bands,
+                decode=decode,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

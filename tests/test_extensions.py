@@ -1061,12 +1061,13 @@ def test_ahash_exact_integer_rule():
     s = img.astype(np.int64).sum(axis=2).reshape(-1)
     expect = sum(1 << j for j, v in enumerate(s) if int(v) * s.size > int(s.sum()))
     assert ahash_bits(img) == expect
-    # >64 pixels requires a resize
+    # >64 pixels auto-downsamples to 8x8 (equal to the explicit form);
+    # resize_to=0 forbids resizing and must raise
     import pytest as _pytest
 
+    assert ahash_bits(_rand_img(1)) == ahash_bits(_rand_img(1), resize_to=8)
     with _pytest.raises(ValueError):
-        ahash_bits(_rand_img(1))
-    assert isinstance(ahash_bits(_rand_img(1), resize_to=8), int)
+        ahash_bits(_rand_img(1), resize_to=0)
     # signed-long range (Spark LongType), never the unsigned overflow
     h = ahash_bits(_rand_img(2), resize_to=8)
     assert -(1 << 63) <= h < (1 << 63)
