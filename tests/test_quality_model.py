@@ -160,3 +160,55 @@ def test_linear_token_score_zero_shuffle_plan(spark, docs):
     no Exchange in the physical plan (the 100 TB contract)."""
     plan = qm.linear_token_score(docs, {"join": 0.4}, -0.2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# -- hypothesis differential: the codegen fold vs a pure-Python spec --
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TOKS = st.sampled_from(["join", "slow", "the", "scan", "", "x", "merge"])
+
+
+def _py_score(text: str, weights: dict, bias: float) -> float:
+    z = bias + sum(
+        weights.get(t, 0.0) for t in text.split(" ") if t != ""
+    )
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.lists(_TOKS, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["join", "slow", "the", "scan", "merge"]),
+        st.floats(-2.0, 2.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+    ),
+    bias=st.floats(-1.0, 1.0, allow_nan=False),
+)
+def test_fold_matches_python_reference(spark, texts, weights, bias):
+    """Executable spec: the plan-compiled fold must equal the obvious
+    Python implementation on arbitrary (text, weights, bias) -- the
+    guard against tokenizer drift, map-lookup NULL semantics, and
+    fold-order surprises across Spark versions."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["clf_score"]
+        for r in qm.linear_token_score(docs, weights, bias).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - _py_score(t, weights, bias)) < 1e-12, (t, weights, bias)
