@@ -45,6 +45,7 @@ __all__ = [
     "score_quality",
     "linear_token_score",
     "linear_token_score_join",
+    "threshold_for_keep_rate",
 ]
 
 
@@ -313,3 +314,27 @@ def linear_token_score_join(
             out_col
         ),
     )
+
+
+def threshold_for_keep_rate(
+    scored: DataFrame,
+    keep_rate: float,
+    score_col: str = "clf_score",
+    relative_error: float = 0.001,
+) -> float:
+    """Calibrate the gate: the score threshold that keeps approximately
+    the top ``keep_rate`` fraction of documents.
+
+    Production quality gates are usually specified as a BUDGET ("keep
+    the best 60%"), not a score -- but the scoring expression needs a
+    scalar threshold to stay a zero-shuffle filter.  This computes the
+    (1 - keep_rate) quantile via ``approxQuantile`` (Greenwald-Khanna,
+    one pass, driver state O(1/relative_error) -- corpus-size
+    independent) on a SAMPLE or the full frame, and returns the scalar
+    to bake into ``linear_token_score(...) >= threshold`` or the
+    ingest gate's ``min_quality``.
+    """
+    if not 0.0 < keep_rate < 1.0:
+        raise ValueError(f"keep_rate must be in (0, 1), got {keep_rate}")
+    [q] = scored.approxQuantile(score_col, [1.0 - keep_rate], relative_error)
+    return float(q)

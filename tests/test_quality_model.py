@@ -212,3 +212,18 @@ def test_fold_matches_python_reference(spark, texts, weights, bias):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - _py_score(t, weights, bias)) < 1e-12, (t, weights, bias)
+
+
+def test_threshold_for_keep_rate(spark, docs):
+    scored = qm.linear_token_score(
+        docs, {"join": 0.4, "slow": -0.6, "scan": 0.2}, -0.1
+    )
+    thr = qm.threshold_for_keep_rate(scored, 0.6, relative_error=1e-4)
+    kept = scored.filter(F.col("clf_score") >= thr).count()
+    n = scored.count()
+    # approx quantile at 1e-4 error on 500 docs is effectively exact
+    assert abs(kept / n - 0.6) < 0.05, (kept, n, thr)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        qm.threshold_for_keep_rate(scored, 1.5)
