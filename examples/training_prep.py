@@ -64,8 +64,15 @@ def main(sf_dir: str, out_dir: str) -> None:
     scored = quality_model.linear_token_score(
         docs, weights, bias, extra={c: F.col(c) for c in docs.columns if c != "doc_id"}
     )
-    docs = scored.filter(F.col("clf_score") >= 0.3).drop("clf_score")
-    print(f"classifier gate kept {docs.count()} docs (vocab={len(vocab)})")
+    # calibrate the gate as a BUDGET (keep the best ~85%), not a magic
+    # score: one approxQuantile pass turns the budget into the scalar
+    # threshold the zero-shuffle filter needs
+    thr = quality_model.threshold_for_keep_rate(scored, keep_rate=0.85)
+    docs = scored.filter(F.col("clf_score") >= thr).drop("clf_score")
+    print(
+        f"classifier gate kept {docs.count()} docs "
+        f"(vocab={len(vocab)}, threshold {thr:.3f} for 85% budget)"
+    )
 
     # 1. mixture: keep all of src1*, half of the other low-numbered
     #    sources, a quarter of src5-9, ~10% of the rest
