@@ -965,6 +965,7 @@ def phash_near_dup(
     n_bands: int = 8,
     hash_col: str = "phash",
     id_col: str = "media_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join -- the LSH
     skeleton specialized to fixed-width bit hashes: split each 64-bit
@@ -976,7 +977,11 @@ def phash_near_dup(
     defaults (8 bands, max_dist 4) recall is EXACT, not approximate,
     while candidate generation stays O(images x bands) instead of the
     all-pairs O(n^2) a 10^9-image corpus cannot afford.  Candidate
-    verification is one codegen expression (xor + bit_count)."""
+    verification is one codegen expression (xor + bit_count).
+
+    ``group_col``: restrict pairing to rows sharing that column (e.g.
+    a modality column, so an audio fingerprint and an image hash can
+    never pair even on an accidental band+popcount coincidence)."""
     if max_dist >= n_bands:
         raise ValueError(
             f"max_dist={max_dist} needs n_bands>{max_dist} for exact recall"
@@ -994,23 +999,26 @@ def phash_near_dup(
             for i in range(n_bands)
         ]
     )
+    gcols = [group_col] if group_col else []
     keyed = hashes.select(
-        F.col(id_col), F.col(hash_col), F.explode(bands).alias("b")
-    ).select(id_col, hash_col, "b.band_idx", "b.band_val")
+        F.col(id_col), F.col(hash_col), *gcols, F.explode(bands).alias("b")
+    ).select(id_col, hash_col, *gcols, "b.band_idx", "b.band_val")
     left = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col(hash_col).alias("h_a"),
+        *gcols,
         "band_idx",
         "band_val",
     )
     right = keyed.select(
         F.col(id_col).alias("id_b"),
         F.col(hash_col).alias("h_b"),
+        *gcols,
         "band_idx",
         "band_val",
     )
     pairs = (
-        left.join(right, ["band_idx", "band_val"])
+        left.join(right, ["band_idx", "band_val", *gcols])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
@@ -1202,3 +1210,63 @@ def video_near_dup(
     return agg.select(
         "id_a", "id_b", "matched", "frames", frac.alias("frac")
     ).filter(frac >= F.lit(min_frac))
+
+
+def perceptual_hashes(media: DataFrame, decode: str = "auto") -> DataFrame:
+    """Modality-dispatched perceptual hash: ONE decode pass yielding a
+    64-bit signature per row -- image -> DCT pHash, audio -> spectral
+    fingerprint, video -> pHash of the FIRST frame (robust to
+    re-encode/noise; trimmed-lead variants need the sequence form,
+    :func:`video_hash_seq`).  Rows that parse as none of the real
+    formats yield NULL under ``decode='auto'`` and raise otherwise.
+
+    Feeds the streaming media front door's band index; hashes of
+    different modalities live in disjoint band namespaces there, so an
+    audio fingerprint can never collide with an image hash."""
+
+    def _one(payload, declared: str):
+        b = bytes(payload) if payload is not None else None
+        try:
+            return "image", phash_bits(decode_image(b))
+        except (ValueError, TypeError):
+            pass
+        try:
+            samples, _r, _c = decode_wav(b)
+            return "audio", audio_fingerprint_bits(samples)
+        except (ValueError, TypeError):
+            pass
+        try:
+            frames, _fps = decode_avi(b)
+            if frames.shape[0]:
+                return "video", phash_bits(frames[0])
+        except (ValueError, TypeError):
+            pass
+        if decode != "auto":
+            raise ValueError(f"payload decodes as no supported format ({declared})")
+        return None, None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mods, hashes = [], []
+            for payload, declared in zip(pdf["payload"], pdf["media_type"]):
+                m, h = _one(payload, declared)
+                mods.append(m)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": mods,
+                    "phash": hashes,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("modality", T.StringType(), True),
+                T.StructField("phash", T.LongType(), True),
+            ]
+        ),
+    )

@@ -1,13 +1,16 @@
 """Streaming MEDIA ingestion: decode gate + exact-bytes dedup +
-perceptual (pHash band-index) dedup into the bucketed store.
+perceptual (band-index) dedup into the bucketed store.
 
-The media twin of ``corpus_ingest``: a pretraining image feed carries
-the same picture re-encoded through different containers, resized, or
-noised -- byte fingerprints miss all of it.  Per micro-batch:
+The media twin of ``corpus_ingest``, and genuinely MULTIMODAL: the
+perceptual tier dispatches per payload -- images get the DCT pHash,
+audio the FFT spectral fingerprint, video the first-frame pHash
+(``operators.multimodal.perceptual_hashes``) -- and each modality's
+hashes live in a DISJOINT band-key namespace, so an audio fingerprint
+can never collide with an image hash in the index.  Per micro-batch:
 
-    decode gate      undecodable payloads drop (the quality gate of a
-                     binary column: if it doesn't parse, it doesn't
-                     train)
+    decode gate      payloads parsing as none of the supported
+                     formats drop (the quality gate of a binary
+                     column: if it doesn't parse, it doesn't train)
     exact tier       md5(payload) vs the bucketed fingerprint table --
                      catches byte-identical re-uploads
     perceptual tier  64-bit DCT pHash vs the band-bucketed index:
@@ -29,10 +32,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .store import ParquetTableStore
 
-#: index-layout version: bump if the pHash kernel or band split changes
+#: index-layout version: bump if the hash kernels or band split change
 #: (a stale-scheme index must never be probed -- same rule as the text
-#: band index's scheme tag)
-PHASH_SCHEME = "ph1"
+#: band index's scheme tag).  ph2 = modality-dispatched hashes with
+#: per-modality band namespaces.
+PHASH_SCHEME = "ph2"
+
+#: band-namespace codes; new modalities append (never renumber -- the
+#: scheme tag exists so a numbering change is a scheme bump)
+_MODALITY_CODE = {"image": 1, "audio": 2, "video": 3}
 
 
 def media_fp_table(table: str) -> str:
@@ -43,17 +51,24 @@ def phash_index_table(table: str, n_bands: int) -> str:
     return f"{table}__pbands__{PHASH_SCHEME}-{n_bands}"
 
 
-def _band_keys(hash_col, n_bands: int):
-    """Combined (band index, band value) keys as one long each:
-    ``band_idx << width | band_val`` -- a single join/bucket column for
-    the index table.  Unsigned shifts so the sign bit stays in-band."""
+def _band_keys(hash_col, n_bands: int, modality_col=None):
+    """Combined (modality, band index, band value) keys as one long
+    each: ``modality_code << 48 | band_idx << width | band_val`` -- a
+    single join/bucket column for the index table, with each
+    modality's keys in a disjoint namespace.  Unsigned shifts so the
+    sign bit stays in-band."""
     width = 64 // n_bands
     mask = (1 << width) - 1
+    ns = F.lit(0).cast("long")
+    if modality_col is not None:
+        for name, code in _MODALITY_CODE.items():
+            ns = F.when(modality_col == name, F.lit(code << 48).cast("long")).otherwise(ns)
     return F.array(
         *[
             F.shiftrightunsigned(hash_col, i * width)
             .bitwiseAND(F.lit(mask))
             .bitwiseOR(F.lit(i << width))
+            .bitwiseOR(ns)
             .alias(f"b{i}")
             for i in range(n_bands)
         ]
@@ -61,12 +76,15 @@ def _band_keys(hash_col, n_bands: int):
 
 
 def _hash_pass(batch: DataFrame, decode: str) -> DataFrame:
-    """ONE decode pass: payload fingerprint + pHash next to the media
-    row.  Undecodable payloads yield NULL phash (dropped by the gate
-    under ``decode='auto'``; ``decode='image'`` raises instead)."""
-    from ..operators.multimodal import image_hashes
+    """ONE decode pass: payload fingerprint + modality-dispatched
+    perceptual hash next to the media row.  Payloads decoding as no
+    supported format yield NULL (dropped by the gate under
+    ``decode='auto'``; any other value raises instead)."""
+    from ..operators.multimodal import perceptual_hashes
 
-    hashed = image_hashes(batch, decode=decode).select("media_id", "phash")
+    hashed = perceptual_hashes(batch, decode=decode).select(
+        "media_id", "modality", "phash"
+    )
     return (
         batch.withColumn(
             "content_fp", F.md5(F.coalesce(F.col("payload"), F.lit(b"")))
@@ -110,8 +128,12 @@ def ingest_media_batch(
         .drop("__rn")
     )
     # batch-internal perceptual dedup: drop the higher id of each pair
+    # (pairs form only WITHIN a modality)
     intra = phash_near_dup(
-        keep.select("media_id", "phash"), max_dist=max_dist, n_bands=n_bands
+        keep.select("media_id", "modality", "phash"),
+        max_dist=max_dist,
+        n_bands=n_bands,
+        group_col="modality",
     )
     keep = keep.join(
         intra.select(F.col("id_b").alias("media_id")).distinct(),
@@ -131,8 +153,11 @@ def ingest_media_batch(
                 idx_name,
                 keep.select(
                     "media_id",
+                    "modality",
                     "phash",
-                    F.explode(_band_keys(F.col("phash"), n_bands)).alias("band"),
+                    F.explode(
+                        _band_keys(F.col("phash"), n_bands, F.col("modality"))
+                    ).alias("band"),
                 ),
                 partition_key="band",
                 n_buckets=n_buckets,
@@ -156,7 +181,9 @@ def ingest_media_batch(
         new_bands = new_rows.select(
             "media_id",
             F.col("phash").alias("phash_new"),
-            F.explode(_band_keys(F.col("phash"), n_bands)).alias("band"),
+            F.explode(
+                _band_keys(F.col("phash"), n_bands, F.col("modality"))
+            ).alias("band"),
         )
         _k2, BB = store.partition_spec(idx_name)
         band_buckets = [
@@ -194,8 +221,11 @@ def ingest_media_batch(
                 idx_name,
                 new_rows.select(
                     "media_id",
+                    "modality",
                     "phash",
-                    F.explode(_band_keys(F.col("phash"), n_bands)).alias("band"),
+                    F.explode(
+                        _band_keys(F.col("phash"), n_bands, F.col("modality"))
+                    ).alias("band"),
                 ),
             )
         finally:

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
     MEDIA_SCHEMA,
@@ -96,8 +97,8 @@ def test_media_ingest_stream_two_runs(spark, tmp_path):
 def test_ingest_media_batch_strict_decode_raises(spark, tmp_path):
     store = ParquetTableStore(str(tmp_path / "store"))
     bad = _media_df(spark, [(1, bytearray(b"junk"))])
-    with pytest.raises(Exception, match="unsupported image magic|too short"):
-        ingest_media_batch(store, spark, bad, decode="image")
+    with pytest.raises(Exception, match="no supported format"):
+        ingest_media_batch(store, spark, bad, decode="strict")
 
 
 def test_ingest_media_batch_perceptual_intra_batch(spark, tmp_path):
@@ -117,3 +118,56 @@ def test_ingest_media_batch_perceptual_intra_batch(spark, tmp_path):
     ingest_media_batch(store, spark, batch)
     ids = {r["media_id"] for r in store.read(spark, "media").select("media_id").collect()}
     assert ids == {5, 8}
+
+
+def test_media_ingest_multimodal_feed(spark, tmp_path):
+    """One feed carrying images, WAV audio, and AVI video: each
+    modality dedups within itself (re-encodes/re-levels drop), and
+    modalities never interfere (disjoint band namespaces)."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        encode_avi,
+        encode_wav,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    t = np.arange(4000)
+    tone = lambda f, amp: (amp * np.sin(2 * np.pi * f * t / 8000)).astype(np.int16)
+    vidA = _img(21)[None].repeat(4, axis=0)
+    img = _img(20)
+
+    batch1 = _media_df(
+        spark,
+        [
+            (1, bytearray(encode_ppm(img))),
+            (2, bytearray(encode_wav(tone(440, 3000), 8000))),
+            (3, bytearray(encode_avi(vidA))),
+        ],
+    )
+    ingest_media_batch(store, spark, batch1)
+
+    batch2 = _media_df(
+        spark,
+        [
+            (10, bytearray(encode_bmp(img))),                   # image re-encode -> drop
+            (11, bytearray(encode_wav(tone(440, 1400), 8000))), # re-leveled tone -> drop
+            (12, bytearray(encode_avi(_noised(vidA[0])[None].repeat(4, axis=0)))),  # noised video -> drop
+            (13, bytearray(encode_wav(tone(1333, 3000), 8000))),  # new audio -> keep
+        ],
+    )
+    ingest_media_batch(store, spark, batch2)
+    rows = {
+        r["media_id"]: r["modality"]
+        for r in store.read(spark, "media").select("media_id", "modality").collect()
+    }
+    assert rows == {1: "image", 2: "audio", 3: "video", 13: "audio"}, rows
+    # index namespaces are disjoint per modality
+    idx = store.read(spark, phash_index_table("media", 8))
+    ns = {
+        r["modality"]: r["ns"]
+        for r in idx.select(
+            "modality", (F.shiftrightunsigned(F.col("band"), 48)).alias("ns")
+        )
+        .distinct()
+        .collect()
+    }
+    assert ns == {"image": 1, "audio": 2, "video": 3}, ns
