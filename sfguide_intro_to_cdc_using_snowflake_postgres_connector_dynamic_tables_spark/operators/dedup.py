@@ -97,6 +97,27 @@ def band_scheme(wide: bool = False) -> str:
     return BAND_SCHEME + ("w" if wide else "")
 
 
+#: Documented safe ceiling for the NARROW (5-nibble, 2^20-space) slice
+#: scheme: per-doc distinct-token count n.  A band of 2 narrow slices
+#: false-fires between unrelated docs at ~(n/2^20)^2 per pair -- at
+#: n = 2^16 that is ~0.4% per band, the point where candidate volume
+#: (not correctness: the exact-Jaccard verify still filters) starts
+#: inflating LSH buckets on dense corpora.  Operators REFUSE to run
+#: the narrow scheme past this bound (``wide='auto'`` picks the wide
+#: scheme instead), so a whole-book corpus can't silently degrade.
+NARROW_MAX_TOKENS = 1 << 16
+
+
+def observed_max_tokens(tok: DataFrame, id_col: str = "doc_id") -> int:
+    """Max distinct-token count over a (doc_id, token) set table --
+    ONE count-only aggregation (map-side partial, |docs| shuffle rows).
+    Index owners call this once at index-creation time to pin the
+    slice scheme (``wide = observed_max_tokens(tok) > NARROW_MAX_TOKENS``)
+    in the persisted index's name."""
+    row = tok.groupBy(id_col).count().agg(F.max("count")).first()
+    return int(row[0] or 0)
+
+
 def _minhash_min_exprs(num_hashes: int, wide: bool = False) -> list[Column]:
     """k per-doc minimum-hash aggregates from ONE md5 per token.
 
@@ -165,7 +186,8 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.5,
     block_col: str | None = None,
-    wide: bool = False,
+    wide: bool | str = False,
+    narrow_max_tokens: int | None = NARROW_MAX_TOKENS,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact Jaccard verify.
 
@@ -180,6 +202,9 @@ def minhash_lsh_pairs(
     LSH bucket sizes bounded when the similarity distribution is dense
     (every skewed bucket is split by block), and it turns the band
     self-join into a per-block shuffle.
+
+    ``wide='auto'``/``narrow_max_tokens``: slice-scheme gating for
+    very-large-document corpora -- see :func:`lsh_pairs_from_tokens`.
     """
     tok = _token_set(docs, text_col, id_col)
     blocks = (
@@ -187,7 +212,9 @@ def minhash_lsh_pairs(
         if block_col is not None
         else None
     )
-    return lsh_pairs_from_tokens(tok, num_hashes, band_size, threshold, blocks, wide)
+    return lsh_pairs_from_tokens(
+        tok, num_hashes, band_size, threshold, blocks, wide, narrow_max_tokens
+    )
 
 
 def band_keys_for_docs(
@@ -197,19 +224,62 @@ def band_keys_for_docs(
     num_hashes: int = 6,
     band_size: int = 2,
     wide: bool = False,
+    narrow_max_tokens: int | None = NARROW_MAX_TOKENS,
 ) -> DataFrame:
     """(doc_id, band) LSH band keys for each doc -- byte-identical to
     the bands ``lsh_pairs_from_tokens`` builds internally (same
     md5-slice minhash, same band hash), exposed for INDEXED near-dup
     lookups: a streaming ingest stores these rows in a band-bucketed
-    index table and each batch probes only its own bands' buckets."""
+    index table and each batch probes only its own bands' buckets.
+
+    ``wide`` must be a RESOLVED bool here (no ``'auto'``): the slice
+    scheme is pinned in the persisted index's NAME
+    (``corpus_ingest.bands_table_name``), so per-batch auto-switching
+    would write keys the index can never match.  Resolve once at index
+    creation: ``observed_max_tokens(tok) > NARROW_MAX_TOKENS``.  Under
+    the narrow scheme the plan carries a zero-extra-pass guard
+    (``raise_error`` folded into the first band expression): a doc
+    past ``narrow_max_tokens`` distinct tokens fails the batch loudly
+    instead of silently degrading LSH bucket quality."""
+    if wide == "auto":
+        raise ValueError(
+            "band_keys_for_docs feeds a persisted index whose slice scheme "
+            "is pinned in the index name; resolve wide once at index "
+            "creation (observed_max_tokens(tok) > NARROW_MAX_TOKENS) and "
+            "pass the resolved bool"
+        )
     tok = _token_set(docs, text_col, id_col)
-    sig = minhash_signatures(tok, num_hashes, wide)
+    guard = not wide and narrow_max_tokens is not None
+    if guard:
+        sig = tok.groupBy("doc_id").agg(
+            *_minhash_min_exprs(num_hashes, wide),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    else:
+        sig = minhash_signatures(tok, num_hashes, wide)
     n_bands = num_hashes // band_size
     exprs = []
     for b in range(n_bands):
         cols = [F.col(f"h{b * band_size + j + 1}") for j in range(band_size)]
         exprs.append(F.md5(F.encode(F.concat(*cols), "UTF-8")))
+    if guard:
+        # every row evaluates every band expr inside the explode array,
+        # so guarding the first one covers the whole row
+        exprs[0] = F.when(
+            F.col("__n") <= F.lit(narrow_max_tokens), exprs[0]
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("a document has "),
+                    F.col("__n").cast("string"),
+                    F.lit(
+                        " distinct tokens, past the narrow 5-nibble slice "
+                        f"bound ({narrow_max_tokens}): rebuild the band "
+                        "index with wide=True"
+                    ),
+                )
+            )
+        )
     return sig.select(id_col, F.explode(F.array(*exprs)).alias("band"))
 
 
@@ -219,7 +289,8 @@ def lsh_pairs_from_tokens(
     band_size: int = 2,
     threshold: float = 0.5,
     blocks: DataFrame | None = None,
-    wide: bool = False,
+    wide: bool | str = False,
+    narrow_max_tokens: int | None = NARROW_MAX_TOKENS,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over a prepared (doc_id, token) set
     table -- the shared engine behind word-set and shingle-set dedup.
@@ -228,7 +299,22 @@ def lsh_pairs_from_tokens(
     One shuffle of the token table produces BOTH the minhash signature
     and the verification token-set/size per doc (fused aggregate);
     everything downstream works on the per-doc table (|docs| rows).
+
+    Slice-scheme gating (``narrow_max_tokens``, default
+    ``NARROW_MAX_TOKENS``): ``wide='auto'`` probes the observed max
+    distinct-token count (one count-only pass over ``tok``) and picks
+    the wide 2^40 slices when it crosses the bound; ``wide=False``
+    still VERIFIES the bound on the per-doc counts the fused aggregate
+    already computes (an action on the cached signature table --
+    materialized downstream anyway, so ~free) and raises instead of
+    silently running the narrow scheme on a whole-book corpus.  Pass
+    ``narrow_max_tokens=None`` to disable the check.
     """
+    if wide == "auto":
+        wide = (
+            narrow_max_tokens is not None
+            and observed_max_tokens(tok) > narrow_max_tokens
+        )
     per_doc_aggs = _minhash_min_exprs(num_hashes, wide) + [
         F.collect_set("token").alias("toks"),
         F.count(F.lit(1)).alias("n"),
@@ -242,6 +328,14 @@ def lsh_pairs_from_tokens(
     release_caches()
     sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
     _SIG_CACHES.append(sig)
+    if not wide and narrow_max_tokens is not None:
+        mx = int(sig.agg(F.max("n")).first()[0] or 0)
+        if mx > narrow_max_tokens:
+            raise ValueError(
+                f"a document has {mx} distinct tokens, past the narrow "
+                f"5-nibble slice bound ({narrow_max_tokens}): pass "
+                "wide=True (2^40 slices) or wide='auto'"
+            )
     if blocks is not None:
         sig = sig.join(blocks, "doc_id")
     block_col = None if blocks is None else "__block"

@@ -1158,6 +1158,10 @@ def video_near_dup(
     is O(frames x bands) with buckets keyed by (position, band) -- a
     popular-but-unrelated hash value at different positions never
     joins.  Returns (id_a, id_b, matched, frames, frac)."""
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"max_dist={max_dist} needs n_bands>{max_dist} for exact recall"
+        )
     width = 64 // n_bands
     mask = (1 << width) - 1
     frames = seqs.select(

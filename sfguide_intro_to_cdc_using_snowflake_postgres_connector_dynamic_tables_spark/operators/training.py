@@ -197,9 +197,14 @@ _CHECKSUM_MOD = 1_000_000_007
 
 
 def _shard_stats(shards: DataFrame) -> DataFrame:
-    """Per-shard (rows, checksum): the checksum is a commutative
-    sum of row hashes over EVERY column (pos included, so a row in
-    the wrong position changes it), safe to compute in any order."""
+    """Per-shard (rows, checksum): the checksum is a commutative sum
+    of row hashes over EVERY column (``pos`` included), safe to
+    compute in any order.  It detects CONTENT corruption -- a
+    dropped/duplicated row, a mutated cell, a corrupted ``pos`` value
+    -- not physical file layout: shard order is DEFINED by the ``pos``
+    column, so a consumer must read ``ORDER BY pos`` (or trust the
+    single-writer layout) rather than rely on the checksum to notice
+    physically shuffled rows whose ``pos`` values are intact."""
     cols = sorted(shards.columns)
     return shards.groupBy("shard").agg(
         F.count(F.lit(1)).alias("rows"),
@@ -222,8 +227,9 @@ def export_shards(
     cluster, possibly weeks later) needs a cheap answer to "is this
     the complete, uncorrupted export?" without re-deriving the
     pipeline.  :func:`verify_shards` re-aggregates the written files
-    against the manifest -- count AND order-sensitive checksum per
-    shard -- in one scan.
+    against the manifest -- row count and content checksum per shard
+    (order is carried by the ``pos`` column, not the checksum; see
+    ``_shard_stats``) -- in one scan.
 
     Mechanics: each shard is hash-routed to one task (``repartition``
     on the shard column) and sorted by ``pos`` inside it, so every
@@ -277,8 +283,11 @@ def verify_shards(
 
     Catches the three 100 TB failure modes: a shard directory lost
     (task retried into the void, partial copy), a foreign/duplicated
-    shard, and silent row corruption or reordering (checksum hashes
-    every column INCLUDING pos)."""
+    shard, and silent CONTENT corruption -- a mutated cell, a dropped
+    or duplicated row, a corrupted ``pos`` value (the checksum hashes
+    every column including ``pos``).  Physical row order within a file
+    is NOT checked: shard order is defined by ``pos``, which consumers
+    read ``ORDER BY`` (see ``_shard_stats``)."""
     import json as _json
     import os as _os
 

@@ -724,28 +724,21 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 11).  Reset this set at the start of each round.
+#: current round (round 12).  Reset this set at the start of each round.
+#:
+#: Capacity note (r12): the last-green histogram after the r11 record
+#: is r9/r10/r11 = 38/47/50, so the 38 r9-green entries exhaust their
+#: two-round sit-out and MUST enter the r12 window.  That leaves
+#: 50 - 38 = 12 slots for forced (new/red/touched) entries before
+#: ``_GATE_FORCED_OVERFLOW`` trips -- keep this set <= 12.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "shuffle_shards",             # NEW: deterministic training-shard shuffle
-        "classifier_score",           # NEW: learned quality classifier scoring kernel
-        "image_ahash_dup",            # NEW: perceptual image dedup (real decode + aHash)
-        "leakage_safe_split",         # NEW: dup clusters share one train/val/test split
-        "q2_min_cost_supplier",       # NEW: correlated-MIN multi-dim join shape
-        "q9_product_profit",          # NEW: expression-heavy profit rollup shape
-        "q20_half_volume_suppliers",  # NEW: nested semi-join vs correlated half-sum
-        "minhash_near_dup",           # wide= slice param threaded (default unchanged)
-        "ngram_jaccard_dup",          # lsh_pairs_from_tokens signature extended
-        "dup_components",             # consumes the touched LSH pair engine
-        "khop_reachability",          # copurchase support agg: explicit reduce width
-        # triangle_count / pagerank inherited ONLY the shared copurchase
-        # edge-build's repartition width (value-identical, physical-only)
-        # -- khop_reachability in-window covers that exact code path, and
-        # the 46-entry r9 backlog needs the slots: forced > 11 here would
-        # push r9-green entries past the 2-round rotation the moment the
-        # r11 record lands (the capacity bound test_gate_policy's
-        # self-heal simulation enforces).  Both stay value-verified every
-        # session by tests/test_catalog_oracle.py.
+        "classifier_eval",            # NEW: distributed ROC-AUC / PR-at-k evaluation
+        "classifier_score",           # threshold drift check added alongside scoring
+        "minhash_near_dup",           # auto-wide slice gating on observed token count
+        "leakage_safe_split",         # incremental split maintenance added
+        "image_ahash_dup",            # shares the perceptual banded-hamming engine
+        #   with the new multi-frame video index tier (multimodal.py)
     }
 )
 
