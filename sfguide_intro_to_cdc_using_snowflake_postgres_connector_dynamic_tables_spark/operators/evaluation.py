@@ -1,0 +1,262 @@
+"""Classifier evaluation: distributed ROC / precision-recall / drift.
+
+Closes the train -> select loop around :mod:`quality_model`: after
+training a quality classifier on a labeled sample, the pipeline owner
+needs (a) a threshold-free quality number (ROC-AUC), (b) the operating
+curve to pick a gate from (ROC points, precision/recall at k), and
+(c) a drift check that re-calibrating the keep-rate threshold on a new
+corpus snapshot hasn't silently moved the gate.
+
+Reference parity: the reference quickstart has no learned scorer or
+evaluation (its analytics end at dashboard aggregates,
+``scripts/customer_spending_dashboard.py:98-147``); this extends the
+training-data operator family (SURVEY.md section 2 extension block).
+
+Scale shapes (the 100 TB contract for every function here):
+
+- Nothing sorts the corpus through ONE task.  The naive ROC/rank
+  formulation is a global ordered window; here scores are first
+  collapsed per distinct value (one aggregation shuffle), then the
+  cumulative counts use the classic two-phase distributed prefix sum
+  (range-partition by score, per-partition running sums, exclusive
+  partition offsets broadcast back as an O(#partitions) map literal)
+  -- the same shape as ``corpus.pack_global_order``.
+- Driver state: O(#partitions) for the prefix offsets, O(k) for
+  precision/recall-at-k (Spark's ``orderBy().limit(k)`` is a
+  distributed TakeOrdered: per-partition top-k, driver merge of k
+  rows), O(1) for AUC and drift.
+- Ties are handled exactly: collapsing per distinct score value makes
+  the trapezoid over ROC points equal the ties-corrected
+  Mann-Whitney AUC (each tied block contributes pos*neg/2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .quality_model import threshold_for_keep_rate
+
+__all__ = [
+    "roc_points",
+    "roc_auc",
+    "precision_recall_at_k",
+    "threshold_drift",
+]
+
+
+def _score_cum(
+    scored: DataFrame, label_col: str, score_col: str
+) -> tuple[DataFrame, int, int]:
+    """Per-distinct-score cumulative counts from the TOP score down.
+
+    Returns ``(df, n_pos, n_neg)`` where df has one row per distinct
+    score value with columns (score, cnt, pos, cum_cnt, cum_pos) --
+    cum_* counting every row with score >= this row's score.
+
+    Two-phase prefix sum; CALLING this runs an eager job (the
+    per-partition-totals collect, which also yields the global
+    pos/neg totals for free -- no separate count action).  The ranged
+    intermediate is checkpointed to freeze the partition ids the
+    offsets were computed against (reliable checkpoint with a
+    checkpoint dir configured, localCheckpoint fallback otherwise --
+    same caveat as ``corpus.pack_global_order``)."""
+    per_score = (
+        scored.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
+    )
+    ranged = per_score.repartitionByRange(
+        F.col("score").desc()
+    ).withColumn("__pid", F.spark_partition_id())
+    sc = scored.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        ranged = ranged.checkpoint(eager=False)
+    else:
+        ranged = ranged.localCheckpoint(eager=False)
+    totals = {
+        r["__pid"]: (int(r["c"]), int(r["p"]))
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("cnt").alias("c"), F.sum("pos").alias("p"))
+        .collect()
+    }
+    prefix: dict[int, tuple[int, int]] = {}
+    acc_c = acc_p = 0
+    for pid in sorted(totals):
+        prefix[pid] = (acc_c, acc_p)
+        acc_c += totals[pid][0]
+        acc_p += totals[pid][1]
+    n_pos = acc_p
+    n_neg = acc_c - acc_p
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _offset(idx: int):
+        if not prefix:
+            return F.lit(0)
+        return F.create_map(
+            *[
+                x
+                for pid, pre in prefix.items()
+                for x in (F.lit(pid), F.lit(pre[idx]))
+            ]
+        )[F.col("__pid")]
+
+    cum = ranged.select(
+        "score",
+        "cnt",
+        "pos",
+        (F.sum("cnt").over(w) + _offset(0)).alias("cum_cnt"),
+        (F.sum("pos").over(w) + _offset(1)).alias("cum_pos"),
+    )
+    return cum, n_pos, n_neg
+
+
+def roc_points(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """The ROC curve as one row per distinct score value: interpreting
+    each value t as the gate ``score >= t``, ``tpr`` = fraction of
+    positives kept and ``fpr`` = fraction of negatives kept.
+
+    Returns (threshold, tpr, fpr); |distinct scores| rows.  Corpora
+    with continuous scores should quantize the score column first
+    (e.g. ``F.round(score, 4)``) -- that bounds the output AND makes
+    the curve reproducible across engines whose float sums differ in
+    the last ulp."""
+    cum, n_pos, n_neg = _score_cum(scored, label_col, score_col)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"ROC needs both classes: n_pos={n_pos}, n_neg={n_neg}"
+        )
+    return cum.select(
+        F.col("score").alias("threshold"),
+        (F.col("cum_pos") / F.lit(float(n_pos))).alias("tpr"),
+        ((F.col("cum_cnt") - F.col("cum_pos")) / F.lit(float(n_neg))).alias(
+            "fpr"
+        ),
+    )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "clf_score",
+) -> float:
+    """Ties-corrected Mann-Whitney ROC-AUC, exactly the trapezoid area
+    under :func:`roc_points`:
+
+    ``AUC = sum over distinct scores s of
+    [pos_s * neg_below_s + pos_s * neg_s / 2] / (P * N)``
+
+    where ``neg_below_s`` counts negatives with score strictly below s
+    -- i.e. each (positive, negative) pair scores 1 when the positive
+    ranks higher, 1/2 on a tie.  One aggregation action over the
+    per-distinct-score cumulative table; O(1) extra driver state."""
+    cum, n_pos, n_neg = _score_cum(scored, label_col, score_col)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"AUC needs both classes: n_pos={n_pos}, n_neg={n_neg}"
+        )
+    neg_at_or_above = F.col("cum_cnt") - F.col("cum_pos")
+    neg_here = F.col("cnt") - F.col("pos")
+    neg_below = F.lit(n_neg) - neg_at_or_above
+    contrib = F.col("pos") * neg_below + F.col("pos") * neg_here / F.lit(2.0)
+    [total] = cum.agg(F.sum(contrib)).first()
+    return float(total) / (n_pos * n_neg)
+
+
+def precision_recall_at_k(
+    scored: DataFrame,
+    ks: list[int],
+    label_col: str = "label",
+    score_col: str = "clf_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Precision and recall of the top-k documents by score, for each
+    k in ``ks``; ties at the boundary broken deterministically by
+    ``id_col`` ascending.
+
+    Returns (k, hits, precision, recall), len(ks) rows.  The only
+    corpus-wide work is one TakeOrdered (``orderBy().limit(max k)``:
+    per-partition top-k then an O(k) driver merge) and one count of
+    positives -- no global sort, no corpus-sized window."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be positive ints, got {ks}")
+    max_k = max(ks)
+    [n_pos] = scored.agg(
+        F.sum(F.col(label_col).cast("long")).alias("p")
+    ).first()
+    n_pos = int(n_pos or 0)
+    if n_pos == 0:
+        raise ValueError("recall undefined: no positive rows")
+    top = (
+        scored.select(id_col, score_col, label_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(max_k)
+    )
+    # max_k rows from here on: the single-partition window is fine
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = top.select(
+        F.col(label_col).cast("long").alias("__lbl"),
+        F.row_number().over(w).alias("__rank"),
+    )
+    ks_df = ranked.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(set(ks))], ["k"]
+    )
+    return (
+        ranked.join(ks_df, F.col("__rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("__lbl").alias("hits"))
+        .select(
+            "k",
+            "hits",
+            (F.col("hits") / F.col("k")).alias("precision"),
+            (F.col("hits") / F.lit(float(n_pos))).alias("recall"),
+        )
+    )
+
+
+def threshold_drift(
+    scored_ref: DataFrame,
+    scored_new: DataFrame,
+    keep_rate: float,
+    score_col: str = "clf_score",
+    relative_error: float = 0.001,
+) -> dict:
+    """Re-calibration drift between two corpus snapshots: the
+    keep-rate threshold on each (``threshold_for_keep_rate``: one
+    approxQuantile pass per snapshot, O(1/relative_error) driver
+    state), plus what keep rate the REFERENCE threshold would yield on
+    the new snapshot -- the number an alerting rule watches (a stable
+    score distribution keeps it ~= ``keep_rate``; a drifting corpus
+    or a retrained model moves it).
+
+    Returns ``{threshold_ref, threshold_new, threshold_delta,
+    keep_rate_target, keep_rate_at_ref_threshold}``.  Three bounded
+    passes total, no corpus-sized driver state."""
+    t_ref = threshold_for_keep_rate(
+        scored_ref, keep_rate, score_col, relative_error
+    )
+    t_new = threshold_for_keep_rate(
+        scored_new, keep_rate, score_col, relative_error
+    )
+    kept, total = scored_new.agg(
+        F.sum((F.col(score_col) >= F.lit(t_ref)).cast("long")),
+        F.count(F.lit(1)),
+    ).first()
+    if not total:
+        raise ValueError("new snapshot is empty")
+    return {
+        "threshold_ref": t_ref,
+        "threshold_new": t_new,
+        "threshold_delta": t_new - t_ref,
+        "keep_rate_target": keep_rate,
+        "keep_rate_at_ref_threshold": float(kept or 0) / float(total),
+    }

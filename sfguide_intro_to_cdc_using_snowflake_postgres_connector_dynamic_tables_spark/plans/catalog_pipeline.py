@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import corpus, quality_model, text as text_ops
+from ..operators import corpus, evaluation, quality_model, text as text_ops
 from ..sources.testdata import load_table
 
 
@@ -948,8 +948,82 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
 
 
+#: classifier_eval uses the weights x100 -- INTEGER-exact sums, so
+#: grouping the score can never split on float-ulp differences between
+#: engines (the risk the 2dp value canonicalizer does NOT cover:
+#: rounding happens after grouping, and an ulp at a group boundary
+#: would move whole rows).  The sigmoid is monotone, so ROC points
+#: over z are ROC points over sigmoid(z/100 + bias).
+_CLF_W100: dict[str, int] = {
+    tok: int(round(wt * 100)) for tok, wt in _CLF_WEIGHTS.items()
+}
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve of the learned quality scorer against a deterministic
+    relevance label (lang == 'en'): one row per distinct integer
+    weight-sum with (threshold, tpr, fpr).
+
+    Pins the distributed evaluation path end-to-end: per-score
+    collapse (one aggregation shuffle) -> two-phase prefix-sum
+    cumulative (range exchange + per-partition window + O(#partitions)
+    offsets) -> ratio projection.  No global single-task window
+    anywhere -- `evaluation._score_cum` is the scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    keys = sorted(_CLF_W100)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(float(_CLF_W100[k])) for k in keys]),
+    )
+    toks = text_ops.tokens(F.col("text"))
+    z = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0))
+    )
+    scored = docs.select(
+        z.alias("z"),
+        F.when(F.col("lang") == F.lit("en"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return evaluation.roc_points(scored, label_col="label", score_col="z")
+
+
+def _classifier_eval_sql() -> str:
+    """DuckDB window-function oracle for the ROC points: same integer
+    weight sums, cumulative counts via SUM() OVER (ORDER BY z DESC)
+    over the per-distinct-score table (one row per z, so the default
+    RANGE frame equals ROWS)."""
+    values = ", ".join(
+        f"('{tok}', {wt})" for tok, wt in sorted(_CLF_W100.items())
+    )
+    return f"""
+WITH w(tok, wt) AS (VALUES {values}),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (
+  SELECT tk.doc_id, SUM(w.wt) AS z
+  FROM tk JOIN w ON tk.tok = w.tok GROUP BY tk.doc_id),
+scored AS (
+  SELECT CAST(COALESCE(s.z, 0) AS DOUBLE) AS z,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+per AS (SELECT z, COUNT(*) AS cnt, SUM(label) AS pos FROM scored GROUP BY z),
+cum AS (
+  SELECT z, cnt, pos,
+         SUM(cnt) OVER (ORDER BY z DESC) AS cum_cnt,
+         SUM(pos) OVER (ORDER BY z DESC) AS cum_pos
+  FROM per),
+tot AS (SELECT SUM(pos) AS p, SUM(cnt) - SUM(pos) AS n FROM per)
+SELECT cum.z AS threshold,
+       CAST(cum.cum_pos AS DOUBLE) / tot.p AS tpr,
+       CAST(cum.cum_cnt - cum.cum_pos AS DOUBLE) / tot.n AS fpr
+FROM cum CROSS JOIN tot
+"""
+
+
 PIPELINE_CATALOG: dict[str, tuple] = {
     "classifier_score": (q_classifier_score, _classifier_sql()),
+    "classifier_eval": (q_classifier_eval, _classifier_eval_sql()),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),

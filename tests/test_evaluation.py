@@ -1,0 +1,163 @@
+"""Classifier evaluation operators (VERDICT r11 item 7): distributed
+ROC-AUC / precision-recall-at-k / threshold drift, differential-tested
+against brute force and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.evaluation import (
+    precision_recall_at_k,
+    roc_auc,
+    roc_points,
+    threshold_drift,
+)
+
+
+def _rows(n: int = 400, seed: int = 7) -> list[tuple[int, float, int]]:
+    """(doc_id, score, label) with deliberate score ties (scores on a
+    coarse 0.05 grid) and class imbalance."""
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        label = 1 if rng.random() < 0.3 else 0
+        # positives score higher on average; grid forces ties
+        base = 0.55 if label else 0.40
+        score = round(min(1.0, max(0.0, base + rng.gauss(0, 0.15))), 2)
+        out.append((i, score, label))
+    return out
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    df = spark.createDataFrame(_rows(), ["doc_id", "clf_score", "label"])
+    # several partitions so the two-phase prefix sum actually crosses
+    # partition boundaries (the bug class it exists to avoid)
+    return df.repartition(8).cache()
+
+
+def _brute_auc(rows) -> float:
+    pos = [s for _, s, l in rows if l == 1]
+    neg = [s for _, s, l in rows if l == 0]
+    total = 0.0
+    for p in pos:
+        for q in neg:
+            total += 1.0 if p > q else (0.5 if p == q else 0.0)
+    return total / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_brute_force(scored):
+    rows = _rows()
+    assert roc_auc(scored) == pytest.approx(_brute_auc(rows), abs=1e-12)
+
+
+def test_roc_auc_equals_trapezoid_over_roc_points(scored):
+    pts = sorted(
+        (r["fpr"], r["tpr"]) for r in roc_points(scored).collect()
+    )
+    area = 0.0
+    prev_f, prev_t = 0.0, 0.0
+    for f, t in pts:
+        area += (f - prev_f) * (t + prev_t) / 2.0
+        prev_f, prev_t = f, t
+    # curve ends at (1, 1): the lowest threshold keeps everything
+    assert (prev_f, prev_t) == (1.0, 1.0)
+    assert roc_auc(scored) == pytest.approx(area, abs=1e-12)
+
+
+def test_roc_points_match_duckdb_window_oracle(scored):
+    rows = _rows()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE scored(doc_id INT, score DOUBLE, label INT)"
+    )
+    con.executemany("INSERT INTO scored VALUES (?, ?, ?)", rows)
+    oracle = {
+        round(r[0], 9): (round(r[1], 9), round(r[2], 9))
+        for r in con.execute(
+            """
+            WITH per AS (
+              SELECT score, COUNT(*) cnt, SUM(label) pos
+              FROM scored GROUP BY score),
+            cum AS (
+              SELECT score,
+                     SUM(cnt) OVER (ORDER BY score DESC) cum_cnt,
+                     SUM(pos) OVER (ORDER BY score DESC) cum_pos
+              FROM per),
+            tot AS (SELECT SUM(pos) p, SUM(cnt)-SUM(pos) n
+                    FROM per)
+            SELECT score, CAST(cum_pos AS DOUBLE)/p,
+                   CAST(cum_cnt-cum_pos AS DOUBLE)/n
+            FROM cum CROSS JOIN tot
+            """
+        ).fetchall()
+    }
+    got = {
+        round(r["threshold"], 9): (round(r["tpr"], 9), round(r["fpr"], 9))
+        for r in roc_points(scored).collect()
+    }
+    assert got == oracle
+
+
+def test_roc_requires_both_classes(spark):
+    one_class = spark.createDataFrame(
+        [(1, 0.5, 1), (2, 0.6, 1)], ["doc_id", "clf_score", "label"]
+    )
+    with pytest.raises(ValueError, match="n_neg=0"):
+        roc_auc(one_class)
+    with pytest.raises(ValueError, match="n_neg=0"):
+        roc_points(one_class).collect()
+
+
+def test_precision_recall_at_k_matches_brute_force(scored):
+    rows = _rows()
+    n_pos = sum(l for _, _, l in rows)
+    # deterministic top order: score desc, doc_id asc
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    got = {
+        r["k"]: (r["hits"], r["precision"], r["recall"])
+        for r in precision_recall_at_k(scored, [10, 50, 200]).collect()
+    }
+    for k in (10, 50, 200):
+        hits = sum(l for _, _, l in ordered[:k])
+        assert got[k][0] == hits
+        assert got[k][1] == pytest.approx(hits / k, abs=1e-12)
+        assert got[k][2] == pytest.approx(hits / n_pos, abs=1e-12)
+
+
+def test_precision_recall_validates_ks(scored, spark):
+    with pytest.raises(ValueError, match="positive"):
+        precision_recall_at_k(scored, [])
+    with pytest.raises(ValueError, match="positive"):
+        precision_recall_at_k(scored, [0, 5])
+    no_pos = spark.createDataFrame(
+        [(1, 0.5, 0)], ["doc_id", "clf_score", "label"]
+    )
+    with pytest.raises(ValueError, match="no positive"):
+        precision_recall_at_k(no_pos, [1])
+
+
+def test_threshold_drift_stable_snapshot(scored):
+    d = threshold_drift(scored, scored, keep_rate=0.4)
+    assert d["threshold_delta"] == 0.0
+    # approxQuantile at relative_error=0.001 on 400 rows is exact up
+    # to tie blocks; kept fraction must bracket the target loosely
+    assert d["keep_rate_at_ref_threshold"] == pytest.approx(0.4, abs=0.1)
+
+
+def test_threshold_drift_detects_shift(scored):
+    shifted = scored.withColumn(
+        "clf_score", F.col("clf_score") + F.lit(0.25)
+    )
+    d = threshold_drift(scored, shifted, keep_rate=0.4)
+    assert d["threshold_delta"] == pytest.approx(0.25, abs=0.02)
+    # every doc clears the stale reference threshold by ~0.25: the
+    # watched keep-rate blows way past the 0.4 target
+    assert d["keep_rate_at_ref_threshold"] > 0.7
+    assert not math.isnan(d["threshold_new"])
