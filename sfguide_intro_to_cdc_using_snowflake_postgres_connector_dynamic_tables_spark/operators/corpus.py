@@ -103,6 +103,139 @@ def leakage_safe_split(
     ).drop("component")
 
 
+#: Split value for docs pulled OUT of their split by an incremental
+#: cluster merge (see :func:`leakage_safe_split_increment`): excluded
+#: from train AND eval, so nothing a model may already have seen (or
+#: been evaluated on) can cross sides.
+QUARANTINE = "quarantine"
+
+
+def leakage_safe_split_state(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_hi: int = 205,
+    val_hi: int = 231,
+) -> DataFrame:
+    """:func:`leakage_safe_split` as a maintainable STATE table:
+    ``(id_col, anchor, split)`` -- the anchor (component label, else
+    own id) is what :func:`leakage_safe_split_increment` needs to
+    carry cluster identity across increments.  Values match
+    ``leakage_safe_split`` exactly."""
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)
+    joined = docs.select(id_col).join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    anchor = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        anchor.alias("anchor"),
+        _split_expr(anchor, train_hi, val_hi).alias("split"),
+    )
+
+
+def leakage_safe_split_increment(
+    assignment: DataFrame,
+    new_docs: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_hi: int = 205,
+    val_hi: int = 231,
+) -> DataFrame:
+    """Maintain a leakage-safe split under corpus increments: new docs
+    and new near-dup edges (e.g. from
+    ``corpus_ingest.near_dup_incremental``) arrive, and a new edge may
+    MERGE two clusters already assigned to DIFFERENT splits -- the
+    silent train/test leak a per-batch recompute would paper over by
+    flipping docs a model may already have consumed.
+
+    Policy (the invariants the property tests pin):
+
+    - the merged cluster re-anchors to its minimum member id and
+      adopts that anchor's hash split -- exactly what a full
+      :func:`leakage_safe_split` recompute over (all docs, all pairs)
+      assigns, so non-quarantined docs always agree with the batch
+      recompute;
+    - an ALREADY-ASSIGNED doc whose split would flip is QUARANTINED
+      (``split='quarantine'``) instead: it leaves its old side but
+      never enters the other, so nothing trained-on can surface in
+      test and nothing evaluated-on can surface in train;
+    - quarantine is sticky: a doc's historical exposure doesn't wash
+      out just because a later merge swings the anchor back;
+    - new docs are unexposed, so they take the merged cluster's split
+      directly (singletons hash-split on their own id, identical to
+      :func:`assign_split`).
+
+    Cost is O(affected), never O(corpus): the touched clusters are
+    found by two keyed semi-joins (edge endpoints -> anchors ->
+    members), connectivity runs over (new edges + member->anchor
+    edges) only -- past connectivity is carried transitively by the
+    anchor edges, so the union of increments reproduces the
+    full-edge-set components -- and untouched assignment rows pass
+    through without a shuffle on their data.
+
+    ``assignment``: the ``(id_col, anchor, split)`` state from
+    :func:`leakage_safe_split_state` or a previous increment.
+    ``new_pairs``: (doc_a, doc_b, ...) near-dup edges with at least
+    the two id columns.  Returns the updated state table.
+    """
+    from .dedup import connected_components
+
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    fresh = new_ids.join(assignment.select(id_col), id_col, "left_anti")
+    edges = new_pairs.select("doc_a", "doc_b")
+    if edges.isEmpty():
+        singles = fresh.select(
+            F.col(id_col),
+            F.col(id_col).alias("anchor"),
+            _split_expr(F.col(id_col), train_hi, val_hi).alias("split"),
+        )
+        return assignment.unionByName(singles)
+
+    endpoints = (
+        edges.select(F.col("doc_a").alias(id_col))
+        .unionByName(edges.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    touched = (
+        assignment.join(endpoints, id_col, "left_semi")
+        .select("anchor")
+        .distinct()
+    )
+    members = assignment.join(touched, "anchor", "left_semi")
+    graph = edges.unionByName(
+        members.select(
+            F.col(id_col).alias("doc_a"), F.col("anchor").alias("doc_b")
+        )
+    )
+    comp = connected_components(graph)
+
+    merged_split = _split_expr(F.col("component"), train_hi, val_hi)
+    upd = (
+        members.join(comp.withColumnRenamed("doc_id", id_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col("component").alias("anchor"),
+            F.when(F.col("split") == F.lit(QUARANTINE), F.lit(QUARANTINE))
+            .when(F.col("split") != merged_split, F.lit(QUARANTINE))
+            .otherwise(F.col("split"))
+            .alias("split"),
+        )
+    )
+    newrows = (
+        fresh.join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("anchor"),
+        )
+        .withColumn("split", _split_expr(F.col("anchor"), train_hi, val_hi))
+    )
+    rest = assignment.join(touched, "anchor", "left_anti")
+    return rest.unionByName(upd).unionByName(newrows)
+
+
 def _word_grams(toks: Column, n: int) -> Column:
     """Distinct n-token shingles joined by '_'; empty array for docs
     shorter than n tokens (guards the descending-sequence crash,

@@ -1,0 +1,205 @@
+"""Incremental leakage-safe split maintenance (VERDICT r11 item 6).
+
+The risk being pinned: with ``near_dup_incremental`` landed, a new dup
+edge can MERGE two clusters already assigned to different splits --
+silently re-introducing train/test leakage on increments.  The policy
+under test (``corpus.leakage_safe_split_increment``):
+
+1. no near-dup pair ever straddles two real splits, after ANY
+   increment sequence;
+2. an already-assigned doc never flips between real splits -- it can
+   only move to 'quarantine' (sticky);
+3. non-quarantined docs always agree with the full
+   ``leakage_safe_split`` recompute over (all docs, all pairs);
+4. increments that never merge across splits quarantine nothing, and
+   the state then equals the full recompute exactly.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+    QUARANTINE,
+    assign_split,
+    leakage_safe_split_increment,
+    leakage_safe_split_state,
+)
+
+REAL = {"train", "val", "test"}
+
+
+def _families(rng: random.Random, n_docs: int = 48):
+    """Docs 0..n-1 partitioned into families of size 1..5; ground-truth
+    near-dup pairs = all pairs within a family."""
+    ids = list(range(n_docs))
+    rng.shuffle(ids)
+    fams, i = [], 0
+    while i < len(ids):
+        size = rng.randint(1, 5)
+        fams.append(sorted(ids[i : i + size]))
+        i += size
+    fam_of = {d: tuple(f) for f in fams for d in f}
+    pairs = [
+        (a, b) for f in fams for a, b in itertools.combinations(f, 2)
+    ]
+    return fams, fam_of, pairs
+
+
+def _batches(rng: random.Random, docs: list[int], n_batches: int):
+    order = docs[:]
+    rng.shuffle(order)
+    cuts = sorted(rng.sample(range(1, len(order)), n_batches - 1))
+    return [
+        order[a:b]
+        for a, b in zip([0] + cuts, cuts + [len(order)])
+    ]
+
+
+def _drive(spark, seed: int, n_batches: int = 4):
+    """Run a randomized increment sequence; yield (state_dict, ingested,
+    delivered_pairs) after every increment."""
+    rng = random.Random(seed)
+    fams, fam_of, all_pairs = _families(rng)
+    batches = _batches(rng, list(fam_of), n_batches)
+
+    ingested: set[int] = set(batches[0])
+    delivered = [
+        (a, b) for a, b in all_pairs if a in ingested and b in ingested
+    ]
+    state = leakage_safe_split_state(
+        spark.createDataFrame([(d,) for d in sorted(ingested)], ["doc_id"]),
+        spark.createDataFrame(
+            delivered or [(None, None)], "doc_a long, doc_b long"
+        ).filter("doc_a IS NOT NULL"),
+    )
+    yield {r["doc_id"]: (r["anchor"], r["split"]) for r in state.collect()}, set(
+        ingested
+    ), list(delivered)
+
+    for batch in batches[1:]:
+        new_pairs = [
+            (a, b)
+            for a, b in all_pairs
+            if (a in batch or b in batch)
+            and a in ingested | set(batch)
+            and b in ingested | set(batch)
+        ]
+        state = leakage_safe_split_increment(
+            state,
+            spark.createDataFrame([(d,) for d in batch], ["doc_id"]),
+            spark.createDataFrame(
+                new_pairs or [(None, None)], "doc_a long, doc_b long"
+            ).filter("doc_a IS NOT NULL"),
+        )
+        ingested |= set(batch)
+        delivered += new_pairs
+        yield {
+            r["doc_id"]: (r["anchor"], r["split"]) for r in state.collect()
+        }, set(ingested), list(delivered)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_invariants_under_randomized_increments(spark, seed):
+    prev: dict[int, tuple[int, str]] = {}
+    for got, ingested, delivered in _drive(spark, seed):
+        assert set(got) == ingested, "state covers exactly the ingested docs"
+        # 1. no delivered near-dup pair straddles two real splits
+        for a, b in delivered:
+            sa, sb = got[a][1], got[b][1]
+            if sa in REAL and sb in REAL:
+                assert sa == sb, f"pair ({a},{b}) straddles {sa}/{sb}"
+        # 2. stability: real -> (same real | quarantine); sticky quarantine
+        for d, (_, s_prev) in prev.items():
+            s_now = got[d][1]
+            if s_prev == QUARANTINE:
+                assert s_now == QUARANTINE, f"{d} left quarantine"
+            else:
+                assert s_now in (s_prev, QUARANTINE), (
+                    f"{d} flipped {s_prev} -> {s_now}"
+                )
+        prev = got
+
+    # 3. final differential vs the full batch recompute
+    all_docs = spark.createDataFrame(
+        [(d,) for d in sorted(ingested)], ["doc_id"]
+    )
+    all_pairs_df = spark.createDataFrame(
+        delivered or [(None, None)], "doc_a long, doc_b long"
+    ).filter("doc_a IS NOT NULL")
+    full = {
+        r["doc_id"]: (r["anchor"], r["split"])
+        for r in leakage_safe_split_state(all_docs, all_pairs_df).collect()
+    }
+    assert set(full) == set(got)
+    for d, (anchor, split) in got.items():
+        assert anchor == full[d][0], f"{d}: anchor diverged from recompute"
+        if split != QUARANTINE:
+            assert split == full[d][1], (
+                f"{d}: non-quarantined split diverged from recompute"
+            )
+
+
+def test_family_batched_increments_quarantine_nothing(spark):
+    """When every cluster arrives whole in one increment, no assigned
+    doc ever flips -- the incremental state must equal the full
+    recompute with zero quarantine."""
+    rng = random.Random(5)
+    fams, fam_of, all_pairs = _families(rng, n_docs=36)
+    rng.shuffle(fams)
+    third = max(1, len(fams) // 3)
+    groups = [fams[:third], fams[third : 2 * third], fams[2 * third :]]
+
+    state = None
+    seen_pairs: list[tuple[int, int]] = []
+    seen_docs: list[int] = []
+    for g in groups:
+        docs = sorted(d for f in g for d in f)
+        pairs = [
+            (a, b)
+            for f in g
+            for a, b in itertools.combinations(sorted(f), 2)
+        ]
+        docs_df = spark.createDataFrame([(d,) for d in docs], ["doc_id"])
+        pairs_df = spark.createDataFrame(
+            pairs or [(None, None)], "doc_a long, doc_b long"
+        ).filter("doc_a IS NOT NULL")
+        if state is None:
+            state = leakage_safe_split_state(docs_df, pairs_df)
+        else:
+            state = leakage_safe_split_increment(state, docs_df, pairs_df)
+        seen_docs += docs
+        seen_pairs += pairs
+
+    got = {r["doc_id"]: (r["anchor"], r["split"]) for r in state.collect()}
+    assert all(s != QUARANTINE for _, s in got.values())
+    full_df = leakage_safe_split_state(
+        spark.createDataFrame([(d,) for d in sorted(seen_docs)], ["doc_id"]),
+        spark.createDataFrame(seen_pairs, "doc_a long, doc_b long"),
+    )
+    full = {
+        r["doc_id"]: (r["anchor"], r["split"]) for r in full_df.collect()
+    }
+    assert got == full
+
+
+def test_singletons_match_assign_split(spark):
+    docs = spark.createDataFrame([(d,) for d in range(20)], ["doc_id"])
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    state = leakage_safe_split_state(docs, empty)
+    state = leakage_safe_split_increment(
+        state,
+        spark.createDataFrame([(d,) for d in range(20, 40)], ["doc_id"]),
+        empty,
+    )
+    got = {r["doc_id"]: r["split"] for r in state.collect()}
+    want = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            spark.createDataFrame([(d,) for d in range(40)], ["doc_id"])
+        ).collect()
+    }
+    assert got == want
