@@ -3,8 +3,9 @@ perceptual (band-index) dedup into the bucketed store.
 
 The media twin of ``corpus_ingest``, and genuinely MULTIMODAL: the
 perceptual tier dispatches per payload -- images get the DCT pHash,
-audio the FFT spectral fingerprint, video the first-frame pHash
-(``operators.multimodal.perceptual_hashes``) -- and each modality's
+audio the FFT spectral fingerprint, video the DISTINCT pHashes of up
+to ``max_video_frames`` evenly-sampled frames
+(``operators.multimodal.perceptual_hash_sets``) -- and each modality's
 hashes live in a DISJOINT band-key namespace, so an audio fingerprint
 can never collide with an image hash in the index.  Per micro-batch:
 
@@ -13,13 +14,24 @@ can never collide with an image hash in the index.  Per micro-batch:
                      column: if it doesn't parse, it doesn't train)
     exact tier       md5(payload) vs the bucketed fingerprint table --
                      catches byte-identical re-uploads
-    perceptual tier  64-bit DCT pHash vs the band-bucketed index:
-                     probe ONLY the band buckets the batch hashes
-                     into, verify candidates with xor+bit_count --
-                     recall is EXACT for hamming distance < n_bands
-                     (pigeonhole), and unlike the text tier no
-                     main-table fetch is needed: the index row carries
-                     the stored hash, which IS the verdict input
+    perceptual tier  64-bit perceptual hashes vs the band-bucketed
+                     index: probe ONLY the band buckets the batch
+                     hashes into, verify candidates with
+                     xor+bit_count -- recall is EXACT per hash for
+                     hamming distance < n_bands (pigeonhole), and
+                     unlike the text tier no main-table fetch is
+                     needed: the index row carries the stored hash,
+                     which IS the verdict input
+
+The multi-frame video signature is what survives a leading-frames
+trim (the r11 evasion: frame-0-only hashing misses a copy minus its
+opening frames); per-video index rows stay BOUNDED at
+max_video_frames x n_bands regardless of duration.  A row is a
+perceptual dup when >= ``min_match_hashes`` of its hashes (default 1)
+match stored hashes within ``max_dist`` -- raise it for corpora where
+single shared frames (title cards, black frames) are expected;
+precise positional overlap remains the batch operator
+``multimodal.video_near_dup``'s job.
 
 Per-tick I/O is O(batch bands + candidates), never a media-table
 scan -- the same contract as the text band index, with the verify one
@@ -34,9 +46,13 @@ from .store import ParquetTableStore
 
 #: index-layout version: bump if the hash kernels or band split change
 #: (a stale-scheme index must never be probed -- same rule as the text
-#: band index's scheme tag).  ph2 = modality-dispatched hashes with
-#: per-modality band namespaces.
-PHASH_SCHEME = "ph2"
+#: band index's scheme tag).  ph2 = modality-dispatched single hash
+#: with per-modality band namespaces (retired: frame-0-only video
+#: hashing is evaded by a leading-frames trim); ph3 = multi-frame
+#: sampled video hash sets.  A store indexed under ph2 simply doesn't
+#: have the ph3 table and gets a one-time backfill from the main
+#: table (``_ensure_phash_index``).
+PHASH_SCHEME = "ph3"
 
 #: band-namespace codes; new modalities append (never renumber -- the
 #: scheme tag exists so a numbering change is a scheme bump)
@@ -75,22 +91,69 @@ def _band_keys(hash_col, n_bands: int, modality_col=None):
     )
 
 
-def _hash_pass(batch: DataFrame, decode: str) -> DataFrame:
+def _hash_pass(batch: DataFrame, decode: str, max_video_frames: int) -> DataFrame:
     """ONE decode pass: payload fingerprint + modality-dispatched
-    perceptual hash next to the media row.  Payloads decoding as no
-    supported format yield NULL (dropped by the gate under
+    perceptual hash SET next to the media row.  Payloads decoding as
+    no supported format yield NULL (dropped by the gate under
     ``decode='auto'``; any other value raises instead)."""
-    from ..operators.multimodal import perceptual_hashes
+    from ..operators.multimodal import perceptual_hash_sets
 
-    hashed = perceptual_hashes(batch, decode=decode).select(
-        "media_id", "modality", "phash"
-    )
+    hashed = perceptual_hash_sets(
+        batch, decode=decode, max_video_frames=max_video_frames
+    ).select("media_id", "modality", "phashes")
     return (
         batch.withColumn(
             "content_fp", F.md5(F.coalesce(F.col("payload"), F.lit(b"")))
         )
         .join(hashed, "media_id")
-        .filter(F.col("phash").isNotNull())
+        .filter(F.col("phashes").isNotNull() & (F.size("phashes") > 0))
+    )
+
+
+def _index_rows(rows: DataFrame, n_bands: int) -> DataFrame:
+    """(media_id, modality, phash, band) index rows from hash-set rows:
+    one row per (hash, band key) -- bounded per video at
+    max_video_frames x n_bands, one hash x n_bands for image/audio."""
+    hashes = rows.select(
+        "media_id", "modality", F.explode("phashes").alias("phash")
+    )
+    return hashes.select(
+        "media_id",
+        "modality",
+        "phash",
+        F.explode(
+            _band_keys(F.col("phash"), n_bands, F.col("modality"))
+        ).alias("band"),
+    )
+
+
+def _ensure_phash_index(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    idx_name: str,
+    n_buckets: int,
+    n_bands: int,
+    max_video_frames: int,
+) -> None:
+    """One-time backfill of the CURRENT-scheme perceptual index from
+    the main table's payloads -- the rebuild path after a scheme bump
+    (a ph2-era index is simply never probed; its table name differs).
+    O(table) decode, once."""
+    if store.exists(idx_name):
+        return
+    from ..operators.multimodal import perceptual_hash_sets
+
+    hashed = perceptual_hash_sets(
+        store.read(spark, table).select("media_id", "media_type", "payload"),
+        decode="auto",
+        max_video_frames=max_video_frames,
+    ).filter(F.col("phashes").isNotNull() & (F.size("phashes") > 0))
+    store.overwrite(
+        idx_name,
+        _index_rows(hashed, n_bands),
+        partition_key="band",
+        n_buckets=n_buckets,
     )
 
 
@@ -103,11 +166,18 @@ def ingest_media_batch(
     max_dist: int = 4,
     n_bands: int = 8,
     decode: str = "auto",
+    max_video_frames: int = 8,
+    min_match_hashes: int = 1,
 ) -> None:
     """Apply one media micro-batch (see module docstring).  ``batch``
     carries MEDIA_SCHEMA columns; survivors upsert into ``table``
     (bucketed on media_id) and their fingerprints/band keys into the
-    two index tables so the NEXT batch sees them."""
+    two index tables so the NEXT batch sees them.
+
+    ``min_match_hashes``: how many of a row's perceptual hashes must
+    match stored hashes (within ``max_dist``) before it counts as a
+    dup -- 1 catches a trimmed video by any surviving sampled frame;
+    raise it when lone shared frames are expected content."""
     from pyspark.sql.window import Window
 
     from ..operators.multimodal import phash_near_dup
@@ -115,7 +185,7 @@ def ingest_media_batch(
     fp_name = media_fp_table(table)
     idx_name = phash_index_table(table, n_bands)
 
-    keep = _hash_pass(batch, decode)
+    keep = _hash_pass(batch, decode, max_video_frames)
     # batch-internal exact dedup: one row per payload (min id wins)
     keep = (
         keep.withColumn(
@@ -128,18 +198,23 @@ def ingest_media_batch(
         .drop("__rn")
     )
     # batch-internal perceptual dedup: drop the higher id of each pair
-    # (pairs form only WITHIN a modality)
+    # (pairs form only WITHIN a modality); phash_near_dup emits one row
+    # per matching hash pair, so the count-per-pair is the intra-batch
+    # min_match_hashes rule
     intra = phash_near_dup(
-        keep.select("media_id", "modality", "phash"),
+        keep.select("media_id", "modality", F.explode("phashes").alias("phash")),
         max_dist=max_dist,
         n_bands=n_bands,
         group_col="modality",
     )
-    keep = keep.join(
-        intra.select(F.col("id_b").alias("media_id")).distinct(),
-        "media_id",
-        "left_anti",
-    ).cache()
+    intra_dups = (
+        intra.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") >= F.lit(min_match_hashes))
+        .select(F.col("id_b").alias("media_id"))
+        .distinct()
+    )
+    keep = keep.join(intra_dups, "media_id", "left_anti").cache()
     try:
         if not store.exists(table):
             store.overwrite(table, keep, partition_key="media_id", n_buckets=n_buckets)
@@ -151,18 +226,14 @@ def ingest_media_batch(
             )
             store.overwrite(
                 idx_name,
-                keep.select(
-                    "media_id",
-                    "modality",
-                    "phash",
-                    F.explode(
-                        _band_keys(F.col("phash"), n_bands, F.col("modality"))
-                    ).alias("band"),
-                ),
+                _index_rows(keep, n_bands),
                 partition_key="band",
                 n_buckets=n_buckets,
             )
             return
+        _ensure_phash_index(
+            store, spark, table, idx_name, n_buckets, n_bands, max_video_frames
+        )
 
         # exact tier: probe only the fp buckets the batch hashes into
         _k, FB = store.partition_spec(fp_name)
@@ -177,12 +248,18 @@ def ingest_media_batch(
 
         # perceptual tier: probe only the band buckets the batch hashes
         # into; the index row carries the stored phash, so the hamming
-        # verify happens ON the join -- no media-table fetch
-        new_bands = new_rows.select(
+        # verify happens ON the join -- no media-table fetch.  A row is
+        # a dup when >= min_match_hashes of its DISTINCT hashes match
+        # stored hashes -- so a trimmed video is caught by any sampled
+        # frame that survived the trim.
+        new_hashes = new_rows.select(
+            "media_id", "modality", F.explode("phashes").alias("phash_new")
+        )
+        new_bands = new_hashes.select(
             "media_id",
-            F.col("phash").alias("phash_new"),
+            "phash_new",
             F.explode(
-                _band_keys(F.col("phash"), n_bands, F.col("modality"))
+                _band_keys(F.col("phash_new"), n_bands, F.col("modality"))
             ).alias("band"),
         )
         _k2, BB = store.partition_spec(idx_name)
@@ -204,8 +281,10 @@ def ingest_media_batch(
                     )
                     <= F.lit(max_dist)
                 )
+                .groupBy("media_id")
+                .agg(F.count_distinct("phash_new").alias("__m"))
+                .filter(F.col("__m") >= F.lit(min_match_hashes))
                 .select("media_id")
-                .distinct()
             )
             new_rows = new_rows.join(dup_ids, "media_id", "left_anti")
 
@@ -216,18 +295,7 @@ def ingest_media_batch(
             store.merge(spark, table, new_rows, new_rows.select("media_id"))
             fps = new_rows.select("content_fp")
             store.merge(spark, fp_name, fps, fps)
-            store.append(
-                spark,
-                idx_name,
-                new_rows.select(
-                    "media_id",
-                    "modality",
-                    "phash",
-                    F.explode(
-                        _band_keys(F.col("phash"), n_bands, F.col("modality"))
-                    ).alias("band"),
-                ),
-            )
+            store.append(spark, idx_name, _index_rows(new_rows, n_bands))
         finally:
             new_rows.unpersist()
     finally:
@@ -244,6 +312,8 @@ def start_media_ingest(
     max_dist: int = 4,
     n_bands: int = 8,
     decode: str = "auto",
+    max_video_frames: int = 8,
+    min_match_hashes: int = 1,
 ):
     """Tail a parquet directory of MEDIA_SCHEMA files (binary payloads
     don't survive JSON feeds) and ingest each micro-batch.  Returns the
@@ -264,6 +334,8 @@ def start_media_ingest(
                 max_dist=max_dist,
                 n_bands=n_bands,
                 decode=decode,
+                max_video_frames=max_video_frames,
+                min_match_hashes=min_match_hashes,
             )
         )
         .trigger(availableNow=True)

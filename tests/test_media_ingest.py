@@ -171,3 +171,79 @@ def test_media_ingest_multimodal_feed(spark, tmp_path):
         .collect()
     }
     assert ns == {"image": 1, "audio": 2, "video": 3}, ns
+
+
+def _vid(seeds: list[int]) -> np.ndarray:
+    return np.stack([_img(s) for s in seeds], axis=0)
+
+
+def test_video_trimmed_lead_is_caught(spark, tmp_path):
+    """The r11 evasion: a video equal to a stored one minus its first
+    k frames must be caught by the multi-frame sampled index (frame-0
+    hashing alone misses it), and per-video index rows stay bounded at
+    max_video_frames x n_bands."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        encode_avi,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    frames = _vid(list(range(100, 110)))  # 10 distinct frames
+    ingest_media_batch(
+        store, spark, _media_df(spark, [(1, bytearray(encode_avi(frames)))])
+    )
+
+    batch2 = _media_df(
+        spark,
+        [
+            (10, bytearray(encode_avi(frames[2:]))),  # first 2 frames trimmed
+            (11, bytearray(encode_avi(_vid([201, 202, 203])))),  # new video
+        ],
+    )
+    ingest_media_batch(store, spark, batch2)
+    ids = {
+        r["media_id"]
+        for r in store.read(spark, "media").select("media_id").collect()
+    }
+    assert ids == {1, 11}, ids
+
+    idx = store.read(spark, phash_index_table("media", 8))
+    per_video = {
+        r["media_id"]: r["n"]
+        for r in idx.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 8 * 8 for n in per_video.values()), per_video
+    # 10-frame video sampled to <= 8 distinct hashes
+    hashes_1 = idx.filter(F.col("media_id") == 1).select("phash").distinct().count()
+    assert 2 <= hashes_1 <= 8
+
+
+def test_phash_index_backfill_after_scheme_bump(spark, tmp_path):
+    """A store whose perceptual index predates the current scheme has
+    no current-scheme table; the next batch must backfill it from the
+    main table's payloads and still catch a trimmed near-dup."""
+    import shutil
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        encode_avi,
+    )
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    frames = _vid(list(range(300, 308)))
+    ingest_media_batch(
+        store, spark, _media_df(spark, [(1, bytearray(encode_avi(frames)))])
+    )
+    # simulate the retired-scheme store: the current-scheme index is gone
+    shutil.rmtree(store._table_dir(phash_index_table("media", 8)))
+    assert not store.exists(phash_index_table("media", 8))
+
+    ingest_media_batch(
+        store,
+        spark,
+        _media_df(spark, [(20, bytearray(encode_avi(frames[3:])))]),
+    )
+    ids = {
+        r["media_id"]
+        for r in store.read(spark, "media").select("media_id").collect()
+    }
+    assert ids == {1}, ids
+    assert store.exists(phash_index_table("media", 8))
