@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
     bpe,
     corpus,
+    evaluation,
     quality_model,
     training,
 )
@@ -68,10 +69,20 @@ def main(sf_dir: str, out_dir: str) -> None:
     # score: one approxQuantile pass turns the budget into the scalar
     # threshold the zero-shuffle filter needs
     thr = quality_model.threshold_for_keep_rate(scored, keep_rate=0.85)
+    # evaluate BEFORE trusting the gate: distributed ROC-AUC against
+    # the weak labels (no global sort -- two-phase prefix sums) and
+    # precision at the gate-sized k close the train -> select loop
+    heldout = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    auc = evaluation.roc_auc(heldout)
+    pr = {
+        r["k"]: round(r["precision"], 3)
+        for r in evaluation.precision_recall_at_k(heldout, ks=[50, 200]).collect()
+    }
     docs = scored.filter(F.col("clf_score") >= thr).drop("clf_score")
     print(
         f"classifier gate kept {docs.count()} docs "
-        f"(vocab={len(vocab)}, threshold {thr:.3f} for 85% budget)"
+        f"(vocab={len(vocab)}, threshold {thr:.3f} for 85% budget, "
+        f"AUC {auc:.3f} vs weak labels, precision@k {pr})"
     )
 
     # 1. mixture: keep all of src1*, half of the other low-numbered
