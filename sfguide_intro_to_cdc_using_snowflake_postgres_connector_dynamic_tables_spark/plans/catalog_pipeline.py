@@ -988,6 +988,63 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.roc_points(scored, label_col="label", score_col="z")
 
 
+def q_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at k of the learned scorer against the
+    deterministic lang label -- pins the O(k)-driver TakeOrdered path
+    (per-partition top-k + merge, no global sort) under the hash
+    gate.  Integer-exact scores (same reasoning as classifier_eval);
+    ties at the k boundary broken by doc_id, mirrored in the oracle's
+    ORDER BY."""
+    docs = _t(spark, sf_dir, "documents")
+    keys = sorted(_CLF_W100)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(float(_CLF_W100[k])) for k in keys]),
+    )
+    toks = text_ops.tokens(F.col("text"))
+    z = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0))
+    )
+    scored = docs.select(
+        F.col("doc_id"),
+        z.alias("clf_score"),
+        F.when(F.col("lang") == F.lit("en"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return evaluation.precision_recall_at_k(scored, ks=[10, 50, 100])
+
+
+def _precision_at_k_sql() -> str:
+    values = ", ".join(
+        f"('{tok}', {wt})" for tok, wt in sorted(_CLF_W100.items())
+    )
+    return f"""
+WITH w(tok, wt) AS (VALUES {values}),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (
+  SELECT tk.doc_id, SUM(w.wt) AS z
+  FROM tk JOIN w ON tk.tok = w.tok GROUP BY tk.doc_id),
+scored AS (
+  SELECT d.doc_id, CAST(COALESCE(s.z, 0) AS DOUBLE) AS score,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+ranked AS (
+  SELECT label,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored),
+tot AS (SELECT SUM(label) AS p FROM scored),
+ks(k) AS (VALUES (10), (50), (100))
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(SUM(ranked.label) AS BIGINT) AS hits,
+       CAST(SUM(ranked.label) AS DOUBLE) / ks.k AS precision,
+       CAST(SUM(ranked.label) AS DOUBLE) / tot.p AS recall
+FROM ranked JOIN ks ON ranked.rnk <= ks.k CROSS JOIN tot
+GROUP BY ks.k, tot.p
+"""
+
+
 def _classifier_eval_sql() -> str:
     """DuckDB window-function oracle for the ROC points: same integer
     weight sums, cumulative counts via SUM() OVER (ORDER BY z DESC)
@@ -1024,6 +1081,7 @@ FROM cum CROSS JOIN tot
 PIPELINE_CATALOG: dict[str, tuple] = {
     "classifier_score": (q_classifier_score, _classifier_sql()),
     "classifier_eval": (q_classifier_eval, _classifier_eval_sql()),
+    "precision_at_k": (q_precision_at_k, _precision_at_k_sql()),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "range_band_join": (q_range_band_join, SQL_RANGE_BAND_JOIN),
     "tfidf": (q_tfidf, SQL_TFIDF),

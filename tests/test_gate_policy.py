@@ -82,11 +82,12 @@ def test_rotation_self_heals_when_next_record_lands(monkeypatch):
     stricter invariant than the documented policy -- and broke the
     moment CORRECTNESS_r11 landed with a 38/47/50 last-green
     histogram, because one 50-wide synthetic window cannot absorb the
-    38 stalest entries AND re-green the 47 next-stalest.)  We now
-    drive TWO synthetic rounds and assert the real <=2-round bound
-    after each: the stalest entries enter the first window, the
-    next-stalest the second, and after two rounds every tail entry is
-    green within the last two records -- full absorption."""
+    38 stalest entries AND re-green the 47 next-stalest.)  With a
+    catalog of ceil(n/50) = 3 windows, the steady state is a 3-round
+    rotation cycle -- "everything green within the last two records"
+    is unreachable by construction.  We drive THREE synthetic rounds
+    (one full cycle) and assert the real <=2-round sit-out bound after
+    every one of them."""
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
         catalog as cat,
     )
@@ -95,7 +96,15 @@ def test_rotation_self_heals_when_next_record_lands(monkeypatch):
     assert real_records, "needs at least one committed record"
     records = list(real_records)
     try:
-        for step in (1, 2):
+        for step in (1, 2, 3):
+            if step == 2:
+                # the NEXT round starts with a reset touched set (the
+                # documented per-round policy); simulating round N+2
+                # with round N+1's forced entries still pinned would
+                # hold window slots hostage that reality frees up
+                monkeypatch.setattr(
+                    cat, "_TOUCHED_THIS_ROUND", frozenset()
+                )
             window_now = list(cat.CATALOG)[: cat._GATE_WINDOW]
             synthetic = (
                 records[-1][0] + 1,
@@ -122,16 +131,11 @@ def test_rotation_self_heals_when_next_record_lands(monkeypatch):
             for n in names:
                 if n not in last_green or n in cat._TOUCHED_THIS_ROUND:
                     assert n in window, (step, n)
-        # full absorption after two synthetic rounds: every tail
-        # entry is green within the TWO most recent records
-        recent_green = {
-            k
-            for _, rec in records[-2:]
-            for k, v in rec.items()
-            if v.get("hash_match")
-        }
-        for n in list(cat.CATALOG)[cat._GATE_WINDOW :]:
-            assert n in recent_green, n
+        # one full rotation cycle later, NO entry anywhere (window or
+        # tail) is older than the two most recent records
+        new_round = records[-1][0]
+        for n in list(cat.CATALOG):
+            assert last_green.get(n, -1) >= new_round - 2, n
     finally:
         monkeypatch.undo()
         cat._reorder_for_gate()
