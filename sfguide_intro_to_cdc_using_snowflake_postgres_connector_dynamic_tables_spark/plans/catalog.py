@@ -734,6 +734,7 @@ _GATE_WINDOW = 50
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "classifier_eval",            # NEW: distributed ROC-AUC / PR-at-k evaluation
+        "precision_at_k",             # NEW: TakeOrdered PR@k under the gate
         "classifier_score",           # threshold drift added alongside (evaluation.py
         #   imports threshold_for_keep_rate; scoring kernel itself unchanged --
         #   kept in-window conservatively)
