@@ -134,6 +134,25 @@ def main() -> None:
     survivors = delta.join(dup_new, "doc_id", "left_anti")
     print(f"increment: {delta.count()} docs, {survivors.count()} survive near-dup")
 
+    # 8. keep the train/test wall standing under the increment: a new
+    # pair can MERGE clusters already assigned to different splits --
+    # the incremental split re-anchors merged clusters (matching a
+    # full recompute) and QUARANTINES any already-assigned doc whose
+    # side would flip, so nothing trained-on can surface in test
+    split_state = corpus.leakage_safe_split_state(
+        keep_q.select("doc_id"), pairs
+    )
+    split_state = corpus.leakage_safe_split_increment(
+        split_state, delta.select("doc_id"), inc_pairs
+    )
+    by_split = {
+        r["split"]: r["n"]
+        for r in split_state.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"leakage-safe split after increment: {by_split}")
+
     print(f"raw documents:        {n_raw}")
     print(f"after quality gate:   {n_quality}")
     print(f"after near-dup dedup: {n_unique}")
