@@ -236,6 +236,57 @@ def leakage_safe_split_increment(
     return rest.unionByName(upd).unionByName(newrows)
 
 
+def split_health(
+    assignment: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> dict:
+    """Invariant audit for a (possibly incrementally maintained)
+    leakage-safe split -- the number an alerting rule watches after
+    every increment:
+
+    - ``straddling_pairs``: near-dup pairs whose two members sit in
+      two DIFFERENT real splits.  MUST be 0 under the quarantine
+      policy; any other value means eval leakage (a test doc with a
+      paraphrase in train).
+    - ``quarantined`` / ``quarantine_frac``: the running cost of the
+      wall -- docs excluded from both sides because a merge would
+      have flipped them.  A climbing fraction says the corpus's dup
+      structure fights the split and a re-split epoch is due.
+
+    Cost: two keyed joins of the pair list against the assignment +
+    one aggregation over the assignment -- O(pairs + docs) work, O(1)
+    driver state.  ``pairs`` should be the UNION of all delivered
+    pair increments (or any superset, e.g. a fresh full-LSH run)."""
+    a = assignment.select(
+        F.col(id_col).alias("doc_a"), F.col("split").alias("__sa")
+    )
+    b = assignment.select(
+        F.col(id_col).alias("doc_b"), F.col("split").alias("__sb")
+    )
+    straddling = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            (F.col("__sa") != F.col("__sb"))
+            & (F.col("__sa") != F.lit(QUARANTINE))
+            & (F.col("__sb") != F.lit(QUARANTINE))
+        )
+        .count()
+    )
+    total, quarantined = assignment.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("split") == F.lit(QUARANTINE)).cast("long")),
+    ).first()
+    total = int(total or 0)
+    quarantined = int(quarantined or 0)
+    return {
+        "straddling_pairs": straddling,
+        "docs": total,
+        "quarantined": quarantined,
+        "quarantine_frac": (quarantined / total) if total else 0.0,
+    }
+
+
 def _word_grams(toks: Column, n: int) -> Column:
     """Distinct n-token shingles joined by '_'; empty array for docs
     shorter than n tokens (guards the descending-sequence crash,

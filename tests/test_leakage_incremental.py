@@ -203,3 +203,45 @@ def test_singletons_match_assign_split(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_split_health_audit(spark):
+    """The invariant auditor: 0 straddling pairs on a policy-compliant
+    state (with quarantine counted), and a corrupted assignment (one
+    doc hand-flipped across the wall) is detected."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        split_health,
+    )
+
+    # drive one randomized sequence to a final state with quarantines
+    for got, ingested, delivered in _drive(spark, seed=11):
+        pass
+    state = spark.createDataFrame(
+        [(d, a, s) for d, (a, s) in got.items()], ["doc_id", "anchor", "split"]
+    )
+    pairs = spark.createDataFrame(delivered, "doc_a long, doc_b long")
+    h = split_health(state, pairs)
+    assert h["straddling_pairs"] == 0
+    assert h["docs"] == len(got)
+    assert h["quarantined"] == sum(
+        1 for _, s in got.values() if s == QUARANTINE
+    )
+
+    # corrupt: move one non-quarantined member of a real pair to the
+    # opposite real split -- the audit must catch it
+    paired = [
+        (a, b)
+        for a, b in delivered
+        if got[a][1] in REAL and got[b][1] in REAL
+    ]
+    if paired:
+        victim = paired[0][0]
+        flipped = {
+            d: (a, ("test" if s == "train" else "train") if d == victim else s)
+            for d, (a, s) in got.items()
+        }
+        bad = spark.createDataFrame(
+            [(d, a, s) for d, (a, s) in flipped.items()],
+            ["doc_id", "anchor", "split"],
+        )
+        assert split_health(bad, pairs)["straddling_pairs"] > 0
