@@ -304,11 +304,11 @@ def lsh_pairs_from_tokens(
     ``NARROW_MAX_TOKENS``): ``wide='auto'`` probes the observed max
     distinct-token count (one count-only pass over ``tok``) and picks
     the wide 2^40 slices when it crosses the bound; ``wide=False``
-    still VERIFIES the bound on the per-doc counts the fused aggregate
-    already computes (an action on the cached signature table --
-    materialized downstream anyway, so ~free) and raises instead of
-    silently running the narrow scheme on a whole-book corpus.  Pass
-    ``narrow_max_tokens=None`` to disable the check.
+    still VERIFIES the bound -- a zero-extra-pass ``raise_error``
+    guard folded into the first signature column (every doc's band
+    keys evaluate it), so any doc past the bound fails the JOB loudly
+    instead of silently running the narrow scheme on a whole-book
+    corpus.  Pass ``narrow_max_tokens=None`` to disable the check.
     """
     if wide == "auto":
         wide = (
@@ -329,13 +329,28 @@ def lsh_pairs_from_tokens(
     sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
     _SIG_CACHES.append(sig)
     if not wide and narrow_max_tokens is not None:
-        mx = int(sig.agg(F.max("n")).first()[0] or 0)
-        if mx > narrow_max_tokens:
-            raise ValueError(
-                f"a document has {mx} distinct tokens, past the narrow "
-                f"5-nibble slice bound ({narrow_max_tokens}): pass "
-                "wide=True (2^40 slices) or wide='auto'"
-            )
+        # plan-level guard, zero extra pass/action: h1 feeds every
+        # doc's band keys, so any doc past the bound fails the job at
+        # execution time (the eager-action alternative would
+        # materialize the whole fused aggregate at CONSTRUCTION time)
+        sig = sig.withColumn(
+            "h1",
+            F.when(
+                F.col("n") <= F.lit(narrow_max_tokens), F.col("h1")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("a document has "),
+                        F.col("n").cast("string"),
+                        F.lit(
+                            " distinct tokens, past the narrow 5-nibble "
+                            f"slice bound ({narrow_max_tokens}): pass "
+                            "wide=True (2^40 slices) or wide='auto'"
+                        ),
+                    )
+                )
+            ),
+        )
     if blocks is not None:
         sig = sig.join(blocks, "doc_id")
     block_col = None if blocks is None else "__block"

@@ -47,7 +47,10 @@ def test_observed_max_tokens(spark, long_docs):
 
 
 def test_narrow_guard_raises_on_long_docs(spark, long_docs):
-    with pytest.raises(ValueError, match="wide"):
+    # plan-level raise_error: fails the JOB at execution (no eager
+    # construction-time action), surfacing as a Spark exception whose
+    # message carries the remedy
+    with pytest.raises(Exception, match="wide"):
         minhash_lsh_pairs(long_docs, narrow_max_tokens=20).collect()
 
 
