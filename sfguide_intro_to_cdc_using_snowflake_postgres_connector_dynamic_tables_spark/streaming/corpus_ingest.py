@@ -98,19 +98,25 @@ def _ensure_band_index(
     num_hashes: int,
     band_size: int,
     n_buckets: int,
+    wide: bool = False,
 ) -> str:
     """Bootstrap the band index for the CURRENT scheme/parameters if it
     doesn't exist yet (one-time O(table) backfill -- also the rebuild
     path after a scheme bump invalidates a previously persisted index,
-    per ADVICE r10: stale-scheme keys must never be probed)."""
+    per ADVICE r10: stale-scheme keys must never be probed).  ``wide``
+    selects the 2^40 minhash slices for very-large-document corpora
+    (its own scheme tag, so narrow/wide indexes never mix)."""
     from ..operators.dedup import band_keys_for_docs
 
-    bands_name = bands_table_name(table, num_hashes, band_size)
+    bands_name = bands_table_name(table, num_hashes, band_size, wide)
     if not store.exists(bands_name):
         store.overwrite(
             bands_name,
             band_keys_for_docs(
-                store.read(spark, table), num_hashes=num_hashes, band_size=band_size
+                store.read(spark, table),
+                num_hashes=num_hashes,
+                band_size=band_size,
+                wide=wide,
             ),
             partition_key="band",
             n_buckets=n_buckets,
@@ -221,6 +227,7 @@ def near_dup_incremental(
     band_size: int = 2,
     n_buckets: int = 16,
     update_index: bool = True,
+    wide: bool = False,
 ) -> DataFrame:
     """Incremental BATCH near-dup over the persisted band index: the
     pairs a full ``minhash_lsh_pairs`` run over (corpus + new_docs)
@@ -250,18 +257,29 @@ def near_dup_incremental(
     pair.  Requires the main table to exist (bootstraps the band index
     from it on first call or after a scheme bump -- see
     ``bands_table_name``).
+
+    ``wide=True`` for very-large-document corpora (per-doc distinct
+    tokens past ``dedup.NARROW_MAX_TOKENS``, where the narrow scheme's
+    plan guard refuses to run): the index gets its own scheme tag and
+    is bootstrapped/probed/updated entirely under the wide slices.
+    Pick it ONCE at index creation (``dedup.observed_max_tokens``) --
+    the tag keeps a narrow index from ever being probed with wide keys.
     """
     from ..operators.dedup import _SIG_CACHES, band_keys_for_docs, minhash_lsh_pairs
 
     bands_name = _ensure_band_index(
-        store, spark, table, num_hashes, band_size, n_buckets
+        store, spark, table, num_hashes, band_size, n_buckets, wide
     )
     # batch-internal pairs (retires the previous LSH call's caches)
     intra = minhash_lsh_pairs(
-        new_docs, num_hashes=num_hashes, band_size=band_size, threshold=threshold
+        new_docs,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        wide=wide,
     )
     new_bands = band_keys_for_docs(
-        new_docs, num_hashes=num_hashes, band_size=band_size
+        new_docs, num_hashes=num_hashes, band_size=band_size, wide=wide
     ).cache()
     _SIG_CACHES.append(new_bands)  # retired by the next dedup call
     cross = _cross_pairs(
@@ -288,6 +306,7 @@ def _near_dup_filter(
     num_hashes: int,
     band_size: int,
     n_buckets: int,
+    wide: bool = False,
 ) -> DataFrame:
     """Drop batch docs that are near-duplicates (token-set Jaccard >=
     threshold) of anything already in the store, using the band-bucketed
@@ -303,17 +322,21 @@ def _near_dup_filter(
 
     # 1. batch-internal near-dup: keep the lowest-id doc of each pair
     intra = minhash_lsh_pairs(
-        new_rows, num_hashes=num_hashes, band_size=band_size, threshold=threshold
+        new_rows,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        wide=wide,
     )
     survivors = new_rows.join(
         intra.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
 
     bands_name = _ensure_band_index(
-        store, spark, table, num_hashes, band_size, n_buckets
+        store, spark, table, num_hashes, band_size, n_buckets, wide
     )
     new_bands = band_keys_for_docs(
-        survivors, num_hashes=num_hashes, band_size=band_size
+        survivors, num_hashes=num_hashes, band_size=band_size, wide=wide
     ).cache()
     try:
         # 2.-3. probe the index + exact-verify candidates (shared with
@@ -501,6 +524,7 @@ def ingest_batch(
     near_threshold: float = 0.8,
     num_hashes: int = 6,
     band_size: int = 2,
+    wide: bool = False,
     semantic: bool = False,
     sem_threshold: float = 0.9,
     sem_dim: int = 16,
@@ -569,6 +593,7 @@ def ingest_batch(
                     num_hashes=num_hashes,
                     band_size=band_size,
                     threshold=near_threshold,
+                    wide=wide,
                 )
                 keep = keep.join(
                     intra.select(F.col("doc_b").alias("doc_id")).distinct(),
@@ -616,9 +641,9 @@ def ingest_batch(
             )
             if near_dup:
                 store.overwrite(
-                    bands_table_name(table, num_hashes, band_size),
+                    bands_table_name(table, num_hashes, band_size, wide),
                     band_keys_for_docs(
-                        keep, num_hashes=num_hashes, band_size=band_size
+                        keep, num_hashes=num_hashes, band_size=band_size, wide=wide
                     ),
                     partition_key="band",
                     n_buckets=n_buckets,
@@ -636,6 +661,7 @@ def ingest_batch(
                 num_hashes,
                 band_size,
                 n_buckets,
+                wide,
             )
         sem_centroids = None
         if semantic:
@@ -665,9 +691,9 @@ def ingest_batch(
 
                 store.append(
                     spark,
-                    bands_table_name(table, num_hashes, band_size),
+                    bands_table_name(table, num_hashes, band_size, wide),
                     band_keys_for_docs(
-                        new_rows, num_hashes=num_hashes, band_size=band_size
+                        new_rows, num_hashes=num_hashes, band_size=band_size, wide=wide
                     ),
                 )
             if semantic and sem_centroids is not None:
@@ -694,6 +720,7 @@ def start_corpus_ingest(
     min_quality: float = 0.2,
     near_dup: bool = False,
     near_threshold: float = 0.8,
+    wide: bool = False,
     semantic: bool = False,
     sem_threshold: float = 0.9,
     clf_weights: dict[str, float] | None = None,
@@ -703,12 +730,16 @@ def start_corpus_ingest(
     the StreamingQuery.  ``near_dup=True`` additionally drops documents
     whose token-set Jaccard vs ANY stored document reaches
     ``near_threshold`` (band-indexed MinHash probe, O(batch bands)
-    reads per tick); ``semantic=True`` drops documents whose
-    hashing-trick embedding cosine vs ANY stored document reaches
-    ``sem_threshold`` (cell-bucketed index probe, O(batch cells)
-    reads per tick); ``clf_weights``/``clf_bias`` swap the heuristic
-    quality gate for a trained classifier's exported weights (see
-    ``ingest_batch``)."""
+    reads per tick); ``wide=True`` runs the 2^40 minhash slices for
+    very-large-document corpora (required past
+    ``dedup.NARROW_MAX_TOKENS`` per-doc distinct tokens, where the
+    narrow scheme's plan guard fails the batch -- pick once at stream
+    creation, the index scheme tag is part of the index name);
+    ``semantic=True`` drops documents whose hashing-trick embedding
+    cosine vs ANY stored document reaches ``sem_threshold``
+    (cell-bucketed index probe, O(batch cells) reads per tick);
+    ``clf_weights``/``clf_bias`` swap the heuristic quality gate for a
+    trained classifier's exported weights (see ``ingest_batch``)."""
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(feed_dir)
     deduped = dedup_stream(stream, keys=("doc_id",), ts_col="ts", watermark=watermark)
     return (
@@ -723,6 +754,7 @@ def start_corpus_ingest(
                 min_quality=min_quality,
                 near_dup=near_dup,
                 near_threshold=near_threshold,
+                wide=wide,
                 semantic=semantic,
                 sem_threshold=sem_threshold,
                 clf_weights=clf_weights,

@@ -203,3 +203,36 @@ def test_wide_num_hashes_bound():
         )
 
         _minhash_min_exprs(7, wide=True)
+
+
+def test_incremental_wide_scheme_end_to_end(spark, tmp_path):
+    """The wide-slice remedy is reachable from the incremental path
+    (r12: the narrow plan guard refuses long-doc corpora, so the
+    index APIs must accept wide): a wide index bootstraps under its
+    own scheme tag, probes/updates under wide slices, and reproduces
+    the full-corpus wide LSH run exactly."""
+    docs = _docs(spark)
+    cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
+    stored = docs.filter(F.col("doc_id") <= cut)
+    delta = docs.filter(F.col("doc_id") > cut)
+    delta_ids = [r["doc_id"] for r in delta.select("doc_id").collect()]
+
+    store = ParquetTableStore(str(tmp_path / "store"))
+    store.overwrite("corpus", stored, partition_key="doc_id", n_buckets=8)
+
+    inc = near_dup_incremental(
+        store, spark, "corpus", delta, threshold=THRESH, n_buckets=8, wide=True
+    )
+    got = _pairs_set(inc)
+    full = minhash_lsh_pairs(docs, threshold=THRESH, wide=True)
+    want = _pairs_set(
+        full.filter(
+            F.col("doc_a").isin(delta_ids) | F.col("doc_b").isin(delta_ids)
+        )
+    )
+    assert got == want
+    # the wide index lives under its own scheme tag; the narrow name
+    # was never created
+    assert store.exists(bands_table_name("corpus", wide=True))
+    assert "mh2w" in bands_table_name("corpus", wide=True)
+    assert not store.exists(bands_table_name("corpus", wide=False))
