@@ -39,6 +39,7 @@ from .quality_model import threshold_for_keep_rate
 __all__ = [
     "roc_points",
     "roc_auc",
+    "roc_report",
     "precision_recall_at_k",
     "threshold_drift",
 ]
@@ -170,6 +171,36 @@ def roc_auc(
     contrib = F.col("pos") * neg_below + F.col("pos") * neg_here / F.lit(2.0)
     [total] = cum.agg(F.sum(contrib)).first()
     return float(total) / (n_pos * n_neg)
+
+
+def roc_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "clf_score",
+) -> tuple[DataFrame, float]:
+    """(ROC points, AUC) from ONE per-distinct-score cumulative pass
+    -- callers wanting both would otherwise pay :func:`_score_cum`
+    (and its range exchange) twice.  The shared intermediate is
+    checkpointed, so the points DataFrame stays valid after the AUC
+    action."""
+    cum, n_pos, n_neg = _score_cum(scored, label_col, score_col)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"ROC needs both classes: n_pos={n_pos}, n_neg={n_neg}"
+        )
+    points = cum.select(
+        F.col("score").alias("threshold"),
+        (F.col("cum_pos") / F.lit(float(n_pos))).alias("tpr"),
+        ((F.col("cum_cnt") - F.col("cum_pos")) / F.lit(float(n_neg))).alias(
+            "fpr"
+        ),
+    )
+    neg_at_or_above = F.col("cum_cnt") - F.col("cum_pos")
+    neg_here = F.col("cnt") - F.col("pos")
+    neg_below = F.lit(n_neg) - neg_at_or_above
+    contrib = F.col("pos") * neg_below + F.col("pos") * neg_here / F.lit(2.0)
+    [total] = cum.agg(F.sum(contrib)).first()
+    return points, float(total) / (n_pos * n_neg)
 
 
 def precision_recall_at_k(

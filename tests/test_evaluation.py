@@ -161,3 +161,21 @@ def test_threshold_drift_detects_shift(scored):
     # watched keep-rate blows way past the 0.4 target
     assert d["keep_rate_at_ref_threshold"] > 0.7
     assert not math.isnan(d["threshold_new"])
+
+
+def test_roc_report_matches_separate_calls(scored):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.evaluation import (
+        roc_report,
+    )
+
+    points, auc = roc_report(scored)
+    assert auc == pytest.approx(roc_auc(scored), abs=1e-12)
+    sep = {
+        round(r["threshold"], 9): (round(r["tpr"], 9), round(r["fpr"], 9))
+        for r in roc_points(scored).collect()
+    }
+    got = {
+        round(r["threshold"], 9): (round(r["tpr"], 9), round(r["fpr"], 9))
+        for r in points.collect()
+    }
+    assert got == sep
