@@ -354,6 +354,168 @@ def _near_dup_filter(
         new_bands.unpersist()
 
 
+def benchmark_grams_table_name(table: str, n: int = 8) -> str:
+    """Distinct word n-grams of every TEST-split doc seen so far."""
+    return f"{table}__testgrams__g{n}"
+
+
+def train_grams_table_name(table: str, n: int = 8) -> str:
+    """(doc_id, gram) postings of every CLEAN train-split doc seen so
+    far -- what a new test doc's grams probe to retro-contaminate."""
+    return f"{table}__traingrams__g{n}"
+
+
+def _doc_grams(docs: DataFrame, n: int) -> DataFrame:
+    """Exploded (doc_id, split, gram) with per-doc-distinct grams --
+    the same gram definition as ``corpus.decontaminate`` (split
+    derived by the deterministic ``assign_split``, so increments and
+    the batch recompute always agree on who is train/test)."""
+    from ..operators.corpus import _word_grams, assign_split
+    from ..operators.text import tokens
+
+    split = assign_split(docs)
+    return split.select(
+        "doc_id",
+        "split",
+        F.explode(_word_grams(tokens(F.col("text")), n)).alias("gram"),
+    )
+
+
+def _ensure_gram_indexes(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    n: int,
+    n_buckets: int,
+) -> tuple[str, str]:
+    """One-time O(table) bootstrap of both gram indexes from the main
+    table (stores created before incremental decontamination existed,
+    or after an n change -- n is part of the index names)."""
+    tg, rg = benchmark_grams_table_name(table, n), train_grams_table_name(table, n)
+    if not (store.exists(tg) and store.exists(rg)):
+        grams = _doc_grams(store.read(spark, table), n)
+        if not store.exists(tg):
+            store.overwrite(
+                tg,
+                grams.filter(F.col("split") == "test").select("gram").distinct(),
+                partition_key="gram",
+                n_buckets=n_buckets,
+            )
+        if not store.exists(rg):
+            store.overwrite(
+                rg,
+                grams.filter(F.col("split") == "train").select("doc_id", "gram"),
+                partition_key="gram",
+                n_buckets=n_buckets,
+            )
+    return tg, rg
+
+
+def decontaminate_incremental(
+    store: ParquetTableStore,
+    spark: SparkSession,
+    table: str,
+    new_docs: DataFrame,
+    n: int = 8,
+    n_buckets: int = 16,
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental benchmark decontamination over persisted gram
+    indexes: the train docs a full ``corpus.decontaminate`` run over
+    (corpus + new_docs) would newly flag -- WITHOUT re-scanning the
+    corpus.
+
+    The batch operator's blind spot under increments is RETROACTIVE
+    contamination: a test-split doc arriving at batch k contaminates
+    train docs stored at batches < k, and a per-batch recompute that
+    only checks the new docs silently misses them.  Both directions
+    are covered here, each bucket-pruned:
+
+    - NEW train docs probe the stored test-gram index (plus the same
+      batch's own test grams -- batch-internal sharing counts), I/O
+      bounded by the batch's gram buckets;
+    - NEW test docs probe the stored train-gram postings, flagging
+      already-stored train docs -- the retro direction;
+
+    Returns (doc_id, origin) of newly-contaminated TRAIN docs, origin
+    'batch' (arrived in this increment) or 'stored' (retro).  A doc is
+    reported at the increment that contaminates it, exactly once if
+    callers drop flagged docs: ``update_index=True`` appends the new
+    test grams and only the CLEAN new train docs' postings, so the
+    cumulative flagged set over any increment sequence equals the
+    full-recompute ``decontaminate(all docs).filter(n_shared > 0)``
+    set (pytest differential).  Requires the main table to exist
+    (bootstraps both indexes from it on first call)."""
+    tg, rg = _ensure_gram_indexes(store, spark, table, n, n_buckets)
+    grams = _doc_grams(new_docs, n).cache()
+    try:
+        new_test = grams.filter(F.col("split") == "test")
+        new_train = grams.filter(F.col("split") == "train")
+
+        # direction 1: new train docs vs (stored + batch) test grams
+        _k, TB = store.partition_spec(tg)
+        probe_buckets = [
+            r[0]
+            for r in new_train.select(store.bucket_expr("gram", TB).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        stored_test = (
+            store.read_buckets(spark, tg, probe_buckets)
+            if probe_buckets
+            else new_test.select("gram").limit(0)
+        )
+        bench = stored_test.select("gram").unionByName(
+            new_test.select("gram")
+        ).distinct()
+        contaminated_batch = (
+            new_train.join(bench, "gram").select("doc_id").distinct()
+        )
+
+        # direction 2 (retro): new test grams vs stored train postings
+        _k2, RB = store.partition_spec(rg)
+        retro_buckets = [
+            r[0]
+            for r in new_test.select(store.bucket_expr("gram", RB).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if retro_buckets:
+            stored_train = store.read_buckets(spark, rg, retro_buckets)
+            contaminated_stored = (
+                stored_train.join(new_test.select("gram").distinct(), "gram")
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            contaminated_stored = contaminated_batch.limit(0)
+
+        out = contaminated_batch.select(
+            "doc_id", F.lit("batch").alias("origin")
+        ).unionByName(
+            contaminated_stored.select(
+                "doc_id", F.lit("stored").alias("origin")
+            )
+        )
+
+        if update_index:
+            out = out.cache()
+            out.count()  # materialize before the indexes move underneath
+            store.append(
+                spark, tg, new_test.select("gram").distinct()
+            )
+            clean_train = new_train.join(
+                contaminated_batch, "doc_id", "left_anti"
+            )
+            store.append(spark, rg, clean_train.select("doc_id", "gram"))
+            # retro-flagged stored postings stay in the index: their
+            # docs are already reported (re-reports are harmless and
+            # only occur if callers keep flagged docs anyway)
+        return out
+    finally:
+        grams.unpersist()
+
+
 def cells_table_name(table: str) -> str:
     return f"{table}__cells"
 

@@ -1,0 +1,136 @@
+"""Incremental benchmark decontamination over persisted gram indexes.
+
+The batch operator's blind spot under increments is RETROACTIVE
+contamination: a test-split doc arriving at batch k contaminates train
+docs stored at batches < k.  ``decontaminate_incremental`` must cover
+all three directions -- batch-internal, train-after-test, and
+test-after-train (retro) -- and its cumulative flagged set over any
+increment sequence must equal the full-recompute
+``decontaminate(all).filter(n_shared > 0)`` set.
+"""
+
+from __future__ import annotations
+
+import random
+
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+    assign_split,
+    decontaminate,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.corpus_ingest import (
+    decontaminate_incremental,
+    benchmark_grams_table_name,
+    train_grams_table_name,
+)
+from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+    ParquetTableStore,
+)
+
+N = 3  # gram length under test (docs stay short)
+
+
+def _split_map(spark, upto: int = 400) -> dict[int, str]:
+    df = spark.createDataFrame([(i,) for i in range(upto)], ["doc_id"])
+    return {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+
+
+def _doc(i: int, phrase: str | None = None) -> tuple[int, str]:
+    base = " ".join(f"w{i}x{j}" for j in range(6))
+    return (i, base + (f" {phrase}" if phrase else ""))
+
+
+def _flagged_full(spark, docs) -> set[int]:
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {
+        r["doc_id"]
+        for r in decontaminate(df, n=N).collect()
+        if r["n_shared"] > 0
+    }
+
+
+def _drive(spark, tmp_path, batches):
+    """Bootstrap on batch 1 (batch operator + store write), then run
+    every later batch through the incremental API; returns
+    (cumulative flagged ids, origins seen)."""
+    store = ParquetTableStore(str(tmp_path / "store"))
+    b1 = spark.createDataFrame(batches[0], ["doc_id", "text"])
+    store.overwrite("corpus", b1, partition_key="doc_id", n_buckets=8)
+    cumulative = {
+        r["doc_id"]
+        for r in decontaminate(b1, n=N).collect()
+        if r["n_shared"] > 0
+    }
+    origins: set[str] = set()
+    for batch in batches[1:]:
+        flagged = decontaminate_incremental(
+            store,
+            spark,
+            "corpus",
+            spark.createDataFrame(batch, ["doc_id", "text"]),
+            n=N,
+            n_buckets=8,
+        ).collect()
+        cumulative |= {r["doc_id"] for r in flagged}
+        origins |= {r["origin"] for r in flagged}
+    return store, cumulative, origins
+
+
+def test_all_three_directions_and_differential(spark, tmp_path):
+    sm = _split_map(spark)
+    trains = [i for i in range(400) if sm[i] == "train"]
+    tests = [i for i in range(400) if sm[i] == "test"]
+
+    ph = [f"pa{g} pb{g} pc{g}" for g in range(5)]
+    batches = [
+        # batch 1: a contaminated pair INSIDE the bootstrap batch
+        # (flagged by the batch operator), a train doc whose test
+        # partner arrives later (retro), and background docs
+        [
+            _doc(trains[0], ph[0]),
+            _doc(tests[0], ph[0]),
+            _doc(trains[1], ph[1]),  # retro victim, flagged at batch 3
+            _doc(trains[2]),
+            _doc(tests[1]),
+        ],
+        # batch 2: batch-internal pair + a train doc hitting a STORED
+        # test gram (forward direction) + clean noise
+        [
+            _doc(trains[3], ph[2]),
+            _doc(tests[2], ph[2]),
+            _doc(trains[4], ph[0]),  # shares ph[0] with stored test doc
+            _doc(trains[5]),
+        ],
+        # batch 3: the retro test doc + a clean train doc
+        [
+            _doc(tests[3], ph[1]),  # retro-contaminates trains[1]
+            _doc(trains[6]),
+        ],
+    ]
+    store, cumulative, origins = _drive(spark, tmp_path, batches)
+    all_docs = [d for b in batches for d in b]
+    assert cumulative == _flagged_full(spark, all_docs)
+    assert cumulative >= {trains[0], trains[1], trains[3], trains[4]}
+    assert trains[2] not in cumulative and trains[6] not in cumulative
+    # both incremental directions actually fired
+    assert origins == {"batch", "stored"}
+    # indexes persisted for the next increment
+    assert store.exists(benchmark_grams_table_name("corpus", N))
+    assert store.exists(train_grams_table_name("corpus", N))
+
+
+def test_randomized_increments_match_full_recompute(spark, tmp_path):
+    sm = _split_map(spark)
+    rng = random.Random(17)
+    ids = list(range(120))
+    ph = [f"qa{g} qb{g} qc{g}" for g in range(10)]
+    docs = [
+        _doc(i, ph[rng.randrange(10)] if rng.random() < 0.4 else None)
+        for i in ids
+    ]
+    rng.shuffle(docs)
+    cuts = sorted(rng.sample(range(1, len(docs)), 3))
+    batches = [
+        docs[a:b] for a, b in zip([0] + cuts, cuts + [len(docs)])
+    ]
+    _store, cumulative, _origins = _drive(spark, tmp_path, batches)
+    assert cumulative == _flagged_full(spark, docs)
