@@ -39,6 +39,7 @@ from .quality_model import threshold_for_keep_rate
 __all__ = [
     "roc_points",
     "roc_auc",
+    "roc_auc_by_group",
     "roc_report",
     "precision_recall_at_k",
     "threshold_drift",
@@ -171,6 +172,65 @@ def roc_auc(
     contrib = F.col("pos") * neg_below + F.col("pos") * neg_here / F.lit(2.0)
     [total] = cum.agg(F.sum(contrib)).first()
     return float(total) / (n_pos * n_neg)
+
+
+def roc_auc_by_group(
+    scored: DataFrame,
+    group_col: str,
+    label_col: str = "label",
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """Ties-corrected ROC-AUC per group (per language, per source, per
+    shard...) -- the corpus-QA view that catches a classifier scoring
+    one slice of the corpus well and another at chance.
+
+    Returns (group_col, n_pos, n_neg, auc); groups missing a class get
+    NULL auc (undefined) rather than being dropped, so a degenerate
+    slice is visible instead of silently absent.
+
+    Scale shape: unlike the global form (which needs the two-phase
+    prefix sum to avoid a single-task window), the grouped cumulative
+    is a window PARTITIONED BY the group -- each group sorts
+    independently in its own task, which is exactly the parallelism
+    wanted here.  One aggregation collapses ties per (group, score)
+    first, so the window input is |distinct scores| rows per group;
+    quantize the score column for groups with near-continuous scores
+    (same guidance as ``roc_points``).  A single giant group is the
+    skew case -- use :func:`roc_auc` on that group's rows instead."""
+    per = scored.groupBy(
+        F.col(group_col), F.col(score_col).alias("score")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    neg_here = F.col("cnt") - F.col("pos")
+    # negatives strictly below this score = running sum up to and
+    # including this row, minus this row's own negatives
+    neg_below = F.sum(neg_here).over(w) - neg_here
+    contrib = F.col("pos") * neg_below + F.col("pos") * neg_here / F.lit(2.0)
+    stats = (
+        per.select(group_col, "cnt", "pos", contrib.alias("__c"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+            F.sum("__c").alias("__total"),
+        )
+    )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return stats.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            defined, F.col("__total") / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
 
 
 def roc_report(

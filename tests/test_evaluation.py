@@ -179,3 +179,33 @@ def test_roc_report_matches_separate_calls(scored):
         for r in points.collect()
     }
     assert got == sep
+
+
+def test_roc_auc_by_group_matches_per_group_brute_force(spark):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.evaluation import (
+        roc_auc_by_group,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        g = ["en", "fr", "zh"][i % 3]
+        label = 1 if rng.random() < (0.4 if g == "en" else 0.2) else 0
+        score = round(rng.random(), 1)  # coarse grid: plenty of ties
+        rows.append((i, g, score, label))
+    # a degenerate group with one class only -> NULL auc
+    rows += [(1000, "de", 0.5, 1), (1001, "de", 0.7, 1)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "lang", "clf_score", "label"]
+    ).repartition(8)
+    got = {
+        r["lang"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in roc_auc_by_group(df, "lang").collect()
+    }
+    for g in ("en", "fr", "zh"):
+        sub = [(i, s, l) for i, gg, s, l in rows if gg == g]
+        n_pos = sum(l for _, _, l in sub)
+        n_neg = len(sub) - n_pos
+        assert got[g][0] == n_pos and got[g][1] == n_neg
+        assert got[g][2] == pytest.approx(_brute_auc(sub), abs=1e-12)
+    assert got["de"] == (2, 0, None)
