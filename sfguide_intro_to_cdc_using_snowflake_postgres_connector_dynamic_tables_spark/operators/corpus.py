@@ -39,6 +39,7 @@ def assign_split(
     id_col: str = "doc_id",
     train_hi: int = 205,
     val_hi: int = 231,
+    salt: str = "",
 ) -> DataFrame:
     """Append a deterministic ``split`` column: train (~80%), val (~10%),
     test (~10%) by hash bucket.  Stratification is automatic -- the hash
@@ -46,15 +47,29 @@ def assign_split(
     appends and reshuffles (no ordering or sampling dependence).
     """
     return docs.withColumn(
-        "split", _split_expr(F.col(id_col), train_hi, val_hi)
+        "split", _split_expr(F.col(id_col), train_hi, val_hi, salt)
     )
 
 
-def _split_expr(anchor: Column, train_hi: int, val_hi: int) -> Column:
+def _split_expr(
+    anchor: Column, train_hi: int, val_hi: int, salt: str = ""
+) -> Column:
     """train/val/test from the hash bucket of ``anchor`` -- shared by
     :func:`assign_split` (anchor = the doc id) and
-    :func:`leakage_safe_split` (anchor = the dup-cluster label)."""
-    b = hash_bucket(anchor)
+    :func:`leakage_safe_split` (anchor = the dup-cluster label).
+
+    ``salt``: re-split EPOCH tag.  The empty default leaves the hash
+    input untouched (byte-identical to every oracle); a non-empty salt
+    re-draws every assignment -- the remedy when incremental
+    maintenance's quarantine fraction climbs (``split_health``).  Like
+    the index scheme tags, the salt is pinned per epoch: every
+    increment of one epoch must pass the same salt."""
+    keyed = (
+        anchor
+        if not salt
+        else F.concat(anchor.cast("string"), F.lit(f"|{salt}"))
+    )
+    b = hash_bucket(keyed)
     return (
         F.when(b < train_hi, F.lit("train"))
         .when(b < val_hi, F.lit("val"))
@@ -68,6 +83,7 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     train_hi: int = 205,
     val_hi: int = 231,
+    salt: str = "",
 ) -> DataFrame:
     """Split assignment that never separates near-duplicates: members
     of a dup cluster share one split, so a test document can never
@@ -99,7 +115,7 @@ def leakage_safe_split(
     )
     anchor = F.coalesce(F.col("component"), F.col(id_col))
     return joined.withColumn(
-        "split", _split_expr(anchor, train_hi, val_hi)
+        "split", _split_expr(anchor, train_hi, val_hi, salt)
     ).drop("component")
 
 
@@ -116,6 +132,7 @@ def leakage_safe_split_state(
     id_col: str = "doc_id",
     train_hi: int = 205,
     val_hi: int = 231,
+    salt: str = "",
 ) -> DataFrame:
     """:func:`leakage_safe_split` as a maintainable STATE table:
     ``(id_col, anchor, split)`` -- the anchor (component label, else
@@ -132,7 +149,7 @@ def leakage_safe_split_state(
     return joined.select(
         F.col(id_col),
         anchor.alias("anchor"),
-        _split_expr(anchor, train_hi, val_hi).alias("split"),
+        _split_expr(anchor, train_hi, val_hi, salt).alias("split"),
     )
 
 
@@ -143,6 +160,7 @@ def leakage_safe_split_increment(
     id_col: str = "doc_id",
     train_hi: int = 205,
     val_hi: int = 231,
+    salt: str = "",
 ) -> DataFrame:
     """Maintain a leakage-safe split under corpus increments: new docs
     and new near-dup edges (e.g. from
@@ -190,7 +208,7 @@ def leakage_safe_split_increment(
         singles = fresh.select(
             F.col(id_col),
             F.col(id_col).alias("anchor"),
-            _split_expr(F.col(id_col), train_hi, val_hi).alias("split"),
+            _split_expr(F.col(id_col), train_hi, val_hi, salt).alias("split"),
         )
         return assignment.unionByName(singles)
 
@@ -212,7 +230,7 @@ def leakage_safe_split_increment(
     )
     comp = connected_components(graph)
 
-    merged_split = _split_expr(F.col("component"), train_hi, val_hi)
+    merged_split = _split_expr(F.col("component"), train_hi, val_hi, salt)
     upd = (
         members.join(comp.withColumnRenamed("doc_id", id_col), id_col)
         .select(
@@ -230,7 +248,9 @@ def leakage_safe_split_increment(
             F.col(id_col),
             F.coalesce(F.col("component"), F.col(id_col)).alias("anchor"),
         )
-        .withColumn("split", _split_expr(F.col("anchor"), train_hi, val_hi))
+        .withColumn(
+            "split", _split_expr(F.col("anchor"), train_hi, val_hi, salt)
+        )
     )
     rest = assignment.join(touched, "anchor", "left_anti")
     return rest.unionByName(upd).unionByName(newrows)

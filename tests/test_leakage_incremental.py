@@ -245,3 +245,31 @@ def test_split_health_audit(spark):
             ["doc_id", "anchor", "split"],
         )
         assert split_health(bad, pairs)["straddling_pairs"] > 0
+
+
+def test_resplit_epoch_salt(spark):
+    """The quarantine-release remedy: a new epoch salt re-draws every
+    assignment (fresh state has zero quarantine by construction), is
+    deterministic per salt, keeps the leakage guarantee, and the
+    default empty salt is byte-identical to the unsalted split."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        leakage_safe_split_state,
+    )
+
+    rng = random.Random(9)
+    fams, fam_of, all_pairs = _families(rng, n_docs=40)
+    docs = spark.createDataFrame([(d,) for d in sorted(fam_of)], ["doc_id"])
+    pairs = spark.createDataFrame(all_pairs, "doc_a long, doc_b long")
+
+    base = {r["doc_id"]: r["split"] for r in leakage_safe_split_state(docs, pairs).collect()}
+    e1 = {r["doc_id"]: r["split"] for r in leakage_safe_split_state(docs, pairs, salt="epoch-1").collect()}
+    e1b = {r["doc_id"]: r["split"] for r in leakage_safe_split_state(docs, pairs, salt="epoch-1").collect()}
+    unsalted = {r["doc_id"]: r["split"] for r in leakage_safe_split_state(docs, pairs, salt="").collect()}
+
+    assert e1 == e1b                      # deterministic per salt
+    assert unsalted == base               # empty salt is the identity
+    assert e1 != base                     # the epoch actually re-draws
+    assert all(s != QUARANTINE for s in e1.values())
+    # leakage guarantee holds under any salt: clusters stay whole
+    for a, b in all_pairs:
+        assert e1[a] == e1[b], (a, b)
