@@ -42,6 +42,8 @@ __all__ = [
     "roc_auc_by_group",
     "roc_report",
     "precision_recall_at_k",
+    "calibration_curve",
+    "classification_metrics",
     "threshold_drift",
 ]
 
@@ -312,6 +314,82 @@ def precision_recall_at_k(
             (F.col("hits") / F.lit(float(n_pos))).alias("recall"),
         )
     )
+
+
+def calibration_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "clf_score",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data: bucket scores into ``bins`` equal-width
+    bins over [0, 1] and report each bin's mean predicted score vs the
+    observed positive rate.  A well-calibrated scorer tracks the
+    diagonal; quality gates calibrated as keep BUDGETS
+    (``threshold_for_keep_rate``) care less, but any pipeline treating
+    ``clf_score`` as a probability (mixture weighting, loss masking)
+    needs this check.
+
+    Returns (bin, n, mean_score, frac_pos), <= bins rows.  ONE
+    aggregation -- the bin id is a codegen expression, so this is a
+    single scan with map-side partial aggregation at any corpus size.
+    Scores at exactly 1.0 fold into the top bin."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(score_col)).alias("mean_score"),
+            F.avg(F.col(label_col).cast("double")).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def classification_metrics(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "clf_score",
+    threshold: float = 0.5,
+) -> dict:
+    """Scalar quality metrics in ONE aggregation pass: accuracy /
+    precision / recall at ``threshold``, Brier score (mean squared
+    probability error), and log loss (scores clamped to [1e-15,
+    1-1e-15] so a confidently-wrong 0/1 score reports a large finite
+    loss instead of infinity).  O(1) driver state."""
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col)
+    pred = (s >= F.lit(threshold)).cast("double")
+    eps = 1e-15
+    sc = F.least(F.greatest(s, F.lit(eps)), F.lit(1.0 - eps))
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((pred == y).cast("double")).alias("accuracy"),
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred).alias("pp"),
+        F.sum(y).alias("pos"),
+        F.avg((s - y) * (s - y)).alias("brier"),
+        F.avg(-(y * F.log(sc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - sc))).alias(
+            "log_loss"
+        ),
+    ).first()
+    n = int(row["n"] or 0)
+    if n == 0:
+        raise ValueError("empty input")
+    tp, pp, pos = float(row["tp"] or 0), float(row["pp"] or 0), float(row["pos"] or 0)
+    return {
+        "n": n,
+        "threshold": threshold,
+        "accuracy": float(row["accuracy"]),
+        "precision": (tp / pp) if pp else None,
+        "recall": (tp / pos) if pos else None,
+        "brier": float(row["brier"]),
+        "log_loss": float(row["log_loss"]),
+    }
 
 
 def threshold_drift(

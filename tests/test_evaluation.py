@@ -209,3 +209,62 @@ def test_roc_auc_by_group_matches_per_group_brute_force(spark):
         assert got[g][0] == n_pos and got[g][1] == n_neg
         assert got[g][2] == pytest.approx(_brute_auc(sub), abs=1e-12)
     assert got["de"] == (2, 0, None)
+
+
+def test_calibration_curve_matches_brute_force(scored):
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.evaluation import (
+        calibration_curve,
+    )
+
+    rows = _rows()
+    bins = 10
+    want: dict[int, list] = {}
+    for _, s, l in rows:
+        b = min(int(s * bins), bins - 1)
+        want.setdefault(b, []).append((s, l))
+    got = {
+        r["bin"]: (r["n"], r["mean_score"], r["frac_pos"])
+        for r in calibration_curve(scored, bins=bins).collect()
+    }
+    assert set(got) == set(want)
+    for b, members in want.items():
+        n = len(members)
+        assert got[b][0] == n
+        assert got[b][1] == pytest.approx(sum(s for s, _ in members) / n, abs=1e-9)
+        assert got[b][2] == pytest.approx(sum(l for _, l in members) / n, abs=1e-9)
+
+
+def test_classification_metrics_match_brute_force(scored):
+    import math as _math
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.evaluation import (
+        classification_metrics,
+    )
+
+    rows = _rows()
+    thr = 0.5
+    tp = sum(1 for _, s, l in rows if s >= thr and l == 1)
+    pp = sum(1 for _, s, _ in rows if s >= thr)
+    pos = sum(l for _, _, l in rows)
+    acc = sum(1 for _, s, l in rows if (s >= thr) == bool(l)) / len(rows)
+    brier = sum((s - l) ** 2 for _, s, l in rows) / len(rows)
+    eps = 1e-15
+    ll = -sum(
+        l * _math.log(min(max(s, eps), 1 - eps))
+        + (1 - l) * _math.log(1 - min(max(s, eps), 1 - eps))
+        for _, s, l in rows
+    ) / len(rows)
+    m = classification_metrics(scored, threshold=thr)
+    assert m["n"] == len(rows)
+    assert m["accuracy"] == pytest.approx(acc, abs=1e-12)
+    assert m["precision"] == pytest.approx(tp / pp, abs=1e-12)
+    assert m["recall"] == pytest.approx(tp / pos, abs=1e-12)
+    assert m["brier"] == pytest.approx(brier, abs=1e-12)
+    assert m["log_loss"] == pytest.approx(ll, rel=1e-9)
+    # scores of exactly 0/1 stay finite via the clamp
+    import math
+    extreme = scored.sparkSession.createDataFrame(
+        [(1, 1.0, 0), (2, 0.0, 1)], ["doc_id", "clf_score", "label"]
+    )
+    me = classification_metrics(extreme)
+    assert math.isfinite(me["log_loss"]) and me["log_loss"] > 10
