@@ -724,27 +724,26 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 12).  Reset this set at the start of each round.
+#: current round (round 13).  Reset this set at the start of each round.
 #:
-#: Capacity note (r12): the last-green histogram after the r11 record
-#: is r9/r10/r11 = 38/47/50, so the 38 r9-green entries exhaust their
-#: two-round sit-out and MUST enter the r12 window.  That leaves
-#: 50 - 38 = 12 slots for forced (new/red/touched) entries before
-#: ``_GATE_FORCED_OVERFLOW`` trips -- keep this set <= 12.
+#: Capacity note (r13): the last-green histogram after the r12 record
+#: is r10/r11/r12 = 43/44/50, so the 43 r10-green entries exhaust
+#: their two-round sit-out and MUST enter the r13 window.  That leaves
+#: 50 - 43 = 7 slots for touched entries.  Since round 13 the rotation
+#: seats stale-at-limit entries BEFORE touched ones and trims touched
+#: entries on overflow (they stay covered by the in-repo oracle
+#: suite), so an oversized set here can no longer spill a must-rotate
+#: entry -- but keep it <= 7 so every touched entry actually gets a
+#: driver row this round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "classifier_eval",            # NEW: distributed ROC-AUC / PR-at-k evaluation
-        "precision_at_k",             # NEW: TakeOrdered PR@k under the gate
-        "classifier_score",           # threshold drift added alongside (evaluation.py
-        #   imports threshold_for_keep_rate; scoring kernel itself unchanged --
-        #   kept in-window conservatively)
-        "minhash_near_dup",           # narrow-slice bound gate in lsh_pairs_from_tokens
-        "ngram_jaccard_dup",          # consumes the same touched LSH engine
-        "dup_components",             # consumes the same touched LSH engine
-        "leakage_safe_split",         # incremental maintenance added in corpus.py;
-        #   entry also rides the touched LSH engine
-        "image_ahash_dup",            # multimodal.py touched (video hash sets);
-        #   the aHash path itself is unchanged -- kept in-window conservatively
+        "triangle_count",             # wedge-probe pruning rework (graph.py)
+        "dup_components",             # iterative-loop compile-tail rework (graph.py)
+        "pagerank",                   # same iteration machinery (graph.py)
+        "khop_reachability",          # same iteration machinery (graph.py)
+        "leakage_safe_split",         # quarantine-drain policy (corpus.py)
+        "decontaminate",              # split-epoch salt threading (corpus.py /
+        #   corpus_ingest.py gram-index naming)
     }
 )
 
@@ -776,7 +775,8 @@ def _recorded_rounds() -> list[tuple[int, dict]]:
     return out
 
 
-#: Forced entries (new/red/touched) beyond the ``_GATE_WINDOW``
+#: MUST-SEAT entries (never recorded green / red in the latest record /
+#: at the two-round sit-out limit) beyond the ``_GATE_WINDOW``
 #: capacity, recorded by :func:`_reorder_for_gate`.  Import NEVER
 #: raises on overflow (a checkout without the CORRECTNESS_r*.json
 #: artifacts sees every entry as "never recorded", and the library
@@ -785,9 +785,18 @@ def _recorded_rounds() -> list[tuple[int, dict]]:
 #: the artifact-bearing repo, where overflow means a real policy bug.
 _GATE_FORCED_OVERFLOW: tuple[str, ...] = ()
 
+#: ``_TOUCHED_THIS_ROUND`` entries that did NOT fit in the window after
+#: every must-seat entry took its slot (r12 judge red: touched entries
+#: outranked a stale-at-limit entry, spilling it into the tail the
+#: moment the new record landed).  Trimmed-touched entries are merely
+#: deferred to the next driver round -- they remain fully covered every
+#: round by ``tests/test_catalog_oracle.py`` -- whereas a spilled stale
+#: entry is a hard policy violation.
+_GATE_TOUCHED_TRIMMED: tuple[str, ...] = ()
+
 
 def _reorder_for_gate() -> None:
-    global _GATE_FORCED_OVERFLOW
+    global _GATE_FORCED_OVERFLOW, _GATE_TOUCHED_TRIMMED
     records = _recorded_rounds()
     last_green: dict[str, int] = {}
     for rnd, rec in records:
@@ -795,7 +804,9 @@ def _reorder_for_gate() -> None:
             if isinstance(row, dict) and row.get("hash_match"):
                 last_green[name] = rnd
     red_latest: set[str] = set()
+    latest_round = 0
     if records:
+        latest_round = records[-1][0]
         red_latest = {
             name
             for name, row in records[-1][1].items()
@@ -804,13 +815,38 @@ def _reorder_for_gate() -> None:
     names = list(CATALOG)
     # canonical (current-order-independent) sort keys so the reorder
     # is IDEMPOTENT: calling it again -- e.g. after a new record lands
-    # mid-session, or in tests -- must yield the identical order
-    forced = sorted(
-        n
-        for n in names
-        if n not in last_green or n in red_latest or n in _TOUCHED_THIS_ROUND
+    # mid-session, or in tests -- must yield the identical order.
+    #
+    # Seating priority (r13 policy -- stale-at-limit outranks touched):
+    #   1. hard-forced: never driver-green, or red in the LATEST record
+    #      (the driver has no green row to rotate out on);
+    #   2. stale-at-limit: last green <= latest_round - 2 -- these
+    #      exhaust the two-round sit-out the moment the NEXT record
+    #      lands, so they must seat NOW, stalest first;
+    #   3. touched-this-round: re-verification is desirable but
+    #      deferrable -- on overflow these are trimmed (recorded in
+    #      ``_GATE_TOUCHED_TRIMMED``) instead of spilling a must-seat.
+    hard = sorted(
+        n for n in names if n not in last_green or n in red_latest
     )
-    _GATE_FORCED_OVERFLOW = tuple(forced[_GATE_WINDOW:])
+    hard_set = set(hard)
+    stale = sorted(
+        (
+            n
+            for n in names
+            if n not in hard_set and last_green[n] <= latest_round - 2
+        ),
+        key=lambda n: (last_green[n], n),
+    )
+    must = hard + stale
+    _GATE_FORCED_OVERFLOW = tuple(must[_GATE_WINDOW:])
+    seated = set(must)
+    touched = sorted(
+        n for n in _TOUCHED_THIS_ROUND if n in CATALOG and n not in seated
+    )
+    room = max(0, _GATE_WINDOW - len(must))
+    _GATE_TOUCHED_TRIMMED = tuple(touched[room:])
+    forced = must + touched[:room]
     forced_set = set(forced)
     rest = sorted(
         (n for n in names if n not in forced_set),

@@ -129,7 +129,16 @@ def test_rotation_self_heals_when_next_record_lands(monkeypatch):
                 # recorded rounds (green in new_round-2 or later)
                 assert last_green.get(n, -1) >= new_round - 2, (step, n)
             for n in names:
-                if n not in last_green or n in cat._TOUCHED_THIS_ROUND:
+                if n not in last_green:
+                    assert n in window, (step, n)
+                # touched entries seat only after every must-rotate
+                # entry has; a trimmed touched entry defers to the next
+                # round (still oracle-covered) instead of spilling a
+                # stale-at-limit entry
+                if (
+                    n in cat._TOUCHED_THIS_ROUND
+                    and n not in cat._GATE_TOUCHED_TRIMMED
+                ):
                     assert n in window, (step, n)
         # one full rotation cycle later, NO entry anywhere (window or
         # tail) is older than the two most recent records
@@ -139,6 +148,117 @@ def test_rotation_self_heals_when_next_record_lands(monkeypatch):
     finally:
         monkeypatch.undo()
         cat._reorder_for_gate()
+
+
+def test_rotation_survives_next_record_with_touched_pinned(monkeypatch):
+    """The r11 AND r12 judge reds, reproduced exactly: the driver
+    commits the next CORRECTNESS record into a checkout whose
+    ``_TOUCHED_THIS_ROUND`` is still the CURRENT round's (nonzero)
+    set -- that is the state of the tree the judge audits.  Under the
+    pre-r13 policy, touched entries outranked stale-at-limit ones and
+    one must-rotate entry spilled into the tail (``window_analytics``
+    in r12).  The r13 policy seats stale-at-limit entries first, so
+    ``test_gate_tail_policy``'s invariants must hold on the
+    post-record checkout WITHOUT resetting the touched set."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog as cat,
+    )
+
+    assert cat._TOUCHED_THIS_ROUND, (
+        "this test needs the real nonzero per-round touched set"
+    )
+    real_records = cat._recorded_rounds()
+    assert real_records
+    window_now = list(cat.CATALOG)[: cat._GATE_WINDOW]
+    synthetic = (
+        real_records[-1][0] + 1,
+        {n: {"hash_match": True} for n in window_now},
+    )
+    records = real_records + [synthetic]
+    monkeypatch.setattr(cat, "_recorded_rounds", lambda: records)
+    try:
+        cat._reorder_for_gate()
+        # no must-seat entry may spill, with the touched set STILL pinned
+        assert cat._GATE_FORCED_OVERFLOW == ()
+        names = list(cat.CATALOG)
+        window = set(names[: cat._GATE_WINDOW])
+        last_green: dict[str, int] = {}
+        for rnd, rec in records:
+            for k, v in rec.items():
+                if v.get("hash_match"):
+                    last_green[k] = rnd
+        new_round = synthetic[0]
+        recent_green = {
+            k for k, r in last_green.items() if r >= new_round - 1
+        }
+        for n in names[cat._GATE_WINDOW :]:
+            # the exact invariant test_gate_tail_policy checks against
+            # the two most recent records on disk
+            assert n in recent_green, n
+        for n in names:
+            if n not in last_green:
+                assert n in window, n
+    finally:
+        monkeypatch.undo()
+        cat._reorder_for_gate()
+
+
+def test_rotation_trims_touched_before_spilling_stale(monkeypatch):
+    """Overflow pressure: when stale-at-limit entries plus the touched
+    set exceed the window, the rotation must trim touched entries (and
+    record them in ``_GATE_TOUCHED_TRIMMED``) rather than spill a
+    single must-rotate entry -- the exact failure mode of the r11/r12
+    round-close reds."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog as cat,
+    )
+
+    names = sorted(cat.CATALOG)
+    w = cat._GATE_WINDOW
+    # build a synthetic history where exactly w entries are
+    # stale-at-limit (green only at round 1 with rounds 2 and 3 since
+    # recorded) and everything else is fresh at round 3
+    stale_names = names[:w]
+    fresh_names = names[w:]
+    records = [
+        (1, {n: {"hash_match": True} for n in names}),
+        (2, {n: {"hash_match": True} for n in fresh_names}),
+        (3, {n: {"hash_match": True} for n in fresh_names}),
+    ]
+    # pin a touched set drawn from the FRESH entries -- under the old
+    # policy these would outrank the stale ones and spill exactly
+    # len(touched) must-rotate entries
+    touched = frozenset(fresh_names[:3])
+    monkeypatch.setattr(cat, "_recorded_rounds", lambda: records)
+    monkeypatch.setattr(cat, "_TOUCHED_THIS_ROUND", touched)
+    try:
+        cat._reorder_for_gate()
+        window = set(list(cat.CATALOG)[:w])
+        # every stale-at-limit entry seated
+        assert set(stale_names) <= window
+        # all touched entries were trimmed, deterministically, and none
+        # spilled a stale entry
+        assert set(cat._GATE_TOUCHED_TRIMMED) == set(touched)
+        assert cat._GATE_FORCED_OVERFLOW == ()
+        assert not (set(touched) & window)
+    finally:
+        monkeypatch.undo()
+        cat._reorder_for_gate()
+        assert cat._GATE_TOUCHED_TRIMMED == ()
+
+
+def test_no_touched_trim_in_this_repo():
+    """In the real checkout the per-round touched set must be sized to
+    the rotation's free capacity (capacity note in catalog.py) so every
+    touched entry actually earns a driver row this round."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog as cat,
+    )
+
+    assert cat._GATE_TOUCHED_TRIMMED == (), (
+        "touched entries trimmed from the driver window -- shrink "
+        f"_TOUCHED_THIS_ROUND: {cat._GATE_TOUCHED_TRIMMED}"
+    )
 
 
 def test_no_forced_overflow_in_this_repo():
