@@ -161,6 +161,7 @@ def leakage_safe_split_increment(
     train_hi: int = 205,
     val_hi: int = 231,
     salt: str = "",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Maintain a leakage-safe split under corpus increments: new docs
     and new near-dup edges (e.g. from
@@ -197,9 +198,18 @@ def leakage_safe_split_increment(
     ``assignment``: the ``(id_col, anchor, split)`` state from
     :func:`leakage_safe_split_state` or a previous increment.
     ``new_pairs``: (doc_a, doc_b, ...) near-dup edges with at least
-    the two id columns.  Returns the updated state table.
+    the two id columns.  Returns the updated state table, with plan
+    lineage CUT per the ``checkpoint`` policy (``"local"`` =
+    localCheckpoint, ``"reliable"`` = storage-backed -- see
+    ``dedup._cut_lineage``): each increment's output plan is a union
+    over the previous state, so an UNCUT chain of k increments
+    re-executes all k unions (plus every connectivity loop) on every
+    action -- O(history), not the documented O(affected).  The cut
+    makes chaining safe by construction; on a real cluster pass
+    ``checkpoint="reliable"`` (or persist the state table between
+    increments yourself, which also cuts lineage).
     """
-    from .dedup import connected_components
+    from .dedup import _cut_lineage, connected_components
 
     new_ids = new_docs.select(F.col(id_col)).distinct()
     fresh = new_ids.join(assignment.select(id_col), id_col, "left_anti")
@@ -210,7 +220,7 @@ def leakage_safe_split_increment(
             F.col(id_col).alias("anchor"),
             _split_expr(F.col(id_col), train_hi, val_hi, salt).alias("split"),
         )
-        return assignment.unionByName(singles)
+        return _cut_lineage(assignment.unionByName(singles), checkpoint)
 
     endpoints = (
         edges.select(F.col("doc_a").alias(id_col))
@@ -253,11 +263,53 @@ def leakage_safe_split_increment(
         )
     )
     rest = assignment.join(touched, "anchor", "left_anti")
-    return rest.unionByName(upd).unionByName(newrows)
+    return _cut_lineage(
+        rest.unionByName(upd).unionByName(newrows), checkpoint
+    )
+
+
+def resplit_epoch(
+    docs: DataFrame,
+    pairs: DataFrame,
+    salt: str,
+    id_col: str = "doc_id",
+    train_hi: int = 205,
+    val_hi: int = 231,
+) -> DataFrame:
+    """Start a NEW split epoch: a full leakage-safe recompute over the
+    whole corpus and the CUMULATIVE near-dup pair list, under a fresh
+    ``salt`` -- the drain valve for quarantine growth.
+
+    Quarantine is sticky BY DESIGN within an epoch (historical
+    exposure never washes out), so its fraction only climbs as merges
+    accumulate; when :func:`split_health` recommends it, the owner
+    declares a new training/eval cycle and re-splits.  Within the new
+    epoch no doc has been exposed yet, so quarantine starts at ZERO
+    while the cluster-shares-one-split invariant (straddling_pairs=0)
+    holds by construction.  The salt must then be threaded to every
+    consumer of the split -- increments
+    (:func:`leakage_safe_split_increment`), decontamination
+    (``decontaminate(salt=...)``,
+    ``corpus_ingest.decontaminate_incremental(salt=...)`` -- which
+    re-keys its persisted gram indexes to the new epoch) -- or they
+    silently check the OLD wall.
+
+    ``salt`` must be non-empty: the empty string is the pre-epoch
+    default and a "re-split" to it would collide with epoch-untagged
+    index names."""
+    if not salt:
+        raise ValueError("resplit_epoch requires a non-empty epoch salt")
+    return leakage_safe_split_state(
+        docs, pairs, id_col=id_col, train_hi=train_hi, val_hi=val_hi,
+        salt=salt,
+    )
 
 
 def split_health(
-    assignment: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    assignment: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    resplit_threshold: float = 0.02,
 ) -> dict:
     """Invariant audit for a (possibly incrementally maintained)
     leakage-safe split -- the number an alerting rule watches after
@@ -269,8 +321,12 @@ def split_health(
       paraphrase in train).
     - ``quarantined`` / ``quarantine_frac``: the running cost of the
       wall -- docs excluded from both sides because a merge would
-      have flipped them.  A climbing fraction says the corpus's dup
-      structure fights the split and a re-split epoch is due.
+      have flipped them.  Sticky by design, so the fraction only
+      climbs within an epoch (measured curve in SCALE.md).
+    - ``resplit_recommended``: True once ``quarantine_frac`` reaches
+      ``resplit_threshold`` -- the alerting hook: schedule
+      :func:`resplit_epoch` with a fresh salt, which drains
+      quarantine to zero for the new training/eval cycle.
 
     Cost: two keyed joins of the pair list against the assignment +
     one aggregation over the assignment -- O(pairs + docs) work, O(1)
@@ -299,11 +355,13 @@ def split_health(
     ).first()
     total = int(total or 0)
     quarantined = int(quarantined or 0)
+    frac = (quarantined / total) if total else 0.0
     return {
         "straddling_pairs": straddling,
         "docs": total,
         "quarantined": quarantined,
-        "quarantine_frac": (quarantined / total) if total else 0.0,
+        "quarantine_frac": frac,
+        "resplit_recommended": frac >= resplit_threshold,
     }
 
 
@@ -327,11 +385,17 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    salt: str = "",
 ) -> DataFrame:
     """Benchmark decontamination: for every *train*-split document,
     count distinct word ``n``-grams it shares with any *test*-split
     document.  Rows with ``n_shared > 0`` are contaminated and must be
     dropped before training.
+
+    ``salt`` is the re-split EPOCH tag and must match the salt the
+    owner passed to :func:`assign_split` / the leakage-safe split for
+    the current epoch -- decontaminating against a split other than
+    the one training actually uses checks the wrong wall.
 
     Scale shape: the benchmark gram set is tiny relative to the corpus
     (here the ~10% test split; in production, a fixed eval suite), so it
@@ -340,7 +404,7 @@ def decontaminate(
     """
     from .text import tokens
 
-    split = assign_split(docs, id_col=id_col)
+    split = assign_split(docs, id_col=id_col, salt=salt)
     grams = _word_grams(tokens(F.col(text_col)), n)
     exploded = split.select(
         F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
@@ -423,6 +487,7 @@ def bloom_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    salt: str = "",
 ) -> DataFrame:
     """Benchmark decontamination via a Bloom filter over the test
     split's ``n``-grams: for every train document, count distinct grams
@@ -450,7 +515,7 @@ def bloom_decontaminate(
     """
     from .text import word_grams_arrow
 
-    split = assign_split(docs, id_col=id_col)
+    split = assign_split(docs, id_col=id_col, salt=salt)
     # Arrow-batched gram builder: byte-identical output to
     # _word_grams(tokens(...), n) but ~4x faster (HOFs are interpreted,
     # not codegen'd -- see text.word_grams_arrow)

@@ -966,6 +966,7 @@ def phash_near_dup(
     hash_col: str = "phash",
     id_col: str = "media_id",
     group_col: str | None = None,
+    keep_hashes: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join -- the LSH
     skeleton specialized to fixed-width bit hashes: split each 64-bit
@@ -981,7 +982,12 @@ def phash_near_dup(
 
     ``group_col``: restrict pairing to rows sharing that column (e.g.
     a modality column, so an audio fingerprint and an image hash can
-    never pair even on an accidental band+popcount coincidence)."""
+    never pair even on an accidental band+popcount coincidence).
+
+    ``keep_hashes``: also return the matching hash values ``h_a`` /
+    ``h_b`` -- for callers that threshold on DISTINCT matching hashes
+    per pair (multi-hash media like video frame sets) rather than on
+    matching hash-pair rows."""
     if max_dist >= n_bands:
         raise ValueError(
             f"max_dist={max_dist} needs n_bands>{max_dist} for exact recall"
@@ -1024,8 +1030,9 @@ def phash_near_dup(
         .distinct()
     )
     dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    extra = ["h_a", "h_b"] if keep_hashes else []
     return pairs.select(
-        "id_a", "id_b", dist.cast("int").alias("hamming")
+        "id_a", "id_b", dist.cast("int").alias("hamming"), *extra
     ).filter(F.col("hamming") <= F.lit(max_dist))
 
 

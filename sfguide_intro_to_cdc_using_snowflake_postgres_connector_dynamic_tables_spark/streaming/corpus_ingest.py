@@ -354,26 +354,45 @@ def _near_dup_filter(
         new_bands.unpersist()
 
 
-def benchmark_grams_table_name(table: str, n: int = 8) -> str:
-    """Distinct word n-grams of every TEST-split doc seen so far."""
-    return f"{table}__testgrams__g{n}"
+def _epoch_tag(salt: str) -> str:
+    """Filesystem-safe split-epoch tag for index table names.  The
+    empty salt (the pre-epoch default) keeps the historical names, so
+    existing stores keep their indexes; any re-split salt maps to a
+    short digest suffix -- the same scheme-tag rule as the media band
+    indexes: an index built under one split epoch can NEVER be probed
+    under another (it would silently classify docs by the stale
+    split), so the epoch is part of the index identity and a re-split
+    forces a rebuild."""
+    if not salt:
+        return ""
+    import hashlib
+
+    return "__e" + hashlib.md5(salt.encode("utf-8")).hexdigest()[:8]
 
 
-def train_grams_table_name(table: str, n: int = 8) -> str:
+def benchmark_grams_table_name(table: str, n: int = 8, salt: str = "") -> str:
+    """Distinct word n-grams of every TEST-split doc seen so far
+    (under the split epoch ``salt``)."""
+    return f"{table}__testgrams__g{n}{_epoch_tag(salt)}"
+
+
+def train_grams_table_name(table: str, n: int = 8, salt: str = "") -> str:
     """(doc_id, gram) postings of every CLEAN train-split doc seen so
-    far -- what a new test doc's grams probe to retro-contaminate."""
-    return f"{table}__traingrams__g{n}"
+    far -- what a new test doc's grams probe to retro-contaminate
+    (under the split epoch ``salt``)."""
+    return f"{table}__traingrams__g{n}{_epoch_tag(salt)}"
 
 
-def _doc_grams(docs: DataFrame, n: int) -> DataFrame:
+def _doc_grams(docs: DataFrame, n: int, salt: str = "") -> DataFrame:
     """Exploded (doc_id, split, gram) with per-doc-distinct grams --
     the same gram definition as ``corpus.decontaminate`` (split
-    derived by the deterministic ``assign_split``, so increments and
-    the batch recompute always agree on who is train/test)."""
+    derived by the deterministic ``assign_split`` under the split
+    epoch ``salt``, so increments and the batch recompute always
+    agree on who is train/test)."""
     from ..operators.corpus import _word_grams, assign_split
     from ..operators.text import tokens
 
-    split = assign_split(docs)
+    split = assign_split(docs, salt=salt)
     return split.select(
         "doc_id",
         "split",
@@ -387,13 +406,24 @@ def _ensure_gram_indexes(
     table: str,
     n: int,
     n_buckets: int,
+    salt: str = "",
 ) -> tuple[str, str]:
     """One-time O(table) bootstrap of both gram indexes from the main
     table (stores created before incremental decontamination existed,
-    or after an n change -- n is part of the index names)."""
-    tg, rg = benchmark_grams_table_name(table, n), train_grams_table_name(table, n)
+    or after an n or split-epoch change -- both are part of the index
+    names, so a re-split salt can never probe a stale-epoch index).
+
+    Bootstrap caveat: the indexes are built from the main table AS
+    STORED -- if that table predates decontamination, its own
+    train/test contamination is NOT reported here (only probed against
+    by future increments).  For the cumulative-equals-full-recompute
+    property to cover pre-existing rows, run one batch
+    ``corpus.decontaminate`` pass (same ``n``/``salt``) over the
+    existing table at bootstrap and drop or record its flags."""
+    tg = benchmark_grams_table_name(table, n, salt)
+    rg = train_grams_table_name(table, n, salt)
     if not (store.exists(tg) and store.exists(rg)):
-        grams = _doc_grams(store.read(spark, table), n)
+        grams = _doc_grams(store.read(spark, table), n, salt)
         if not store.exists(tg):
             store.overwrite(
                 tg,
@@ -419,11 +449,20 @@ def decontaminate_incremental(
     n: int = 8,
     n_buckets: int = 16,
     update_index: bool = True,
+    salt: str = "",
 ) -> DataFrame:
     """Incremental benchmark decontamination over persisted gram
     indexes: the train docs a full ``corpus.decontaminate`` run over
     (corpus + new_docs) would newly flag -- WITHOUT re-scanning the
     corpus.
+
+    ``salt`` is the split-EPOCH tag and must equal the salt the owner
+    passes to the leakage-safe split for the current epoch.  It is
+    part of the index table names, so an owner re-split (salt bump)
+    makes the stale-epoch indexes unreachable and forces a one-time
+    rebuild under the new split -- without it, persisted test/train
+    gram indexes would silently classify docs under the OLD split and
+    contamination against the actual wall could be missed.
 
     The batch operator's blind spot under increments is RETROACTIVE
     contamination: a test-split doc arriving at batch k contaminates
@@ -446,8 +485,8 @@ def decontaminate_incremental(
     full-recompute ``decontaminate(all docs).filter(n_shared > 0)``
     set (pytest differential).  Requires the main table to exist
     (bootstraps both indexes from it on first call)."""
-    tg, rg = _ensure_gram_indexes(store, spark, table, n, n_buckets)
-    grams = _doc_grams(new_docs, n).cache()
+    tg, rg = _ensure_gram_indexes(store, spark, table, n, n_buckets, salt)
+    grams = _doc_grams(new_docs, n, salt).cache()
     try:
         new_test = grams.filter(F.col("split") == "test")
         new_train = grams.filter(F.col("split") == "train")
@@ -501,9 +540,29 @@ def decontaminate_incremental(
         if update_index:
             out = out.cache()
             out.count()  # materialize before the indexes move underneath
-            store.append(
-                spark, tg, new_test.select("gram").distinct()
-            )
+            # dedupe the appended test grams against the STORED index,
+            # not just within the batch: recurring grams (stopword
+            # runs, boilerplate) otherwise accumulate duplicate rows
+            # without bound over increments -- joins stay correct only
+            # via downstream distinct, but index size (and probe I/O)
+            # grows with history instead of with distinct grams.  The
+            # anti-join is bucket-pruned to the batch's own gram
+            # buckets, so it stays O(batch), the increment contract.
+            batch_test = new_test.select("gram").distinct()
+            append_buckets = [
+                r[0]
+                for r in batch_test.select(
+                    store.bucket_expr("gram", TB).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if append_buckets:
+                already = store.read_buckets(spark, tg, append_buckets)
+                batch_test = batch_test.join(
+                    already.select("gram"), "gram", "left_anti"
+                )
+            store.append(spark, tg, batch_test)
             clean_train = new_train.join(
                 contaminated_batch, "doc_id", "left_anti"
             )

@@ -198,18 +198,22 @@ def ingest_media_batch(
         .drop("__rn")
     )
     # batch-internal perceptual dedup: drop the higher id of each pair
-    # (pairs form only WITHIN a modality); phash_near_dup emits one row
-    # per matching hash pair, so the count-per-pair is the intra-batch
-    # min_match_hashes rule
+    # (pairs form only WITHIN a modality).  min_match_hashes counts
+    # DISTINCT hashes of the DROPPED row (id_b) matching its partner --
+    # the same per-partner rule as the cross-batch tier below, so a
+    # duplicate passes or fails both tiers identically.  (Counting raw
+    # hash-PAIR rows would double-count one new frame matching two
+    # stored frames of the same partner.)
     intra = phash_near_dup(
         keep.select("media_id", "modality", F.explode("phashes").alias("phash")),
         max_dist=max_dist,
         n_bands=n_bands,
         group_col="modality",
+        keep_hashes=True,
     )
     intra_dups = (
         intra.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__m"))
+        .agg(F.count_distinct("h_b").alias("__m"))
         .filter(F.col("__m") >= F.lit(min_match_hashes))
         .select(F.col("id_b").alias("media_id"))
         .distinct()
@@ -247,11 +251,15 @@ def ingest_media_batch(
         new_rows = keep.join(seen, "content_fp", "left_anti") if seen is not None else keep
 
         # perceptual tier: probe only the band buckets the batch hashes
-        # into; the index row carries the stored phash, so the hamming
-        # verify happens ON the join -- no media-table fetch.  A row is
-        # a dup when >= min_match_hashes of its DISTINCT hashes match
-        # stored hashes -- so a trimmed video is caught by any sampled
-        # frame that survived the trim.
+        # into; the index row carries the stored phash AND its owner,
+        # so the hamming verify happens ON the join -- no media-table
+        # fetch.  A row is a dup when >= min_match_hashes of its
+        # DISTINCT hashes match hashes of ONE stored partner (grouped
+        # by stored media_id -- two unrelated stored videos each
+        # matching a single frame must not jointly reach the
+        # threshold; same per-partner rule as the intra tier above).
+        # A trimmed video is still caught by any surviving frame at
+        # the default min_match_hashes=1.
         new_hashes = new_rows.select(
             "media_id", "modality", F.explode("phashes").alias("phash_new")
         )
@@ -271,7 +279,9 @@ def ingest_media_batch(
         ]
         if band_buckets:
             stored = store.read_buckets(spark, idx_name, band_buckets).select(
-                F.col("band"), F.col("phash").alias("phash_old")
+                F.col("band"),
+                F.col("media_id").alias("media_id_old"),
+                F.col("phash").alias("phash_old"),
             )
             dup_ids = (
                 new_bands.join(stored, "band")
@@ -281,10 +291,11 @@ def ingest_media_batch(
                     )
                     <= F.lit(max_dist)
                 )
-                .groupBy("media_id")
+                .groupBy("media_id", "media_id_old")
                 .agg(F.count_distinct("phash_new").alias("__m"))
                 .filter(F.col("__m") >= F.lit(min_match_hashes))
                 .select("media_id")
+                .distinct()
             )
             new_rows = new_rows.join(dup_ids, "media_id", "left_anti")
 

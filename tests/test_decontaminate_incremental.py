@@ -29,9 +29,12 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 N = 3  # gram length under test (docs stay short)
 
 
-def _split_map(spark, upto: int = 400) -> dict[int, str]:
+def _split_map(spark, upto: int = 400, salt: str = "") -> dict[int, str]:
     df = spark.createDataFrame([(i,) for i in range(upto)], ["doc_id"])
-    return {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    return {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, salt=salt).collect()
+    }
 
 
 def _doc(i: int, phrase: str | None = None) -> tuple[int, str]:
@@ -39,16 +42,16 @@ def _doc(i: int, phrase: str | None = None) -> tuple[int, str]:
     return (i, base + (f" {phrase}" if phrase else ""))
 
 
-def _flagged_full(spark, docs) -> set[int]:
+def _flagged_full(spark, docs, salt: str = "") -> set[int]:
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     return {
         r["doc_id"]
-        for r in decontaminate(df, n=N).collect()
+        for r in decontaminate(df, n=N, salt=salt).collect()
         if r["n_shared"] > 0
     }
 
 
-def _drive(spark, tmp_path, batches):
+def _drive(spark, tmp_path, batches, salt: str = ""):
     """Bootstrap on batch 1 (batch operator + store write), then run
     every later batch through the incremental API; returns
     (cumulative flagged ids, origins seen)."""
@@ -57,7 +60,7 @@ def _drive(spark, tmp_path, batches):
     store.overwrite("corpus", b1, partition_key="doc_id", n_buckets=8)
     cumulative = {
         r["doc_id"]
-        for r in decontaminate(b1, n=N).collect()
+        for r in decontaminate(b1, n=N, salt=salt).collect()
         if r["n_shared"] > 0
     }
     origins: set[str] = set()
@@ -69,6 +72,7 @@ def _drive(spark, tmp_path, batches):
             spark.createDataFrame(batch, ["doc_id", "text"]),
             n=N,
             n_buckets=8,
+            salt=salt,
         ).collect()
         cumulative |= {r["doc_id"] for r in flagged}
         origins |= {r["origin"] for r in flagged}
@@ -116,6 +120,108 @@ def test_all_three_directions_and_differential(spark, tmp_path):
     # indexes persisted for the next increment
     assert store.exists(benchmark_grams_table_name("corpus", N))
     assert store.exists(train_grams_table_name("corpus", N))
+
+
+def test_salted_increments_match_salted_full_recompute(spark, tmp_path):
+    """Re-split epoch salt threads end-to-end: the incremental API run
+    under a salt must match the batch recompute under the SAME salt
+    (i.e. increments classify docs by the salted split, never the
+    default one), and the salted run uses epoch-tagged index tables."""
+    salt = "epoch2"
+    rng = random.Random(23)
+    ph = [f"sa{g} sb{g} sc{g}" for g in range(8)]
+    docs = [
+        _doc(i, ph[rng.randrange(8)] if rng.random() < 0.45 else None)
+        for i in range(100)
+    ]
+    rng.shuffle(docs)
+    cuts = sorted(rng.sample(range(1, len(docs)), 2))
+    batches = [docs[a:b] for a, b in zip([0] + cuts, cuts + [len(docs)])]
+    store, cumulative, _origins = _drive(spark, tmp_path, batches, salt=salt)
+    assert cumulative == _flagged_full(spark, docs, salt=salt)
+    # epoch-tagged index names, disjoint from the default-epoch names
+    tg = benchmark_grams_table_name("corpus", N, salt)
+    rg = train_grams_table_name("corpus", N, salt)
+    assert tg != benchmark_grams_table_name("corpus", N)
+    assert rg != train_grams_table_name("corpus", N)
+    assert store.exists(tg) and store.exists(rg)
+    # the salted run never touched (or created) the default-epoch index
+    assert not store.exists(benchmark_grams_table_name("corpus", N))
+
+
+def test_resplit_salt_forces_index_rebuild(spark, tmp_path):
+    """An owner re-split (salt bump) must NOT probe the stale-epoch
+    indexes: the bump changes the index identity, forcing a bootstrap
+    under the new split, and contamination is then reported against
+    the new wall (a pair whose docs are train+test only under the new
+    salt is caught; under the stale index it would be missed)."""
+    # find a phrase-pair of ids that is (train, test) under SALT but
+    # NOT under the default split -- the stale index would miss it
+    salt = "epoch3"
+    sm0 = _split_map(spark, salt="")
+    sm1 = _split_map(spark, salt=salt)
+    pair = None
+    for a in range(400):
+        for b in range(400):
+            if a != b and sm1[a] == "train" and sm1[b] == "test" and not (
+                sm0[a] == "train" and sm0[b] == "test"
+            ):
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair, "no split-discriminating pair found"
+    a, b = pair
+    store = ParquetTableStore(str(tmp_path / "store"))
+    boot = spark.createDataFrame([_doc(a, "zz yy xx")], ["doc_id", "text"])
+    store.overwrite("corpus", boot, partition_key="doc_id", n_buckets=4)
+    # build the DEFAULT-epoch indexes first (simulates the pre-re-split
+    # owner state)
+    decontaminate_incremental(
+        store, spark, "corpus",
+        spark.createDataFrame([_doc(399)], ["doc_id", "text"]),
+        n=N, n_buckets=4,
+    ).collect()
+    # owner re-splits with `salt`; the test doc lands and must
+    # retro-flag doc `a` under the NEW split
+    flagged = decontaminate_incremental(
+        store, spark, "corpus",
+        spark.createDataFrame([_doc(b, "zz yy xx")], ["doc_id", "text"]),
+        n=N, n_buckets=4, salt=salt,
+    ).collect()
+    assert {r["doc_id"] for r in flagged} == {a}
+    # both epochs' indexes now coexist under distinct names
+    assert store.exists(benchmark_grams_table_name("corpus", N))
+    assert store.exists(benchmark_grams_table_name("corpus", N, salt))
+
+
+def test_test_gram_index_has_no_duplicate_rows(spark, tmp_path):
+    """update_index dedupes appended test grams against the STORED
+    index, not just within the batch: a recurring gram (boilerplate)
+    arriving in every increment must keep the index row-distinct
+    instead of growing duplicates without bound."""
+    from pyspark.sql import functions as F
+
+    sm = _split_map(spark)
+    tests = [i for i in range(400) if sm[i] == "test"]
+    store = ParquetTableStore(str(tmp_path / "store"))
+    boot = spark.createDataFrame([_doc(tests[0], "rr ss tt")], ["doc_id", "text"])
+    store.overwrite("corpus", boot, partition_key="doc_id", n_buckets=4)
+    # three increments, each carrying a test doc with the SAME phrase
+    for k in range(1, 4):
+        decontaminate_incremental(
+            store, spark, "corpus",
+            spark.createDataFrame(
+                [_doc(tests[k], "rr ss tt")], ["doc_id", "text"]
+            ),
+            n=N, n_buckets=4,
+        ).collect()
+    tg = store.read(spark, benchmark_grams_table_name("corpus", N))
+    total = tg.count()
+    distinct = tg.select("gram").distinct().count()
+    assert total == distinct, f"{total - distinct} duplicate gram rows"
+    # and the shared phrase's gram appears exactly once
+    assert tg.filter(F.col("gram") == "rr_ss_tt").count() == 1
 
 
 def test_randomized_increments_match_full_recompute(spark, tmp_path):

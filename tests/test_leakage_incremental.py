@@ -247,6 +247,74 @@ def test_split_health_audit(spark):
         assert split_health(bad, pairs)["straddling_pairs"] > 0
 
 
+def test_quarantine_drains_on_epoch_resplit(spark):
+    """The r13 drain policy end-to-end: a randomized increment soak
+    accumulates sticky quarantine, ``split_health`` flips its
+    ``resplit_recommended`` flag once the fraction crosses the
+    threshold, and ``resplit_epoch`` (full recompute under a fresh
+    salt) drains quarantine to ZERO while the cross-split-pair=0
+    invariant holds in the new epoch."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        resplit_epoch,
+        split_health,
+    )
+
+    got, ingested, delivered = None, None, None
+    for got, ingested, delivered in _drive(spark, seed=23, n_batches=6):
+        pass
+    state = spark.createDataFrame(
+        [(d, a, s) for d, (a, s) in got.items()],
+        ["doc_id", "anchor", "split"],
+    )
+    pairs = spark.createDataFrame(delivered, "doc_a long, doc_b long")
+    n_quarantined = sum(1 for _, s in got.values() if s == QUARANTINE)
+    assert n_quarantined > 0, "soak seed must actually accumulate quarantine"
+
+    h = split_health(state, pairs, resplit_threshold=n_quarantined / len(got))
+    assert h["quarantined"] == n_quarantined
+    assert h["resplit_recommended"] is True
+    # below the threshold the same state does NOT trigger
+    lax = split_health(
+        state, pairs, resplit_threshold=n_quarantined / len(got) + 0.5
+    )
+    assert lax["resplit_recommended"] is False
+
+    docs = spark.createDataFrame([(d,) for d in sorted(ingested)], ["doc_id"])
+    fresh = resplit_epoch(docs, pairs, salt="epoch-2")
+    h2 = split_health(fresh, pairs)
+    assert h2["quarantined"] == 0
+    assert h2["quarantine_frac"] == 0.0
+    assert h2["straddling_pairs"] == 0
+    assert h2["resplit_recommended"] is False
+    assert h2["docs"] == len(got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        resplit_epoch(docs, pairs, salt="")
+
+
+def test_chained_increments_have_cut_lineage(spark):
+    """ADVICE r12: each increment's output plan must not compose over
+    the whole increment history -- 12 chained increments would
+    otherwise re-execute every past union + connectivity loop per
+    action.  The returned state is lineage-cut (checkpointed), so its
+    analyzed plan is a scan, not a 12-deep union tree."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    state = leakage_safe_split_state(
+        spark.createDataFrame([(0,)], ["doc_id"]), empty
+    )
+    for k in range(1, 13):
+        state = leakage_safe_split_increment(
+            state,
+            spark.createDataFrame([(k,)], ["doc_id"]),
+            empty,
+        )
+    plan = state._jdf.queryExecution().analyzed().toString()
+    assert "Union" not in plan, plan[:500]
+    assert state.count() == 13
+
+
 def test_resplit_epoch_salt(spark):
     """The quarantine-release remedy: a new epoch salt re-draws every
     assignment (fresh state has zero quarantine by construction), is

@@ -217,6 +217,76 @@ def test_video_trimmed_lead_is_caught(spark, tmp_path):
     assert 2 <= hashes_1 <= 8
 
 
+def test_min_match_hashes_counts_per_partner_both_tiers(spark, tmp_path):
+    """min_match_hashes semantics are normalized across tiers: a row
+    is a dup iff >= k of its DISTINCT hashes match ONE partner.
+
+    Cross-batch: two unrelated stored videos each matching a single
+    frame must NOT jointly reach k=2 (the pre-r13 cross tier counted
+    store-wide matches and would have dropped the row); a video
+    matching two frames of the SAME stored partner is dropped.
+
+    Intra-batch: one new frame matching two near-identical stored
+    frames of a partner counts ONCE (the pre-r13 intra tier counted
+    hash-PAIR rows and double-counted it)."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.multimodal import (
+        encode_avi,
+    )
+
+    k = dict(max_dist=3, n_bands=8, min_match_hashes=2)
+    store = ParquetTableStore(str(tmp_path / "store"))
+    fa = [_img(300 + i) for i in range(3)]  # video A frames
+    fb = [_img(310 + i) for i in range(3)]  # video B frames
+    ingest_media_batch(
+        store,
+        spark,
+        _media_df(
+            spark,
+            [
+                (1, bytearray(encode_avi(np.stack(fa)))),
+                (2, bytearray(encode_avi(np.stack(fb)))),
+            ],
+        ),
+        **k,
+    )
+    batch2 = _media_df(
+        spark,
+        [
+            # one frame from A + one frame from B: no single partner
+            # reaches 2 -> must survive
+            (10, bytearray(encode_avi(np.stack([fa[0], fb[0], _img(320)])))),
+            # two frames from A: partner A reaches 2 -> dropped
+            (11, bytearray(encode_avi(np.stack([fa[1], fa[2], _img(321)])))),
+        ],
+    )
+    ingest_media_batch(store, spark, batch2, **k)
+    ids = {
+        r["media_id"]
+        for r in store.read(spark, "media").select("media_id").collect()
+    }
+    assert ids == {1, 2, 10}, ids
+
+    # intra tier: stored partner P carries two near-identical frames
+    # (orig + noised); a new video sharing only the ORIGINAL frame has
+    # one distinct matching hash -> kept at k=2, even though it matches
+    # two of P's hashes (two hash-pair rows)
+    store2 = ParquetTableStore(str(tmp_path / "store2"))
+    g = _img(340)
+    batch = _media_df(
+        spark,
+        [
+            (1, bytearray(encode_avi(np.stack([g, _noised(g), _img(341)])))),
+            (2, bytearray(encode_avi(np.stack([g, _img(342), _img(343)])))),
+        ],
+    )
+    ingest_media_batch(store2, spark, batch, **k)
+    ids2 = {
+        r["media_id"]
+        for r in store2.read(spark, "media").select("media_id").collect()
+    }
+    assert ids2 == {1, 2}, ids2
+
+
 def test_phash_index_backfill_after_scheme_bump(spark, tmp_path):
     """A store whose perceptual index predates the current scheme has
     no current-scheme table; the next batch must backfill it from the
