@@ -336,6 +336,105 @@ def _soak_cdc(
         }
 
 
+def _soak_split(
+    spark,
+    n_docs: int = 4000,
+    n_rounds: int = 16,
+    seed: int = 13,
+) -> dict:
+    """Incremental leakage-safe split soak: docs arrive in n_rounds
+    random batches, near-dup families straddle batches (so cluster
+    merges across already-assigned splits occur and quarantine
+    accumulates), and split_health is sampled after every increment.
+    Ends with an epoch re-split to demonstrate the drain.  Driver
+    state is O(docs) here only because the soak generates its corpus
+    in-process; the operators themselves never collect the corpus."""
+    import itertools
+    import random
+
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        leakage_safe_split_increment,
+        leakage_safe_split_state,
+        resplit_epoch,
+        split_health,
+    )
+
+    rng = random.Random(seed)
+    ids = list(range(n_docs))
+    rng.shuffle(ids)
+    fams, i = [], 0
+    while i < len(ids):
+        size = rng.randint(1, 6)
+        fams.append(sorted(ids[i : i + size]))
+        i += size
+    all_pairs = [
+        (a, b) for f in fams for a, b in itertools.combinations(f, 2)
+    ]
+    order = ids[:]
+    rng.shuffle(order)
+    cuts = sorted(rng.sample(range(1, len(order)), n_rounds - 1))
+    batches = [order[a:b] for a, b in zip([0] + cuts, cuts + [len(order)])]
+
+    def _pairs_df(pairs):
+        return spark.createDataFrame(
+            pairs or [(None, None)], "doc_a long, doc_b long"
+        ).filter("doc_a IS NOT NULL")
+
+    ingested = set(batches[0])
+    delivered = [
+        (a, b) for a, b in all_pairs if a in ingested and b in ingested
+    ]
+    state = leakage_safe_split_state(
+        spark.createDataFrame([(d,) for d in sorted(ingested)], ["doc_id"]),
+        _pairs_df(delivered),
+    )
+    curve = []
+    for rnd, batch in enumerate(batches[1:], start=2):
+        new_pairs = [
+            (a, b)
+            for a, b in all_pairs
+            if (a in batch or b in batch)
+            and a in ingested | set(batch)
+            and b in ingested | set(batch)
+        ]
+        t0 = time.perf_counter()
+        state = leakage_safe_split_increment(
+            state,
+            spark.createDataFrame([(d,) for d in batch], ["doc_id"]),
+            _pairs_df(new_pairs),
+        )
+        ingested |= set(batch)
+        delivered += new_pairs
+        h = split_health(state, _pairs_df(delivered))
+        curve.append(
+            {
+                "round": rnd,
+                "docs": h["docs"],
+                "quarantined": h["quarantined"],
+                "quarantine_frac": round(h["quarantine_frac"], 5),
+                "straddling_pairs": h["straddling_pairs"],
+                "resplit_recommended": h["resplit_recommended"],
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+    t0 = time.perf_counter()
+    fresh = resplit_epoch(
+        spark.createDataFrame([(d,) for d in sorted(ingested)], ["doc_id"]),
+        _pairs_df(delivered),
+        salt="epoch-2",
+    )
+    h2 = split_health(fresh, _pairs_df(delivered))
+    return {
+        "curve": curve,
+        "post_resplit": {
+            "quarantined": h2["quarantined"],
+            "quarantine_frac": h2["quarantine_frac"],
+            "straddling_pairs": h2["straddling_pairs"],
+            "sec": round(time.perf_counter() - t0, 2),
+        },
+    }
+
+
 def _soak_media(
     spark,
     ticks: int = 10,
@@ -742,6 +841,15 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--soak-split" in sys.argv:
+        # incremental leakage-safe split soak (VERDICT r12 item 5):
+        # randomized increments accumulate sticky quarantine; the
+        # curve (quarantine_frac per round) plus the epoch re-split
+        # drain is recorded in SCALE.md "quarantine drain"
+        print(json.dumps({"metric": "split_soak", **_soak_split(spark)}))
+        spark.stop()
+        return
+
     if "--soak-media" in sys.argv:
         # media front-door soak (VERDICT r11 item 4): sustained
         # mixed-modality ingest rate + lag SLO + probe-I/O-vs-delta
@@ -805,6 +913,44 @@ def main() -> None:
     # image_decode_features for a 0.48 s-warm plan)
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # Compile-warm the shared LSH/connected-components/wedge-join plan
+    # shapes at trivial size (same principle as the two worker warms
+    # above: whole-stage-codegen JIT of a shape is a per-SESSION cost,
+    # and billing it to whichever catalog entry happens to run the
+    # shape first makes first-pass numbers compile-order artifacts --
+    # VERDICT r12: dup_components first pass 24.9 s vs 3.2 s measured
+    # in a session where the LSH shapes were already compiled).  ~100
+    # rows: the warm costs compile time only, no data time.
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+        dedup as _dedup,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+        graph as _graph,
+    )
+
+    _tiny_docs = spark.range(0, 96, 1, 8).select(
+        _F.col("id").alias("doc_id"),
+        _F.concat(
+            _F.lit("alpha beta gamma delta epsilon zeta "),
+            _F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    _dedup.connected_components(
+        _dedup.ngram_jaccard_pairs(_tiny_docs, n=2, threshold=0.6)
+    ).write.format("noop").mode("overwrite").save()
+    _tiny_edges = spark.range(0, 64, 1, 8).select(
+        (_F.col("id") % 8).alias("a"), (_F.col("id") % 13 + 8).alias("b")
+    ).distinct()
+    _graph.triangle_participation(
+        _tiny_edges, orient="degree"
+    ).write.format("noop").mode("overwrite").save()
+    _graph.pagerank(_tiny_edges, iterations=2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    _graph.khop_reachability(
+        _tiny_edges, _tiny_edges.select(_F.col("a").alias("src")).limit(4),
+        max_hops=2,
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
