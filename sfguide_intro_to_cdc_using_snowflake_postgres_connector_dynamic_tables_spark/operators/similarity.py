@@ -294,7 +294,14 @@ def topk_pq(
     float math per dimension).  IVF-PQ composition = assign cells with
     `assign_cells`, filter to probed cells, then this scorer
     (:func:`topk_pq_ivf`); pass ``codebooks`` to score a pruned subset
-    with codebooks trained on the full table."""
+    with codebooks trained on the full table.
+
+    METRIC CONTRACT: PQ/ADC ranks by squared EUCLIDEAN distance.  For
+    a cosine deployment, L2-normalize the vectors before
+    indexing/encoding (on the unit sphere ||x-q||^2 = 2-2cos, so the
+    rankings coincide); on unnormalized vectors the norm term
+    dominates and the shortlist silently ranks by vector LENGTH, not
+    similarity -- measured in SCALE.md's r13 ANN section."""
     if codebooks is None:
         X = _sample_matrix(emb, vec_col)
         if X.size == 0:
@@ -372,7 +379,11 @@ def build_pq_index(
     later reads ONLY the n_probe matching partitions (directory-level
     pruning, verified by plan in tests) and only the codes column --
     the double win that makes ANN over 100 TB of vectors a
-    few-partition scan."""
+    few-partition scan.
+
+    METRIC CONTRACT: the stored codes score by squared euclidean ADC;
+    L2-normalize the corpus before building when the query metric is
+    cosine (see :func:`topk_pq`)."""
     X = _sample_matrix(emb, vec_col)
     if X.size == 0:
         raise ValueError("build_pq_index: no vectors to index")

@@ -420,6 +420,46 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# Epoch re-split: the quarantine drain valve (operators/corpus.py
+# resplit_epoch).  Full leakage-safe recompute of the split STATE
+# table under a fresh epoch salt -- every anchor is re-hashed with the
+# salt appended, so assignments re-draw while whole clusters still
+# share one split.  Oracle mirrors the salted md5 bucketing exactly.
+# ---------------------------------------------------------------------------
+
+_R13_EPOCH_SALT = "epoch-r13"
+
+
+def q_resplit_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as corpus_ops
+    from ..operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6)
+    return corpus_ops.resplit_epoch(docs, pairs, salt=_R13_EPOCH_SALT)
+
+
+def _resplit_epoch_sql() -> str:
+    comp = _dup_components_sql()
+    salted = _ANCHOR_BUCKET_SQL.replace(
+        "CAST(anchor AS VARCHAR)",
+        f"(CAST(anchor AS VARCHAR) || '|{_R13_EPOCH_SALT}')",
+    )
+    return f"""
+WITH comp AS ({comp}),
+anch AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS anchor
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (SELECT doc_id, anchor, {salted} AS bucket FROM anch)
+SELECT doc_id, anchor,
+       CASE WHEN bucket < 205 THEN 'train'
+            WHEN bucket < 231 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary extraction: exact corpus-wide top-k tokens.  Partial
 # (map-side) counts collapse the explode before the single shuffle;
 # TakeOrderedAndProject keeps the top-k without a global sort.
@@ -1090,6 +1130,7 @@ PIPELINE_CATALOG: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dup_components": (q_dup_components, _dup_components_sql()),
     "leakage_safe_split": (q_leakage_safe_split, _leakage_safe_split_sql()),
+    "resplit_epoch": (q_resplit_epoch, _resplit_epoch_sql()),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
