@@ -737,13 +737,20 @@ _GATE_WINDOW = 50
 #: driver row this round.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "triangle_count",             # wedge-probe pruning rework (graph.py)
-        "dup_components",             # iterative-loop compile-tail rework (graph.py)
-        "pagerank",                   # same iteration machinery (graph.py)
-        "khop_reachability",          # same iteration machinery (graph.py)
-        "leakage_safe_split",         # quarantine-drain policy (corpus.py)
-        "decontaminate",              # split-epoch salt threading (corpus.py /
-        #   corpus_ingest.py gram-index naming)
+        "leakage_safe_split",         # quarantine-drain policy landed around it
+        #   (split_health threshold, resplit_epoch, increment lineage
+        #   cut -- corpus.py); batch kernel itself unchanged
+        "decontaminate",              # split-epoch salt threading (corpus.py
+        #   salt param; corpus_ingest.py epoch-tagged gram indexes)
+        "triangle_count",             # r13 perf work: measured x1-x30 vs-oracle
+        #   curve + bench compile-warm of the wedge shapes; kernel
+        #   unchanged -- seated to re-earn a driver row alongside
+        "dup_components",             # compile-tail methodology (bench warms the
+        #   LSH/CC shapes); star-contraction kernel unchanged
+        "pagerank",                   # r11-green; rides the same bench
+        #   compile-warm -- refreshing now also smooths r14's
+        #   stale-at-limit capacity
+        "khop_reachability",          # same as pagerank
     }
 )
 
