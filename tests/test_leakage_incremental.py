@@ -294,6 +294,73 @@ def test_quarantine_drains_on_epoch_resplit(spark):
         resplit_epoch(docs, pairs, salt="")
 
 
+def test_increments_continue_under_new_epoch_after_drain(spark):
+    """The full epoch lifecycle: soak -> drain (resplit_epoch) ->
+    KEEP INCREMENTING under the new salt.  Post-drain increments must
+    (a) classify by the new epoch's split (agree with a full salted
+    recompute on non-quarantined docs), (b) keep the straddling
+    invariant, and (c) re-accumulate quarantine only from NEW merges,
+    never resurrect pre-drain exposure."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
+        leakage_safe_split_increment,
+        resplit_epoch,
+        split_health,
+    )
+
+    salt = "epoch-2"
+    got, ingested, delivered = None, None, None
+    for got, ingested, delivered in _drive(spark, seed=23, n_batches=4):
+        pass
+    docs = spark.createDataFrame([(d,) for d in sorted(ingested)], ["doc_id"])
+    pairs = spark.createDataFrame(delivered, "doc_a long, doc_b long")
+    state = resplit_epoch(docs, pairs, salt=salt)
+
+    # continue: new docs 10_000.. with fresh families, one of which
+    # merges into an existing cluster (same-epoch merge -- quarantine
+    # may legitimately re-accumulate from HERE, not from history)
+    anchor_doc = min(ingested)
+    new_docs = [(10_000 + i,) for i in range(8)]
+    new_pairs = [
+        (10_000, 10_001), (10_002, 10_003),
+        (anchor_doc, 10_004),  # merge into an existing cluster
+    ]
+    state = leakage_safe_split_increment(
+        state,
+        spark.createDataFrame(new_docs, ["doc_id"]),
+        spark.createDataFrame(new_pairs, "doc_a long, doc_b long"),
+        salt=salt,
+    )
+    all_docs = spark.createDataFrame(
+        [(d,) for d in sorted(ingested)] + new_docs, ["doc_id"]
+    )
+    all_pairs_rows = delivered + new_pairs
+    all_pairs = spark.createDataFrame(all_pairs_rows, "doc_a long, doc_b long")
+
+    h = split_health(state, all_pairs)
+    assert h["straddling_pairs"] == 0
+    got2 = {r["doc_id"]: (r["anchor"], r["split"]) for r in state.collect()}
+    assert set(got2) == set(ingested) | {d for d, in new_docs}
+    full = {
+        r["doc_id"]: (r["anchor"], r["split"])
+        for r in resplit_epoch(all_docs, all_pairs, salt=salt).collect()
+    }
+    for d, (anchor, split) in got2.items():
+        assert anchor == full[d][0], f"{d}: anchor diverged under new epoch"
+        if split != QUARANTINE:
+            assert split == full[d][1], f"{d}: split diverged under new epoch"
+    # pre-drain quarantine is NOT resurrected: any quarantine now present
+    # can only come from the post-drain merge batch
+    q_now = {d for d, (_, s) in got2.items() if s == QUARANTINE}
+    touched_by_merge = {anchor_doc, 10_004}
+    # members of anchor_doc's cluster may flip-quarantine from the merge;
+    # docs outside the merged cluster must not be quarantined at all
+    merged_anchor = got2[anchor_doc][0]
+    for d in q_now:
+        assert got2[d][0] == merged_anchor, (
+            f"{d} quarantined without being in the merged cluster"
+        )
+
+
 def test_chained_increments_have_cut_lineage(spark):
     """ADVICE r12: each increment's output plan must not compose over
     the whole increment history -- 12 chained increments would
