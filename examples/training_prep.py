@@ -124,6 +124,33 @@ def main(sf_dir: str, out_dir: str) -> None:
             f"sequences -> {path} ({manifest['n_shards']} verified shards)"
         )
 
+    # 3b. split governance: in production the split is the LEAKAGE-SAFE
+    #     one (near-dup clusters share a side) maintained incrementally;
+    #     merges across sides quarantine docs (sticky within an epoch),
+    #     split_health watches the cost, and once its threshold trips the
+    #     owner re-splits under a fresh epoch salt -- quarantine drains
+    #     to zero while the cluster-shares-one-split invariant holds.
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators import (
+        dedup,
+    )
+
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6)
+    state = corpus.leakage_safe_split_state(docs, pairs)
+    health = corpus.split_health(state, pairs)
+    print(
+        f"split health: straddling={health['straddling_pairs']} "
+        f"quarantine={health['quarantine_frac']:.1%} "
+        f"resplit_recommended={health['resplit_recommended']}"
+    )
+    if health["resplit_recommended"]:
+        state = corpus.resplit_epoch(docs, pairs, salt="epoch-2")
+        health = corpus.split_health(state, pairs)
+        print(
+            f"after epoch re-split: straddling={health['straddling_pairs']} "
+            f"quarantine={health['quarantine_frac']:.1%}"
+        )
+    assert health["straddling_pairs"] == 0
+
     # 4. tokenizer prep: learn a BPE vocabulary on the train split only
     #    (tokenizers trained on val/test leak them into the model), then
     #    tokenize a sample with it
