@@ -729,12 +729,20 @@ _GATE_WINDOW = 50
 #: Capacity note (r13): the last-green histogram after the r12 record
 #: is r10/r11/r12 = 43/44/50, so the 43 r10-green entries exhaust
 #: their two-round sit-out and MUST enter the r13 window.  That leaves
-#: 50 - 43 = 7 slots for touched entries.  Since round 13 the rotation
-#: seats stale-at-limit entries BEFORE touched ones and trims touched
-#: entries on overflow (they stay covered by the in-repo oracle
-#: suite), so an oversized set here can no longer spill a must-rotate
-#: entry -- but keep it <= 7 so every touched entry actually gets a
-#: driver row this round.
+#: 50 - 43 = 7 slots: 1 goes to the NEW entry (resplit_epoch,
+#: hard-forced as never-recorded) and 6 to this set -- the window is
+#: exactly full.  Since round 13 the rotation seats stale-at-limit
+#: entries BEFORE touched ones and trims touched entries on overflow
+#: (they stay covered by the in-repo oracle suite), so an oversized
+#: set here can no longer spill a must-rotate entry -- but size it to
+#: the free capacity so every touched entry actually gets a driver
+#: row.
+#:
+#: r14 capacity preview (valid once CORRECTNESS_r13 lands green on
+#: this window): stale-at-limit = the r11-green entries NOT seated in
+#: r13 = 44 - 4 (pagerank/khop/triangle_count/decontaminate, touched
+#: here) - 1 (anomaly_days, the stalest-green filler) = 39, leaving
+#: 11 slots for r14's new + touched entries.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "leakage_safe_split",         # quarantine-drain policy landed around it
