@@ -136,20 +136,38 @@ def main(sf_dir: str, out_dir: str) -> None:
 
     pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6)
     state = corpus.leakage_safe_split_state(docs, pairs)
-    health = corpus.split_health(state, pairs)
+    # a later increment delivers a dup edge BETWEEN two docs already on
+    # different sides -- the merge quarantines the flipped doc instead
+    # of moving it across the wall (quarantine only ever arises from
+    # increments; a freshly built state has none)
+    by_split = {
+        r["split"]: r["doc_id"]
+        for r in state.filter(F.col("split").isin("train", "test")).collect()
+    }
+    merge_edge = spark.createDataFrame(
+        [(by_split["train"], by_split["test"])], "doc_a long, doc_b long"
+    )
+    state = corpus.leakage_safe_split_increment(
+        state, spark.createDataFrame([], "doc_id long"), merge_edge
+    )
+    all_pairs = pairs.select("doc_a", "doc_b").unionByName(merge_edge)
+    # ops policy for the demo: ANY quarantine triggers a re-split
+    health = corpus.split_health(state, all_pairs, resplit_threshold=1e-9)
     print(
-        f"split health: straddling={health['straddling_pairs']} "
-        f"quarantine={health['quarantine_frac']:.1%} "
+        f"split health after cross-split merge: "
+        f"straddling={health['straddling_pairs']} "
+        f"quarantined={health['quarantined']} "
         f"resplit_recommended={health['resplit_recommended']}"
     )
+    assert health["straddling_pairs"] == 0 and health["quarantined"] > 0
     if health["resplit_recommended"]:
-        state = corpus.resplit_epoch(docs, pairs, salt="epoch-2")
-        health = corpus.split_health(state, pairs)
+        state = corpus.resplit_epoch(docs, all_pairs, salt="epoch-2")
+        health = corpus.split_health(state, all_pairs)
         print(
             f"after epoch re-split: straddling={health['straddling_pairs']} "
-            f"quarantine={health['quarantine_frac']:.1%}"
+            f"quarantined={health['quarantined']}"
         )
-    assert health["straddling_pairs"] == 0
+    assert health["straddling_pairs"] == 0 and health["quarantined"] == 0
 
     # 4. tokenizer prep: learn a BPE vocabulary on the train split only
     #    (tokenizers trained on val/test leak them into the model), then

@@ -741,8 +741,10 @@ _GATE_WINDOW = 50
 #: r14 capacity preview (valid once CORRECTNESS_r13 lands green on
 #: this window): stale-at-limit = the r11-green entries NOT seated in
 #: r13 = 44 - 4 (pagerank/khop/triangle_count/decontaminate, touched
-#: here) - 1 (anomaly_days, the stalest-green filler) = 39, leaving
-#: 11 slots for r14's new + touched entries.
+#: here) = 40, leaving 10 slots for r14's new + touched entries.
+#: (The r13 window is exactly full -- 1 new + 43 stale + 6 touched --
+#: so no stalest-green filler seat exists; anomaly_days sits in the
+#: tail and is among the 40.)
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "leakage_safe_split",         # quarantine-drain policy landed around it

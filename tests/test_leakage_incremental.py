@@ -351,7 +351,6 @@ def test_increments_continue_under_new_epoch_after_drain(spark):
     # pre-drain quarantine is NOT resurrected: any quarantine now present
     # can only come from the post-drain merge batch
     q_now = {d for d, (_, s) in got2.items() if s == QUARANTINE}
-    touched_by_merge = {anchor_doc, 10_004}
     # members of anchor_doc's cluster may flip-quarantine from the merge;
     # docs outside the merged cluster must not be quarantined at all
     merged_anchor = got2[anchor_doc][0]

@@ -110,13 +110,11 @@ def _arm(monkeypatch, store, mgr, site):
     elif site == "mid_commit":
         # staged data (and manifest) fully written; death right before
         # the version-pointer swap -- the single commit point
-        real = store._commit
-
+        # (monkeypatch.undo() restores the real _commit for the retry)
         def bomb(name, version):
             raise _Boom(f"crash before pointer swap of {name} v{version}")
 
         monkeypatch.setattr(store, "_commit", bomb)
-        return real
     elif site == "after_commit":
         # merge committed; death before the refresh is reported done
         def bomb(*a, **k):
@@ -125,7 +123,6 @@ def _arm(monkeypatch, store, mgr, site):
         monkeypatch.setattr(mgr, "_log_refresh", bomb)
     else:  # pragma: no cover
         raise AssertionError(site)
-    return None
 
 
 @pytest.mark.parametrize("site", CRASH_SITES)
