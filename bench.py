@@ -1028,9 +1028,20 @@ def main() -> None:
                 sql = ivf_oracle_sql(sf_dir)
             if sql is None:
                 continue
+            # min-of-2 (skipping the re-run past 20 s to bound cost):
+            # gram-heavy oracles swing 2-4x run-to-run (ngram_jaccard
+            # measured 2.5 s and 44.0 s across round draws), whipsawing
+            # data_bound_ratio's denominator; the min is the honest
+            # steady-state the Spark warm column is compared against.
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            oracle_timings[name] = round(time.perf_counter() - t0, 3)
+            first = time.perf_counter() - t0
+            best = first
+            if first < 20.0:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            oracle_timings[name] = round(best, 3)
         con.close()
     except Exception:
         pass  # oracle timing is advisory; never fail the bench for it
