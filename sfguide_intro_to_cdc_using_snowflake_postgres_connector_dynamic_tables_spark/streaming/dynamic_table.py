@@ -53,7 +53,13 @@ each view's emitted delta downstream, so a delta cascades through the
 chain with every level doing O(|its affected set|) work.  Old-group
 resolution downstream comes free from the versioned store:
 ``read_previous`` of an upstream view is exactly its pre-tick
-snapshot.  A level that cannot refresh incrementally (first
+snapshot -- which holds under crash-retries because a refresh whose
+recomputed rows already equal the materialization SKIPS its commit
+(mode ``NO_CHANGE``): a restarted driver re-running a half-finished
+tick re-merges identical content at every already-committed level,
+and bumping versions for those no-ops would shift the pre-tick
+snapshot downstream levels still need (the old group of a moved row
+would never shrink).  A level that cannot refresh incrementally (first
 materialization, missing previous version) full-refreshes WITHOUT a
 delta, and every transitive downstream falls back to full refresh for
 that tick -- correctness over cleverness.
@@ -311,21 +317,44 @@ class DynamicTableManager:
             restricted[dt.fact_table] = fact.join(
                 F.broadcast(affected), on=anchor, how="left_semi"
             )
-            recomputed = dt.defining_fn(restricted)
+            recomputed = dt.defining_fn(restricted).cache()
 
-            # 3. MERGE into the materialization by view key
+            # 3. MERGE into the materialization by view key -- UNLESS
+            # the recompute is a NO-OP (affected rows already hold
+            # exactly these values).  Skipping the no-op commit is what
+            # makes a refresh level idempotent per tick: a crashed
+            # tick retried from the top re-runs level k's merge with
+            # identical content, and bumping the version anyway would
+            # shift ``read_previous`` of this view off the true
+            # pre-tick snapshot -- downstream old-group resolution
+            # (the band a moved row LEFT) then silently reads
+            # post-tick state and the old group is never shrunk
+            # (caught by tests/test_chained_crash_retry.py).  The
+            # check is O(affected): count+checksum both sides, exact
+            # exceptAll confirm only on checksum match.
             affected_view_keys = affected.withColumnRenamed(anchor, dt.view_key)
-            if self.store.partition_spec(name):
-                # partition-pruned: only buckets holding affected keys
-                # are read + rewritten; untouched buckets carry over
-                self.store.merge(self.spark, name, recomputed, affected_view_keys)
+            view = self.store.read(self.spark, name)
+            view_affected = view.join(
+                F.broadcast(affected_view_keys), on=dt.view_key, how="left_semi"
+            )
+            if self._same_rows(recomputed, view_affected):
+                self._log_refresh(name, "NO_CHANGE", t0)
             else:
-                view = self.store.read(self.spark, name)
-                kept = view.join(
-                    F.broadcast(affected_view_keys), on=dt.view_key, how="left_anti"
-                )
-                self.store.overwrite(name, kept.unionByName(recomputed))
-            self._log_refresh(name, "INCREMENTAL", t0)
+                if self.store.partition_spec(name):
+                    # partition-pruned: only buckets holding affected
+                    # keys are read + rewritten; untouched buckets
+                    # carry over
+                    self.store.merge(
+                        self.spark, name, recomputed, affected_view_keys
+                    )
+                else:
+                    kept = view.join(
+                        F.broadcast(affected_view_keys),
+                        on=dt.view_key,
+                        how="left_anti",
+                    )
+                    self.store.overwrite(name, kept.unionByName(recomputed))
+                self._log_refresh(name, "INCREMENTAL", t0)
 
             if not emit_delta:
                 return None
@@ -361,6 +390,36 @@ class DynamicTableManager:
             return upserts.unionByName(dels)
         finally:
             affected.unpersist()
+            recomputed.unpersist()
+
+    @staticmethod
+    def _same_rows(a: DataFrame, b: DataFrame) -> bool:
+        """Order-independent multiset equality of two delta-sized
+        frames, cheap-path first: (count, commutative row-hash sum)
+        on each side in one aggregate apiece; only a match runs the
+        exact two-sided ``exceptAll`` confirm (guarding the ~2^-30
+        hash-collision case) -- so the common changed-rows tick pays
+        two tiny aggregates, never a compare shuffle.  Columns are
+        aligned by name (recompute and store may order them
+        differently); hashing is over exact bit patterns, and the
+        recompute is deterministic, so a crash-retry always matches."""
+        cols = sorted(a.columns)
+        if cols != sorted(b.columns):
+            return False
+
+        def stats(df: DataFrame):
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))
+                ).alias("s"),
+            ).first()
+            return row["n"], row["s"]
+
+        if stats(a) != stats(b):
+            return False
+        aa, bb = a.select(*cols), b.select(*cols)
+        return aa.exceptAll(bb).isEmpty() and bb.exceptAll(aa).isEmpty()
 
     # -- chained views (DT-on-DT DAG) ----------------------------------------
 

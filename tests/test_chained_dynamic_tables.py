@@ -215,13 +215,21 @@ def test_chain_refresh_under_iud(spark, setup):
     _assert_chain_matches_full(spark, store, mgr)
 
     # refresh history (the DYNAMIC_TABLE_REFRESH_HISTORY analogue):
-    # creation logged FULL per view, the three data batches logged
-    # INCREMENTAL cascades, the irrelevant batch logged NO_DATA
+    # creation logged FULL per view, the three data batches logged a
+    # cascade per view -- INCREMENTAL when the recompute changed rows,
+    # NO_CHANGE when the affected keys' recompute was byte-identical
+    # (r13: a no-op refresh skips its commit so a crash-retried tick
+    # cannot shift read_previous downstream; batch 1's filter view can
+    # legitimately come out unchanged) -- and the irrelevant batch
+    # logged NO_DATA
     hist = [(r["view_name"], r["refresh_mode"]) for r in mgr.refresh_history().collect()]
     assert ("customer_spend", "FULL") in hist  # create-time init
+    def _cascades(view):
+        return hist.count((view, "INCREMENTAL")) + hist.count((view, "NO_CHANGE"))
     assert hist.count(("customer_spend", "INCREMENTAL")) == 3
     assert hist.count(("band_counts", "INCREMENTAL")) == 3
-    assert hist.count(("vip_customers", "INCREMENTAL")) == 3
+    assert _cascades("vip_customers") == 3
+    assert hist.count(("vip_customers", "INCREMENTAL")) >= 2
     assert hist.count(("customer_spend", "NO_DATA")) == 1  # batch 4
     assert all(d >= 0 for d in (r["duration_sec"] for r in mgr.refresh_history().collect()))
 
