@@ -544,8 +544,40 @@ class DynamicTableManager:
         # materialize the new state BEFORE overwriting its own source
         # version (the store retains old versions, but a lazy plan must
         # not read a superseded snapshot mid-write)
-        self.store.overwrite(f"{name}__buffer", new_state.buffer.localCheckpoint())
-        self.store.overwrite(f"{name}__sat", new_state.saturated.localCheckpoint())
+        new_buffer = new_state.buffer.localCheckpoint()
+        new_sat = new_state.saturated.localCheckpoint()
+
+        # Crash-safety invariant across the multi-table state commit:
+        # every committed prefix must satisfy "saturated=false =>
+        # the group's buffer is COMPLETE" -- the dangerous direction
+        # (a buffer that discarded candidates while sat reads false)
+        # makes a later delete-drain skip its refill and silently
+        # serve an incomplete top-k, unrepairable by retries.  A
+        # single sat write can't be ordered safely: trims need sat
+        # committed BEFORE the trimmed buffer, refills (sat true ->
+        # false) need the refilled buffer committed FIRST.  So sat
+        # commits twice: a RAISE-ONLY pass (old OR new -- conservative;
+        # over-saturation merely costs a spurious refill, which
+        # recomputes from fact idempotently), then the buffer, then
+        # the exact sat (applying lowers), then the derived view.  A
+        # crash after any step leaves a state a blind full-tick retry
+        # converges from (tests/test_topk_crash_retry.py).
+        g = spec["group_col"]
+        old_sat = self.store.read(self.spark, f"{name}__sat")
+        sat_raise = (
+            old_sat.withColumnRenamed("saturated", "__old")
+            .join(new_sat.withColumnRenamed("saturated", "__new"), on=g, how="full")
+            .select(
+                g,
+                (
+                    F.coalesce(F.col("__old"), F.lit(False))
+                    | F.coalesce(F.col("__new"), F.lit(False))
+                ).alias("saturated"),
+            )
+        )
+        self.store.overwrite(f"{name}__sat", sat_raise.localCheckpoint())
+        self.store.overwrite(f"{name}__buffer", new_buffer)
+        self.store.overwrite(f"{name}__sat", new_sat)
         # the view derives from the freshly committed buffer
         self.store.overwrite(
             name,
