@@ -221,7 +221,12 @@ def ingest_media_batch(
     keep = keep.join(intra_dups, "media_id", "left_anti").cache()
     try:
         if not store.exists(table):
-            store.overwrite(table, keep, partition_key="media_id", n_buckets=n_buckets)
+            # bootstrap commit order: the MAIN TABLE is the branch
+            # marker, so it must land LAST -- a crash mid-bootstrap
+            # then re-enters this branch on replay (overwrites are
+            # idempotent), whereas table-first left a replay on the
+            # normal path with no fp index to probe (a hard error on
+            # every retry; see the crash-replay tests)
             store.overwrite(
                 fp_name,
                 keep.select("content_fp"),
@@ -234,10 +239,21 @@ def ingest_media_batch(
                 partition_key="band",
                 n_buckets=n_buckets,
             )
+            store.overwrite(table, keep, partition_key="media_id", n_buckets=n_buckets)
             return
         _ensure_phash_index(
             store, spark, table, idx_name, n_buckets, n_bands, max_video_frames
         )
+        if not store.exists(fp_name):
+            # pre-fix stores could crash between the old bootstrap's
+            # table and fp writes; rebuild the fp index from the main
+            # table once instead of erroring on every replay
+            store.overwrite(
+                fp_name,
+                store.read(spark, table).select("content_fp"),
+                partition_key="content_fp",
+                n_buckets=n_buckets,
+            )
 
         # exact tier: probe only the fp buckets the batch hashes into
         _k, FB = store.partition_spec(fp_name)
@@ -285,6 +301,11 @@ def ingest_media_batch(
             )
             dup_ids = (
                 new_bands.join(stored, "band")
+                # a replayed batch may find ITS OWN rows in the index
+                # (index appends commit before the fp "batch done"
+                # marker -- see the commit-order note below); a row is
+                # never a dup of itself
+                .filter(F.col("media_id_old") != F.col("media_id"))
                 .filter(
                     F.bit_count(
                         F.col("phash_new").bitwiseXOR(F.col("phash_old"))
@@ -303,10 +324,38 @@ def ingest_media_batch(
         try:
             if new_rows.isEmpty():
                 return
+            # Commit order under crash-replay (the stream re-runs the
+            # whole batch after any mid-batch death): the fp merge is
+            # the "batch applied" marker and must land LAST, because
+            # the replay's exact tier anti-joins against it -- under
+            # the old order (table, fp, THEN index) a crash after the
+            # fp merge made the replay see every row as already-seen
+            # and the index rows were never appended: those media were
+            # permanently invisible to the perceptual tier.  New
+            # order: index append (deduped against the stored buckets,
+            # so a replay re-append is a no-op instead of unbounded
+            # growth), media merge (keyed upsert, idempotent), fp
+            # merge.  Every crash point now replays to the exact
+            # no-crash state (tests/test_media_crash_replay.py).
+            idx_rows = _index_rows(new_rows, n_bands)
+            _k3, IB = store.partition_spec(idx_name)
+            idx_buckets = [
+                r[0]
+                for r in idx_rows.select(store.bucket_expr("band", IB).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            if idx_buckets:
+                already = store.read_buckets(spark, idx_name, idx_buckets).select(
+                    "media_id", "modality", "phash", "band"
+                )
+                idx_rows = idx_rows.join(
+                    already, ["media_id", "modality", "phash", "band"], "left_anti"
+                )
+            store.append(spark, idx_name, idx_rows)
             store.merge(spark, table, new_rows, new_rows.select("media_id"))
             fps = new_rows.select("content_fp")
             store.merge(spark, fp_name, fps, fps)
-            store.append(spark, idx_name, _index_rows(new_rows, n_bands))
         finally:
             new_rows.unpersist()
     finally:
