@@ -340,11 +340,16 @@ def _near_dup_filter(
     ).cache()
     try:
         # 2.-3. probe the index + exact-verify candidates (shared with
-        # the batch-incremental API); batch docs are never indexed
-        # before this runs, so the re-probe exclusion join is skipped
+        # the batch-incremental API).  exclude_batch_ids: a REPLAYED
+        # batch (crash after the index append, before the fp "batch
+        # done" marker -- see the commit-order note in ingest_batch)
+        # finds its own band rows in the index; without the exclusion
+        # every replayed doc would match its stored self and be
+        # dropped, losing the batch.
         dup_ids = (
             _cross_pairs(
-                store, spark, table, bands_name, survivors, new_bands, threshold
+                store, spark, table, bands_name, survivors, new_bands, threshold,
+                exclude_batch_ids=True,
             )
             .select("doc_id")
             .distinct()
@@ -625,12 +630,27 @@ def _write_semantic_index(
     from ..operators.similarity import assign_cells
 
     idx = assign_cells(_embed_double(docs, dim), centroids, "embedding", out_col="cell")
+    name = cells_table_name(table)
     if bootstrap:
-        store.overwrite(
-            cells_table_name(table), idx, partition_key="cell", n_buckets=n_buckets
-        )
+        store.overwrite(name, idx, partition_key="cell", n_buckets=n_buckets)
     else:
-        store.append(spark, cells_table_name(table), idx)
+        # dedupe against the stored buckets so a crash-REPLAYED batch's
+        # re-append is a no-op instead of duplicate index growth
+        # (cell assignment is deterministic per doc, so (doc_id, cell)
+        # identifies the row)
+        _k, B = store.partition_spec(name)
+        probe = [
+            r[0]
+            for r in idx.select(store.bucket_expr("cell", B).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if probe:
+            already = store.read_buckets(spark, name, probe).select(
+                "doc_id", "cell"
+            )
+            idx = idx.join(already, ["doc_id", "cell"], "left_anti")
+        store.append(spark, name, idx)
 
 
 def _semantic_filter(
@@ -709,7 +729,12 @@ def _semantic_filter(
             .distinct()
             .collect()
         ]
-        stored_idx = store.read_buckets(spark, cells_name, batch_buckets)
+        # a REPLAYED batch may already be in the cell index (appends
+        # commit before the fp batch-done marker); a doc must never
+        # semantically match its own stored copy
+        stored_idx = store.read_buckets(spark, cells_name, batch_buckets).join(
+            new_rows.select("doc_id"), "doc_id", "left_anti"
+        )
         both = assigned.select(
             F.col("doc_id").alias("id"),
             F.col("embedding").alias("v"),
@@ -844,7 +869,15 @@ def ingest_batch(
                         "doc_id",
                         "left_anti",
                     )
-            store.overwrite(table, keep, partition_key="doc_id", n_buckets=n_buckets)
+            # bootstrap commit order: the MAIN TABLE is the branch
+            # marker and lands LAST -- a crash mid-bootstrap re-enters
+            # this branch on replay (idempotent overwrites) instead of
+            # hitting the normal path with half-built companions.
+            # (The companions also self-heal via their backfills, but
+            # a backfill-from-table after a table-first crash indexes
+            # the batch's own rows and the normal-path filters must
+            # then exclude them -- marker-last avoids the hazard
+            # entirely for bootstrap.)
             if sem_centroids is not None:
                 store.overwrite(
                     centroids_table_name(table),
@@ -852,10 +885,6 @@ def ingest_batch(
                         [(i, c) for i, c in enumerate(sem_centroids)],
                         "cell int, centroid array<double>",
                     ),
-                )
-                _write_semantic_index(
-                    store, spark, table, keep, sem_centroids, sem_dim,
-                    n_buckets, bootstrap=True,
                 )
             store.overwrite(
                 fp_name, keep.select("content_fp"), partition_key="content_fp", n_buckets=n_buckets
@@ -868,6 +897,16 @@ def ingest_batch(
                     ),
                     partition_key="band",
                     n_buckets=n_buckets,
+                )
+            store.overwrite(table, keep, partition_key="doc_id", n_buckets=n_buckets)
+            if sem_centroids is not None:
+                # cells index derives from the committed table (the
+                # bootstrap=True path reads it); written after the
+                # marker, a crash here is healed by _semantic_filter's
+                # exists-check backfill on the next batch
+                _write_semantic_index(
+                    store, spark, table, keep, sem_centroids, sem_dim,
+                    n_buckets, bootstrap=True,
                 )
             return
         seen = _seen_fps_for_batch(store, spark, table, keep, n_buckets)
@@ -894,6 +933,51 @@ def ingest_batch(
         try:
             if new_rows.isEmpty():
                 return
+            # Commit order under crash-replay (the stream re-runs the
+            # whole batch after any mid-batch death): the fp merge is
+            # the "batch applied" marker and lands LAST -- under the
+            # old order (table, fp, THEN the index appends) a crash
+            # after the fp merge made the replay see every row as
+            # already-seen, so the batch's band keys / cells were
+            # never indexed and those docs were PERMANENTLY invisible
+            # to the near-dup and semantic walls (a paraphrase then
+            # ingested cleanly; reproduced in
+            # tests/test_corpus_crash_replay.py).  New order: index
+            # appends first (bucket-pruned anti-join dedupe makes a
+            # replay re-append a no-op; the probe filters exclude
+            # batch ids so a replayed batch never matches its own
+            # stored rows), table merge (keyed upsert, idempotent),
+            # fp merge.
+            if near_dup:
+                from ..operators.dedup import band_keys_for_docs
+
+                bn = bands_table_name(table, num_hashes, band_size, wide)
+                band_rows = band_keys_for_docs(
+                    new_rows, num_hashes=num_hashes, band_size=band_size, wide=wide
+                )
+                _kb, BB = store.partition_spec(bn)
+                probe = [
+                    r[0]
+                    for r in band_rows.select(
+                        store.bucket_expr("band", BB).alias("b")
+                    ).distinct().collect()
+                ]
+                if probe:
+                    already = store.read_buckets(spark, bn, probe).select(
+                        "doc_id", "band"
+                    )
+                    band_rows = band_rows.join(
+                        already, ["doc_id", "band"], "left_anti"
+                    )
+                store.append(spark, bn, band_rows)
+            if semantic and sem_centroids is not None:
+                # centroids threaded from _semantic_filter (no re-read);
+                # None means no quantizer exists yet (nothing embeddable
+                # anywhere) and there is no index to append into
+                _write_semantic_index(
+                    store, spark, table, new_rows, sem_centroids,
+                    sem_dim, n_buckets, bootstrap=False,
+                )
             if store.partition_spec(table) is None:
                 # legacy unpartitioned table: no bucket manifest to merge
                 # into -- fall back to a documented full rewrite
@@ -907,24 +991,6 @@ def ingest_batch(
                 store.merge(spark, table, new_rows, new_rows.select("doc_id"))
             fps = new_rows.select("content_fp")
             store.merge(spark, fp_name, fps, fps)
-            if near_dup:
-                from ..operators.dedup import band_keys_for_docs
-
-                store.append(
-                    spark,
-                    bands_table_name(table, num_hashes, band_size, wide),
-                    band_keys_for_docs(
-                        new_rows, num_hashes=num_hashes, band_size=band_size, wide=wide
-                    ),
-                )
-            if semantic and sem_centroids is not None:
-                # centroids threaded from _semantic_filter (no re-read);
-                # None means no quantizer exists yet (nothing embeddable
-                # anywhere) and there is no index to append into
-                _write_semantic_index(
-                    store, spark, table, new_rows, sem_centroids,
-                    sem_dim, n_buckets, bootstrap=False,
-                )
         finally:
             new_rows.unpersist()
     finally:
