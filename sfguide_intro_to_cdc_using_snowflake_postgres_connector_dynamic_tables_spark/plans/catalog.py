@@ -724,43 +724,31 @@ def _register_extensions() -> None:
 _GATE_WINDOW = 50
 
 #: Catalog entries whose ENGINE CODE was added or modified in the
-#: current round (round 13).  Reset this set at the start of each round.
+#: current round (round 14).  Reset this set at the start of each round.
 #:
-#: Capacity note (r13): the last-green histogram after the r12 record
-#: is r10/r11/r12 = 43/44/50, so the 43 r10-green entries exhaust
-#: their two-round sit-out and MUST enter the r13 window.  That leaves
-#: 50 - 43 = 7 slots: 1 goes to the NEW entry (resplit_epoch,
-#: hard-forced as never-recorded) and 6 to this set -- the window is
-#: exactly full.  Since round 13 the rotation seats stale-at-limit
-#: entries BEFORE touched ones and trims touched entries on overflow
-#: (they stay covered by the in-repo oracle suite), so an oversized
-#: set here can no longer spill a must-rotate entry -- but size it to
-#: the free capacity so every touched entry actually gets a driver
-#: row.
+#: Capacity note (r14): with CORRECTNESS_r13 green on its full window,
+#: the last-green histogram is r11/r12/r13 = 40/48/50.  The 40
+#: r11-green entries exhaust their two-round sit-out and MUST enter
+#: the r14 window, leaving 50 - 40 = 10 slots for NEW entries
+#: (hard-forced as never-recorded) plus this set.  Since round 13 the
+#: rotation seats stale-at-limit entries BEFORE touched ones and trims
+#: touched entries on overflow (they stay covered by the in-repo
+#: oracle suite), so an oversized set here can no longer spill a
+#: must-rotate entry -- but size it to the free capacity so every
+#: touched entry actually gets a driver row.
 #:
-#: r14 capacity preview (valid once CORRECTNESS_r13 lands green on
-#: this window): stale-at-limit = the r11-green entries NOT seated in
-#: r13 = 44 - 4 (pagerank/khop/triangle_count/decontaminate, touched
-#: here) = 40, leaving 10 slots for r14's new + touched entries.
-#: (The r13 window is exactly full -- 1 new + 43 stale + 6 touched --
-#: so no stalest-green filler seat exists; anomaly_days sits in the
-#: tail and is among the 40.)
+#: r14 budget: 1 new entry (cdc_pipeline_state -- the CDC end-state
+#: hash gate, VERDICT r13 item 5) + the touched entries below = keep
+#: total <= 10.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "leakage_safe_split",         # quarantine-drain policy landed around it
-        #   (split_health threshold, resplit_epoch, increment lineage
-        #   cut -- corpus.py); batch kernel itself unchanged
-        "decontaminate",              # split-epoch salt threading (corpus.py
-        #   salt param; corpus_ingest.py epoch-tagged gram indexes)
-        "triangle_count",             # r13 perf work: measured x1-x30 vs-oracle
-        #   curve + bench compile-warm of the wedge shapes; kernel
-        #   unchanged -- seated to re-earn a driver row alongside
-        "dup_components",             # compile-tail methodology (bench warms the
-        #   LSH/CC shapes); star-contraction kernel unchanged
-        "pagerank",                   # r11-green; rides the same bench
-        #   compile-warm -- refreshing now also smooths r14's
-        #   stale-at-limit capacity
-        "khop_reachability",          # same as pagerank
+        "q2_min_cost_supplier",       # r14: part-filter semi-join pushed below
+        #   both aggregates (VERDICT item 3)
+        "decontaminate",              # r14: train/test gram frames share one
+        #   cached tokenization scan (VERDICT item 4)
+        "pq_topk",                    # r14: finer-codebook tier + rerank
+        "pq_topk_ivf",                #   default for unclustered corpora
+        "similarity_topk_ivf",        #   (VERDICT item 2; similarity.py kernel)
     }
 )
 
