@@ -570,8 +570,30 @@ def decontaminate_incremental(
             store.append(spark, tg, batch_test)
             clean_train = new_train.join(
                 contaminated_batch, "doc_id", "left_anti"
-            )
-            store.append(spark, rg, clean_train.select("doc_id", "gram"))
+            ).select("doc_id", "gram")
+            # same replay hazard on the TRAIN postings append: a crash
+            # between the tg append above and this rg append, followed
+            # by a caller retry of the increment, would re-append the
+            # batch's (doc_id, gram) postings.  Probes stay correct
+            # (consumers end in distinct) but the index grows per
+            # replay.  Anti-join on the composite key, bucket-pruned to
+            # the batch's own gram buckets -- still O(batch).
+            clean_buckets = [
+                r[0]
+                for r in clean_train.select(
+                    store.bucket_expr("gram", RB).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if clean_buckets:
+                stored_rg = store.read_buckets(spark, rg, clean_buckets)
+                clean_train = clean_train.join(
+                    stored_rg.select("doc_id", "gram"),
+                    ["doc_id", "gram"],
+                    "left_anti",
+                )
+            store.append(spark, rg, clean_train)
             # retro-flagged stored postings stay in the index: their
             # docs are already reported (re-reports are harmless and
             # only occur if callers keep flagged docs anyway)

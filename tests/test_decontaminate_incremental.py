@@ -224,6 +224,36 @@ def test_test_gram_index_has_no_duplicate_rows(spark, tmp_path):
     assert tg.filter(F.col("gram") == "rr_ss_tt").count() == 1
 
 
+def test_train_postings_index_survives_increment_replay(spark, tmp_path):
+    """Crash-replay safety of the TRAIN postings append (r14, mirrors
+    the r13 test-gram fix): a crash between the test-gram append and
+    the train-postings append followed by a caller retry of the whole
+    increment must not duplicate (doc_id, gram) postings -- probes stay
+    correct via downstream distinct, but index size (and probe I/O)
+    would otherwise grow per replay.  A full replay of the increment is
+    the strictly-harder case (both appends retried), so that is what we
+    drive."""
+    sm = _split_map(spark)
+    trains = [i for i in range(400) if sm[i] == "train"]
+    tests = [i for i in range(400) if sm[i] == "test"]
+    store = ParquetTableStore(str(tmp_path / "store"))
+    boot = spark.createDataFrame([_doc(tests[0])], ["doc_id", "text"])
+    store.overwrite("corpus", boot, partition_key="doc_id", n_buckets=4)
+    batch = [_doc(trains[0], "uu vv ww"), _doc(trains[1])]
+    for _attempt in range(2):  # original run + post-crash caller retry
+        decontaminate_incremental(
+            store, spark, "corpus",
+            spark.createDataFrame(batch, ["doc_id", "text"]),
+            n=N, n_buckets=4,
+        ).collect()
+    rg = store.read(spark, train_grams_table_name("corpus", N))
+    total = rg.count()
+    distinct = rg.select("doc_id", "gram").distinct().count()
+    assert total == distinct, f"{total - distinct} duplicate posting rows"
+    # replayed docs' postings landed exactly once and stay probe-able
+    assert rg.filter(rg.doc_id == trains[0]).count() > 0
+
+
 def test_randomized_increments_match_full_recompute(spark, tmp_path):
     sm = _split_map(spark)
     rng = random.Random(17)
