@@ -338,6 +338,28 @@ class DynamicTableManager:
                 F.broadcast(affected_view_keys), on=dt.view_key, how="left_semi"
             )
             if self._same_rows(recomputed, view_affected):
+                # NO_CHANGE also skips the version bump, so a LATER
+                # tick's downstream old-group resolution via
+                # ``read_previous`` of this view sees a snapshot from
+                # before this tick.  That staleness is safe -- but only
+                # because of two delta-shape invariants this branch
+                # relies on (pinned by tests/test_chained_dynamic_
+                # tables.py::test_no_change_tick_read_previous_staleness
+                # _is_safe):
+                #   (a) the delta this tick still emits below carries
+                #       no 'D' rows (NO_CHANGE means no key vanished),
+                #       and a D row is the only case where the affected
+                #       group is derivable ONLY from ``read_previous``
+                #       (its payload is NULL);
+                #   (b) its 'U' payloads equal the current = pre-tick
+                #       rows, so every key's TRUE pre-tick group is
+                #       recoverable from the payload itself.
+                # A stale prev can therefore only ADD spurious affected
+                # groups (recomputed to the same value -- harmless),
+                # never miss one.  If the delta shape ever changes
+                # (e.g. D rows with non-NULL payloads dropped, or U
+                # payloads no longer reflecting post-merge state), this
+                # branch must bump the version too.
                 self._log_refresh(name, "NO_CHANGE", t0)
             else:
                 if self.store.partition_spec(name):

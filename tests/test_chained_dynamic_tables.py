@@ -22,6 +22,7 @@ import json
 import pytest
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.sources import (
     fixtures,
@@ -232,6 +233,88 @@ def test_chain_refresh_under_iud(spark, setup):
     assert hist.count(("vip_customers", "INCREMENTAL")) >= 2
     assert hist.count(("customer_spend", "NO_DATA")) == 1  # batch 4
     assert all(d >= 0 for d in (r["duration_sec"] for r in mgr.refresh_history().collect()))
+
+
+def test_no_change_tick_read_previous_staleness_is_safe(spark, setup):
+    """Pins the safety argument for NO_CHANGE skipping the version bump
+    (dynamic_table.py incremental_refresh step 3): at a tick where the
+    upstream view is NO_CHANGE, the downstream's old-group resolution
+    reads ``read_previous`` of a snapshot OLDER than the true pre-tick
+    state (the bump was skipped).  That staleness is safe only because
+    the emitted delta (a) carries no 'D' rows and (b) its 'U' payloads
+    equal the current = pre-tick rows, so a stale prev can only ADD
+    spurious affected groups.  This test makes the staleness real and
+    asserts the chain still matches a full recompute, then pins the two
+    delta-shape invariants directly."""
+    p, store, mgr, (customers, tx) = setup
+    cust = customers[2][0]
+
+    # tick A: real change -- customer_spend merges and bumps a version
+    _apply(spark, p, {"transactions": [
+        ("I", 9601, _tx_row(tx[4], transaction_id="TXNC1", customer_id=cust,
+                            transaction_category="Purchase", total_price=700.0)),
+    ]})
+    _assert_chain_matches_full(spark, store, mgr)
+
+    # tick B: a 'U' on TXNC1 touching ONLY a column the view never
+    # reads (merchant_id) -- transactions commits, customer_spend's
+    # affected-key recompute is byte-identical -> NO_CHANGE, no bump
+    noop = _tx_row(tx[4], transaction_id="TXNC1", customer_id=cust,
+                   transaction_category="Purchase", total_price=700.0,
+                   merchant_id=424242)
+    hist_before = mgr.refresh_history().count()
+    _apply(spark, p, {"transactions": [("U", 9602, noop)]})
+    hist = [(r["view_name"], r["refresh_mode"])
+            for r in mgr.refresh_history().collect()][hist_before:]
+    assert ("customer_spend", "NO_CHANGE") in hist
+
+    # the staleness is REAL: read_previous (what the downstream used
+    # for old-group resolution at tick B) predates tick A's commit and
+    # disagrees with the true pre-tick-B state on this customer
+    prev = store.read_previous(spark, "customer_spend")
+    assert prev is not None
+    prev_total = {r["customer_id"]: r["total_price"] for r in prev.collect()}
+    cur_total = {r["customer_id"]: r["total_price"]
+                 for r in mgr.read("customer_spend").collect()}
+    assert prev_total.get(cust) != cur_total[cust]
+
+    # the downstreams consumed the emitted delta against that stale
+    # prev (not NO_DATA) and the whole chain still matches full
+    assert any(v in ("band_counts", "vip_customers") and m != "NO_DATA"
+               for v, m in hist)
+    _assert_chain_matches_full(spark, store, mgr)
+
+    # delta-shape invariants (a)+(b), pinned on the emitted batch
+    # itself: a phantom no-op 'U' (store already consistent) drives a
+    # NO_CHANGE refresh; its emitted delta must be all-'U' with
+    # payloads equal to the current view rows.  If either ever fails,
+    # the NO_CHANGE branch must start bumping the version too.
+    delta_schema = T.StructType(
+        [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+        + list(TRANSACTIONS_SCHEMA.fields)
+    )
+    tx_cols = [f.name for f in TRANSACTIONS_SCHEMA.fields]
+    phantom = spark.createDataFrame(
+        [tuple(["U", 9603] + [noop[c] for c in tx_cols])], delta_schema
+    )
+    emitted = mgr.incremental_refresh(
+        "customer_spend", {"transactions": phantom}, emit_delta=True, lsn=9603
+    )
+    rows = emitted.collect()
+    assert rows, "NO_CHANGE tick must still emit its affected-key delta"
+    assert all(r["op"] == "U" for r in rows)  # (a) no 'D' rows
+    cur = {r["customer_id"]: (r["total_price"], r["band"], r["n_tx"])
+           for r in mgr.read("customer_spend").collect()}
+    for r in rows:  # (b) payloads equal current rows
+        assert (r["total_price"], r["band"], r["n_tx"]) == cur[r["customer_id"]]
+
+    # tick C: a later REAL change on the same customer -- post-NO_CHANGE
+    # version history must not poison the cascade
+    _apply(spark, p, {"transactions": [
+        ("I", 9604, _tx_row(tx[5], transaction_id="TXNC2", customer_id=cust,
+                            transaction_category="Purchase", total_price=4000.0)),
+    ]})
+    _assert_chain_matches_full(spark, store, mgr)
 
 
 def test_refresh_order_is_topological_and_cycles_raise(spark, tmp_path):
