@@ -144,30 +144,37 @@ def main(sf_dir: str, out_dir: str) -> None:
         r["split"]: r["doc_id"]
         for r in state.filter(F.col("split").isin("train", "test")).collect()
     }
-    merge_edge = spark.createDataFrame(
-        [(by_split["train"], by_split["test"])], "doc_a long, doc_b long"
-    )
-    state = corpus.leakage_safe_split_increment(
-        state, spark.createDataFrame([], "doc_id long"), merge_edge
-    )
-    all_pairs = pairs.select("doc_a", "doc_b").unionByName(merge_edge)
-    # ops policy for the demo: ANY quarantine triggers a re-split
-    health = corpus.split_health(state, all_pairs, resplit_threshold=1e-9)
-    print(
-        f"split health after cross-split merge: "
-        f"straddling={health['straddling_pairs']} "
-        f"quarantined={health['quarantined']} "
-        f"resplit_recommended={health['resplit_recommended']}"
-    )
-    assert health["straddling_pairs"] == 0 and health["quarantined"] > 0
-    if health["resplit_recommended"]:
-        state = corpus.resplit_epoch(docs, all_pairs, salt="epoch-2")
-        health = corpus.split_health(state, all_pairs)
-        print(
-            f"after epoch re-split: straddling={health['straddling_pairs']} "
-            f"quarantined={health['quarantined']}"
+    if not {"train", "test"} <= by_split.keys():
+        # the hash split is corpus-dependent; pointing this demo at a
+        # tiny or skewed corpus can leave one side empty, and then
+        # there is no cross-split pair to quarantine -- skip the merge
+        # demo instead of KeyError-ing on the missing side
+        print("3b skipped: corpus has an empty train or test split")
+    else:
+        merge_edge = spark.createDataFrame(
+            [(by_split["train"], by_split["test"])], "doc_a long, doc_b long"
         )
-    assert health["straddling_pairs"] == 0 and health["quarantined"] == 0
+        state = corpus.leakage_safe_split_increment(
+            state, spark.createDataFrame([], "doc_id long"), merge_edge
+        )
+        all_pairs = pairs.select("doc_a", "doc_b").unionByName(merge_edge)
+        # ops policy for the demo: ANY quarantine triggers a re-split
+        health = corpus.split_health(state, all_pairs, resplit_threshold=1e-9)
+        print(
+            f"split health after cross-split merge: "
+            f"straddling={health['straddling_pairs']} "
+            f"quarantined={health['quarantined']} "
+            f"resplit_recommended={health['resplit_recommended']}"
+        )
+        assert health["straddling_pairs"] == 0 and health["quarantined"] > 0
+        if health["resplit_recommended"]:
+            state = corpus.resplit_epoch(docs, all_pairs, salt="epoch-2")
+            health = corpus.split_health(state, all_pairs)
+            print(
+                f"after epoch re-split: straddling={health['straddling_pairs']} "
+                f"quarantined={health['quarantined']}"
+            )
+        assert health["straddling_pairs"] == 0 and health["quarantined"] == 0
 
     # 4. tokenizer prep: learn a BPE vocabulary on the train split only
     #    (tokenizers trained on val/test leak them into the model), then
