@@ -511,6 +511,13 @@ def test_q2_broadcast_dims_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+    # r14: the part filter is pushed BELOW both aggregates as a
+    # broadcast semi-join on lineitem -- the supply rollup and min-cost
+    # shuffles carry only qualifying partkeys.  The semi-join must sit
+    # under an aggregate in the tree (root-side operators print first),
+    # not above them where the filter used to run.
+    assert "LeftSemi" in plan
+    assert plan.index("LeftSemi") > plan.index("HashAggregate")
 
 
 def test_q9_broadcast_dims_no_nested_loop(spark):
