@@ -8,6 +8,12 @@
   re-rank inside.  At 100 TB the full-scan baseline reads everything;
   IVF reads ~nprobe/ncells of it, with recall measured against the
   brute-force oracle in tests.
+- ``topk_pq`` / ``topk_pq_ivf``: PQ/ADC tiers -- codes-only scans
+  (m ints per row instead of d floats).
+- ``topk_pq_rerank`` (and ``search_pq_index(rerank_with=...)``): the
+  documented DEFAULT for unclustered corpora -- fine 8x256 codebooks
+  shortlist by ADC, exact cosine reranks the shortlist (recall
+  thresholds pinned in tests/test_extensions.py).
 """
 
 from __future__ import annotations
@@ -359,6 +365,65 @@ def topk_pq_ivf(
     )
 
 
+def topk_pq_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 256,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    n_candidates: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ shortlist -> exact cosine rerank: the DOCUMENTED DEFAULT
+    for unclustered (isotropic) corpora.
+
+    The r13 ANN matrix (SCALE.md) showed coarse 8x16 codebooks flat at
+    0.20-0.27 recall@10 on an isotropic 200k corpus while ivf-flat
+    reached 0.93: with no cluster structure, near-tie neighbors need
+    finer quantization than 16 centroids/subspace can express.  This
+    tier fixes both halves: a finer codebook (default 8x256 -- still
+    m bytes/row stored) shortlists ``n_candidates`` by ADC, then an
+    EXACT cosine pass over just those rows restores the true ranking.
+
+    Scale shape: the ADC shortlist reads codes only (m ints/row over
+    n_probe/n_cells of the data); the rerank joins the shortlist ids
+    back to the raw-vector table as a broadcast semi-join (the
+    shortlist is n_candidates rows -- driver-small by construction),
+    so the exact math touches n_candidates vectors regardless of
+    corpus size.  In a stored deployment the same shape is
+    :func:`search_pq_index` with ``rerank_with=`` the vector table.
+
+    METRIC CONTRACT: the shortlist ranks by squared euclidean ADC --
+    L2-normalize before indexing when the metric is cosine (see
+    :func:`topk_pq`); the rerank itself is true cosine either way."""
+    X = _sample_matrix(emb, vec_col)
+    if X.size == 0:
+        return emb.select(F.col(id_col), F.lit(0.0).alias("cosine")).limit(0)
+    centroids = kmeans_on_sample(X, n_cells, seed)
+    codebooks = pq_train_on_sample(X, m, n_codes, seed)
+    qv = [float(x) for x in query_vec]
+    probed = probe_cells(centroids, qv, n_probe)
+    tables = pq_distance_tables(codebooks, qv)
+
+    assigned = assign_cells(emb, centroids, vec_col)
+    pruned = assigned.filter(F.col("__cell").isin(probed)).drop("__cell")
+    encoded = pq_encode(pruned, codebooks, vec_col)
+    shortlist = (
+        encoded.select(
+            F.col(id_col),
+            _adc_dist(tables, F.col("pq_codes")).alias("approx_dist"),
+        )
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+    cands = emb.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+    return topk_cosine(cands, qv, k, vec_col, id_col)
+
+
 def build_pq_index(
     emb: DataFrame,
     path: str,
@@ -409,24 +474,37 @@ def search_pq_index(
     k: int = 10,
     id_col: str = "vec_id",
     n_probe: int = 4,
+    rerank_with: DataFrame | None = None,
+    n_candidates: int = 200,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Query a :func:`build_pq_index` layout: filter to the n_probe
     nearest cells (a PARTITION filter -- Spark prunes the directories,
     never opening the rest), score the stored codes with the ADC
-    tables, TakeOrdered the k best.  No raw vectors are read at all;
-    re-rank the returned ids against the vector table if exact order
-    matters (see examples/ann_pipeline.py for the rerank shape)."""
+    tables, TakeOrdered the k best.  No raw vectors are read at all.
+
+    Pass ``rerank_with=`` the raw-vector table to get the PQ->rerank
+    tier (the documented default for unclustered corpora, see
+    :func:`topk_pq_rerank`): the codes-only scan shortlists
+    ``n_candidates`` ids, a broadcast semi-join fetches just those
+    vectors, and an exact cosine pass returns the true top-k
+    (column ``cosine`` instead of ``approx_dist``)."""
     qv = [float(x) for x in query_vec]
     probed = probe_cells(centroids, qv, n_probe)
     tables = pq_distance_tables(codebooks, qv)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    return (
-        idx.select(
-            F.col(id_col), _adc_dist(tables, F.col("pq_codes")).alias("approx_dist")
-        )
-        .orderBy(F.asc("approx_dist"), F.asc(id_col))
-        .limit(k)
+    scored = idx.select(
+        F.col(id_col), _adc_dist(tables, F.col("pq_codes")).alias("approx_dist")
     )
+    if rerank_with is None:
+        return scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)
+    shortlist = scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(
+        n_candidates
+    )
+    cands = rerank_with.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return topk_cosine(cands, qv, k, vec_col, id_col)
 
 
 def probe_cells(centroids: list[list[float]], qv: list[float], n_probe: int) -> list[int]:

@@ -36,6 +36,7 @@ def test_oracle_match(spark, con, name):
         "semantic_decontaminate": "semantic_decontaminate_oracle_sql",
         "pq_topk": "pq_oracle_sql",
         "pq_topk_ivf": "pq_ivf_oracle_sql",
+        "pq_topk_rerank": "pq_rerank_oracle_sql",
     }
     if name in generated:
         # data-dependent oracles: the registered SQL embeds centroids

