@@ -89,23 +89,33 @@ def write_feed_ddl(
     table: str,
     add_columns: list[tuple[str, str]],
     lsn: int,
+    alter_columns: list[tuple[str, str]] = (),
 ) -> str:
-    """Append one ADD COLUMN schema-change event to the feed.
+    """Append one schema-change event to the feed.
 
     ``add_columns``: ``[(column_name, spark_ddl_type), ...]`` --
     e.g. ``[("loyalty_tier", "string"), ("points", "int")]``.  The
     consumer widens its runtime parse schema for ``table`` from this
     row on (see :meth:`CDCPipeline.apply_envelope_batch`).
+    ``alter_columns``: same shape, for TYPE WIDENING of existing
+    columns (Postgres ``ALTER TABLE ... ALTER COLUMN ... TYPE bigint``)
+    -- lossless widenings only; the consumer cast-rewrites the stored
+    table once.
     """
     os.makedirs(feed_dir, exist_ok=True)
+    spec: dict = {
+        "add_columns": [{"name": n, "type": t} for n, t in add_columns]
+    }
+    if alter_columns:
+        spec["alter_columns"] = [
+            {"name": n, "type": t} for n, t in alter_columns
+        ]
     record = {
         "op": SCHEMA_CHANGE_OP,
         "lsn": lsn,
         "commit_ts": dt.datetime.now(dt.timezone.utc).isoformat(),
         "table_name": table,
-        "after_json": json.dumps(
-            {"add_columns": [{"name": n, "type": t} for n, t in add_columns]}
-        ),
+        "after_json": json.dumps(spec),
     }
     tmp = os.path.join(feed_dir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -374,6 +384,9 @@ class CDCPipeline:
         store: ParquetTableStore,
         partition_spec: dict[str, int] | None = None,
         zone_spec: dict[str, list[str]] | None = None,
+        schemas: dict[str, T.StructType] | None = None,
+        primary_keys: dict[str, str] | None = None,
+        fact_tables: tuple[str, ...] = ("transactions",),
     ) -> None:
         """``partition_spec``: {table: n_buckets} -- tables listed here
         are stored hash-partitioned on their primary key, so each apply
@@ -383,11 +396,31 @@ class CDCPipeline:
         non-key columns at bootstrap (sticky through every subsequent
         merge), so analysts can range-scan the replica via
         ``store.read_pruned`` (e.g. transactions by date) without
-        touching every bucket."""
+        touching every bucket.
+
+        ``schemas`` / ``primary_keys``: the replicated-table registry,
+        defaulting to the reference's 4-table CDC domain.  The
+        reference connector replicates ARBITRARY published tables, so
+        the pipeline is not bound to that domain: pass any
+        {table: StructType} / {table: pk column} pair to replicate a
+        different set.  ``fact_tables`` names the tables applied LAST
+        within a batch (dim rows land before fact rows referencing
+        them -- SURVEY.md section 4.2); every other registered table
+        is a dimension and applies concurrently."""
         self.spark = spark
         self.store = store
         self.partition_spec = partition_spec or {}
         self.zone_spec = zone_spec or {}
+        self.schemas = dict(schemas) if schemas is not None else dict(TABLE_SCHEMAS)
+        self.primary_keys = (
+            dict(primary_keys) if primary_keys is not None else dict(PRIMARY_KEYS)
+        )
+        # batch apply order: registered dims (registry order), then facts
+        self._fact_tables = tuple(t for t in fact_tables if t in self.schemas)
+        self._apply_order = tuple(
+            [t for t in self.schemas if t not in self._fact_tables]
+            + list(self._fact_tables)
+        )
         self._on_batch_applied: list = []  # hooks: fn(batch_id, deltas dict)
         # offset handoff contract (see bootstrap_then_tail): changes with
         # lsn <= snapshot_lsn are already reflected in the snapshot and
@@ -399,14 +432,19 @@ class CDCPipeline:
         # Persisted next to the offset so a RESTARTED pipeline parses
         # evolved columns without replaying the op='S' rows that
         # declared them (the stream checkpoint skips consumed files).
-        self.schema_extras: dict[str, list[tuple[str, str]]] = (
-            self._read_schema_extras()
-        )
+        self.schema_extras: dict[str, list[tuple[str, str]]] = {}
+        #: columns whose type was WIDENED by DDL, {table: {name: ddl
+        #: type}} -- persisted with the extras; reference parity: the
+        #: connector also survives Postgres ALTER TYPE int -> bigint
+        #: (SURVEY.md section 1.3).
+        self.schema_widenings: dict[str, dict[str, str]] = {}
+        self._read_schema_state()
 
     def table_schema(self, table: str) -> T.StructType:
         """The table's RUNTIME parse schema: declared bootstrap columns
-        plus every column added by schema-change events so far."""
-        base = TABLE_SCHEMAS[table]
+        plus every column added by schema-change events so far, with
+        DDL type widenings applied."""
+        base = self.schemas[table]
         have = {f.name for f in base.fields}
         fields = list(base.fields)
         for name, ddl_type in self.schema_extras.get(table, []):
@@ -415,6 +453,18 @@ class CDCPipeline:
                     T.StructField(name, T.DataType.fromDDL(ddl_type), True)
                 )
                 have.add(name)
+        widened = self.schema_widenings.get(table, {})
+        if widened:
+            fields = [
+                T.StructField(
+                    f.name,
+                    T.DataType.fromDDL(widened[f.name])
+                    if f.name in widened
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in fields
+            ]
         return T.StructType(fields)
 
     # -- evolved-schema persistence ------------------------------------------
@@ -422,33 +472,69 @@ class CDCPipeline:
     def _schema_path(self) -> str:
         return os.path.join(self.store.root, "_cdc_schemas.json")
 
-    def _read_schema_extras(self) -> dict[str, list[tuple[str, str]]]:
+    def _read_schema_state(self) -> None:
         try:
             with open(self._schema_path()) as f:
                 raw = json.load(f)
-            return {
+        except (OSError, ValueError):
+            return
+        try:
+            # current format: {"extras": {...}, "widenings": {...}};
+            # pre-widening files were the bare extras map
+            extras = raw.get("extras", raw) if isinstance(raw, dict) else {}
+            widenings = raw.get("widenings", {}) if isinstance(raw, dict) else {}
+            self.schema_extras = {
                 t: [(c["name"], c["type"]) for c in cols]
-                for t, cols in raw.items()
+                for t, cols in extras.items()
+                if t != "widenings" and t != "extras"
             }
-        except (OSError, ValueError, KeyError, TypeError):
-            return {}
+            self.schema_widenings = {
+                t: dict(cols) for t, cols in widenings.items()
+            }
+        except (KeyError, TypeError, AttributeError):
+            self.schema_extras = {}
+            self.schema_widenings = {}
 
     def _write_schema_extras(self) -> None:
         tmp = self._schema_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
-                    t: [{"name": n, "type": ty} for n, ty in cols]
-                    for t, cols in self.schema_extras.items()
+                    "extras": {
+                        t: [{"name": n, "type": ty} for n, ty in cols]
+                        for t, cols in self.schema_extras.items()
+                    },
+                    "widenings": self.schema_widenings,
                 },
                 f,
             )
         os.replace(tmp, self._schema_path())
 
-    def _apply_ddl(self, table: str, add_columns: list[dict]) -> None:
+    #: legal DDL type widenings (narrow -> {wider, ...}): the lossless
+    #: lattice only.  Postgres int -> bigint is the reference case;
+    #: bigint -> double is NOT here (loses precision past 2^53) and
+    #: raises instead of silently corrupting keys.
+    _WIDENINGS: dict[str, tuple[str, ...]] = {
+        "tinyint": ("smallint", "int", "bigint"),
+        "smallint": ("int", "bigint"),
+        "int": ("bigint",),
+        "float": ("double",),
+    }
+
+    def _apply_ddl(
+        self,
+        table: str,
+        add_columns: list[dict],
+        alter_columns: list[dict] = (),
+    ) -> list[str]:
         """Widen ``table``'s runtime schema; idempotent (a replayed
-        micro-batch re-presents its op='S' rows)."""
-        declared = {f.name for f in TABLE_SCHEMAS[table].fields}
+        micro-batch re-presents its op='S' rows).  ``alter_columns``
+        (``[{"name": ..., "type": <wider ddl type>}, ...]``) widens an
+        EXISTING column's type along the lossless lattice; anything
+        else -- unknown column, narrowing, cross-family -- raises.
+        Returns the column names newly widened by this call (the
+        caller rewrites the stored table for them exactly once)."""
+        declared = {f.name for f in self.schemas[table].fields}
         extras = self.schema_extras.setdefault(table, [])
         have = declared | {n for n, _ in extras}
         for col in add_columns:
@@ -458,6 +544,61 @@ class CDCPipeline:
             T.DataType.fromDDL(ddl_type)  # validate before recording
             extras.append((name, ddl_type))
             have.add(name)
+        newly_widened: list[str] = []
+        if alter_columns:
+            current = {
+                f.name: f.dataType.simpleString()
+                for f in self.table_schema(table).fields
+            }
+            for col in alter_columns:
+                name, ddl_type = col["name"], col["type"]
+                if name not in current:
+                    raise ValueError(
+                        f"ALTER COLUMN {table}.{name}: unknown column"
+                    )
+                new = T.DataType.fromDDL(ddl_type).simpleString()
+                old = current[name]
+                if new == old:
+                    continue  # replayed DDL: already widened
+                if new not in self._WIDENINGS.get(old, ()):
+                    raise ValueError(
+                        f"ALTER COLUMN {table}.{name}: {old} -> {new} is "
+                        "not a lossless widening"
+                    )
+                self.schema_widenings.setdefault(table, {})[name] = new
+                newly_widened.append(name)
+        return newly_widened
+
+    def _rewrite_widened(self, table: str) -> None:
+        """One-time cast-rewrite of the stored table after a widening
+        DDL, so stored buckets and future deltas share one physical
+        type (parquet mergeSchema cannot reconcile int32 vs int64
+        files).  O(table) once -- the same cost the upstream Postgres
+        ALTER TYPE table rewrite already paid; subsequent applies are
+        O(delta) again."""
+        if not self.store.exists(table):
+            return
+        cur = self.store.read(self.spark, table)
+        target = {f.name: f.dataType for f in self.table_schema(table).fields}
+        cols = [
+            F.col(f.name).cast(target[f.name]).alias(f.name)
+            if f.name in target and f.dataType != target[f.name]
+            else F.col(f.name)
+            for f in cur.schema.fields
+        ]
+        out = cur.select(*cols)
+        spec = self.store.partition_spec(table)
+        if spec:
+            _key, n_buckets = spec
+            self.store.overwrite(
+                table,
+                out,
+                partition_key=self.primary_keys[table],
+                n_buckets=n_buckets,
+                zone_cols=self.zone_spec.get(table),
+            )
+        else:
+            self.store.overwrite(table, out)
 
     # -- snapshot-LSN offset persistence ------------------------------------
 
@@ -496,7 +637,7 @@ class CDCPipeline:
                 self.store.overwrite(
                     table,
                     df,
-                    partition_key=PRIMARY_KEYS[table],
+                    partition_key=self.primary_keys[table],
                     n_buckets=self.partition_spec[table],
                     zone_cols=self.zone_spec.get(table),
                 )
@@ -505,7 +646,7 @@ class CDCPipeline:
             # a seed snapshotted AFTER upstream DDL already carries the
             # added columns -- record them as runtime-schema extras so
             # tail rows that use them parse with values, not NULLs
-            declared = {f.name for f in TABLE_SCHEMAS[table].fields}
+            declared = {f.name for f in self.schemas[table].fields}
             extras = self.schema_extras.setdefault(table, [])
             have = declared | {n for n, _ in extras}
             for f in df.schema.fields:
@@ -631,19 +772,30 @@ class CDCPipeline:
                 key=lambda t: t[1],
             )
             if ddl_rows:
+                widened: dict[str, bool] = {}
                 for table, _lsn, after_json in ddl_rows:
                     spec = json.loads(after_json or "{}")
-                    self._apply_ddl(table, spec.get("add_columns", []))
+                    if self._apply_ddl(
+                        table,
+                        spec.get("add_columns", []),
+                        spec.get("alter_columns", []),
+                    ):
+                        widened[table] = True
                 self._write_schema_extras()
+                # type widenings rewrite the stored table ONCE (cast to
+                # the widened physical type) before this batch's data
+                # rows -- parsed under the widened schema -- merge in
+                for table in widened:
+                    self._rewrite_widened(table)
                 envelope = envelope.filter(F.col("op") != SCHEMA_CHANGE_OP)
             tables = [r["table_name"] for r in meta]
-            ordered = [t for t in ("customers", "merchants", "products", "transactions") if t in tables]
+            ordered = [t for t in self._apply_order if t in tables]
 
             def _apply_one(table: str) -> None:
                 changes = parse_table_changes(
                     envelope, table, self.table_schema(table)
                 ).cache()
-                key = PRIMARY_KEYS[table]
+                key = self.primary_keys[table]
                 if self.store.exists(table) and self.store.partition_spec(table):
                     # partition-pruned MERGE: only touched buckets rewrite
                     upserts, touched = split_changes(changes, key)
@@ -662,7 +814,7 @@ class CDCPipeline:
             # CONCURRENTLY (SparkSession actions are thread-safe; on a
             # cluster this overlaps three tables' shuffle+write I/O
             # instead of serializing it through the driver loop).
-            dims = [t for t in ordered if t != "transactions"]
+            dims = [t for t in ordered if t not in self._fact_tables]
             if len(dims) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -672,8 +824,9 @@ class CDCPipeline:
             else:
                 for table in dims:
                     _apply_one(table)
-            if "transactions" in ordered:
-                _apply_one("transactions")
+            for table in self._fact_tables:
+                if table in ordered:
+                    _apply_one(table)
             if deferred is not None:
                 # buffer open transactions (bounded by in-flight txs,
                 # not history); written before the group commit so a
@@ -681,11 +834,7 @@ class CDCPipeline:
                 self.store.overwrite(TXN_PENDING_TABLE, deferred)
             # atomic multi-table visibility: pin every replicated
             # table's post-merge version under one group pointer
-            members = [
-                t
-                for t in ("customers", "merchants", "products", "transactions")
-                if self.store.exists(t)
-            ]
+            members = [t for t in self._apply_order if self.store.exists(t)]
             if members:
                 self.store.commit_group(CDC_GROUP, members)
             for hook in self._on_batch_applied:

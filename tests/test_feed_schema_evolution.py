@@ -206,6 +206,125 @@ def test_stream_end_to_end_with_ddl_file(spark, tmp_path):
     assert got[10] is None
 
 
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_type_widening_int_to_bigint(spark, tmp_path, partitioned):
+    """The reference connector survives Postgres ALTER TYPE int ->
+    bigint (SURVEY.md section 1.3).  The op='S' alter_columns row must
+    widen the runtime parse schema AND cast-rewrite the stored table
+    once (parquet mergeSchema cannot reconcile int32/int64 files), so
+    post-DDL rows carrying > 2^31 values land losslessly."""
+    p, store = _seeded_pipeline(spark, tmp_path, partitioned)
+    big = 3_000_000_000  # does not fit an int32
+    batch = [
+        {"op": "S", "lsn": 10, "table": "customers", "row": None,
+         "after_json": json.dumps(
+             {"alter_columns": [{"name": "age", "type": "bigint"}]})},
+        {"op": "I", "lsn": 11, "table": "customers",
+         "row": _customer_row(4, {"age": big})},
+        # pre-DDL-shaped row (small value) still applies
+        {"op": "U", "lsn": 12, "table": "customers", "row": _customer_row(2)},
+    ]
+    p.apply_envelope_batch(_envelope(spark, batch))
+    out = store.read(spark, "customers")
+    assert dict(out.dtypes)["age"] == "bigint"
+    got = {r["customer_id"]: r["age"] for r in out.collect()}
+    assert got[4] == big
+    assert got[1] == 30  # pre-widening row cast-preserved, not nulled
+    if partitioned:
+        # the one-time rewrite keeps the bucket layout (O(delta)
+        # merges continue afterwards)
+        assert store.partition_spec("customers") == ("customer_id", 8)
+    # replaying the same micro-batch is a no-op for the widening too
+    p.apply_envelope_batch(_envelope(spark, batch))
+    out2 = store.read(spark, "customers")
+    assert dict(out2.dtypes)["age"] == "bigint"
+    assert out2.filter(F.col("customer_id") == 4).count() == 1
+
+
+def test_widening_persists_across_restart(spark, tmp_path):
+    p, store = _seeded_pipeline(spark, tmp_path)
+    p.apply_envelope_batch(_envelope(spark, [
+        {"op": "S", "lsn": 10, "table": "customers", "row": None,
+         "after_json": json.dumps(
+             {"alter_columns": [{"name": "age", "type": "bigint"}]})},
+    ]))
+    # fresh instance, same store root: the widening must come back from
+    # the persisted schema state, not from replaying the op='S' row
+    p2 = CDCPipeline(spark, store)
+    assert dict(p2.schema_widenings)["customers"] == {"age": "bigint"}
+    p2.apply_envelope_batch(_envelope(spark, [
+        {"op": "I", "lsn": 20, "table": "customers",
+         "row": _customer_row(9, {"age": 5_000_000_000})},
+    ]))
+    got = {r["customer_id"]: r["age"]
+           for r in store.read(spark, "customers").collect()}
+    assert got[9] == 5_000_000_000
+
+
+@pytest.mark.parametrize(
+    "alter,err",
+    [
+        ({"name": "age", "type": "smallint"}, "not a lossless widening"),
+        ({"name": "age", "type": "string"}, "not a lossless widening"),
+        ({"name": "nope", "type": "bigint"}, "unknown column"),
+    ],
+)
+def test_illegal_alter_rejected(spark, tmp_path, alter, err):
+    """Narrowing, cross-family, and unknown-column alters must fail
+    LOUDLY instead of silently corrupting the replica."""
+    p, _store = _seeded_pipeline(spark, tmp_path)
+    bad = _envelope(spark, [
+        {"op": "S", "lsn": 10, "table": "customers", "row": None,
+         "after_json": json.dumps({"alter_columns": [alter]})},
+    ])
+    with pytest.raises(ValueError, match=err):
+        p.apply_envelope_batch(bad)
+
+
+def test_widening_roundtrips_through_dynamic_table(spark, tmp_path):
+    """A widening DDL followed by data using the wide range must flow
+    through the store AND an attached dynamic table's incremental
+    refresh, leaving the view equal to a full recompute."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        DynamicTable,
+        DynamicTableManager,
+    )
+
+    p, store = _seeded_pipeline(spark, tmp_path)
+
+    def age_view(t):
+        return (
+            t["customers"]
+            .groupBy("lastname")
+            .agg(F.sum("age").alias("total_age"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    mgr = DynamicTableManager(spark, store)
+    mgr.create(DynamicTable(
+        "age_by_last", age_view, fact_table="customers",
+        fact_key="customer_id", view_key="lastname", group_col="lastname",
+    ))
+    mgr.attach(p)
+    big = 4_000_000_000
+    p.apply_envelope_batch(_envelope(spark, [
+        {"op": "S", "lsn": 10, "table": "customers", "row": None,
+         "after_json": json.dumps(
+             {"alter_columns": [{"name": "age", "type": "bigint"}]})},
+        {"op": "U", "lsn": 11, "table": "customers",
+         "row": _customer_row(2, {"age": big})},
+    ]))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select("lastname", "total_age", "n").collect())
+
+    recomputed = age_view({"customers": store.read(spark, "customers")})
+    assert canon(mgr.read("age_by_last")) == canon(recomputed)
+    got = {r["lastname"]: r["total_age"]
+           for r in mgr.read("age_by_last").collect()}
+    assert got["L2"] == big
+
+
 def test_debezium_schema_change_adapter(spark, tmp_path):
     """Debezium schema-change-topic ALTER event -> op='S' envelope row
     -> pipeline applies it (full-column-list semantics: existing
