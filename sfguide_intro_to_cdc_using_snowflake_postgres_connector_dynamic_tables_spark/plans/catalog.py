@@ -667,6 +667,7 @@ def _register_extensions() -> None:
     its name stays green in the gate (this bit twice in round 9 --
     ``sequence_pack`` and ``q12_priority_lines``).
     """
+    from .catalog_cdc import CDC_CATALOG
     from .catalog_ext import EXT_CATALOG
     from .catalog_more import MORE_CATALOG
     from .catalog_pipeline import PIPELINE_CATALOG
@@ -680,6 +681,7 @@ def _register_extensions() -> None:
         ("more", MORE_CATALOG),
         ("pipeline", PIPELINE_CATALOG),
         ("train", TRAIN_CATALOG),
+        ("cdc", CDC_CATALOG),
     ]
     owner: dict[str, str] = {}
     collisions: list[str] = []
@@ -699,6 +701,7 @@ def _register_extensions() -> None:
     CATALOG.update(MORE_CATALOG)
     CATALOG.update(PIPELINE_CATALOG)
     CATALOG.update(TRAIN_CATALOG)
+    CATALOG.update(CDC_CATALOG)
 
 
 #: The driver's CORRECTNESS gate hashes only the FIRST ``_GATE_WINDOW``
@@ -737,9 +740,9 @@ _GATE_WINDOW = 50
 #: must-rotate entry -- but size it to the free capacity so every
 #: touched entry actually gets a driver row.
 #:
-#: r14 budget: 1 new entry (cdc_pipeline_state -- the CDC end-state
-#: hash gate, VERDICT r13 item 5) + the touched entries below = keep
-#: total <= 10.
+#: r14 budget: 2 new entries (cdc_pipeline_state -- the CDC end-state
+#: hash gate, VERDICT r13 item 5 -- and pq_topk_rerank, item 2) + the
+#: 5 touched entries below = 7 of the 10 free slots.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q2_min_cost_supplier",       # r14: part-filter semi-join pushed below
