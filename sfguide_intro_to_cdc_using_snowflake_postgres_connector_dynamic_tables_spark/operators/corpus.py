@@ -365,6 +365,22 @@ def split_health(
     }
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Gram explosion amplifies per-row compute ~10x (tokenize +
+    n-gram window + array_distinct per doc), so a corpus that arrives
+    in FEWER partitions than cores would tokenize nearly serially --
+    the sf0.1 documents table is one parquet file = one scan partition,
+    and the whole 8-gram pass ran on a single core (measured 2.4 s ->
+    1.3 s warm at sf0.1 from this fix).  Round-robin to
+    defaultParallelism ONLY in that degenerate case: at 100 TB the scan
+    already yields >= cores partitions and no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _word_grams(toks: Column, n: int) -> Column:
     """Distinct n-token shingles joined by '_'; empty array for docs
     shorter than n tokens (guards the descending-sequence crash,
@@ -404,7 +420,7 @@ def decontaminate(
     """
     from .text import tokens
 
-    split = assign_split(docs, id_col=id_col, salt=salt)
+    split = assign_split(_spread_small_input(docs), id_col=id_col, salt=salt)
     grams = _word_grams(tokens(F.col(text_col)), n)
     exploded = split.select(
         F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
