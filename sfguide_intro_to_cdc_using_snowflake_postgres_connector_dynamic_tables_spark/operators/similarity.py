@@ -75,18 +75,52 @@ def kmeans_on_sample(
         raise ValueError("k-means needs at least one sample vector")
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
-    # k-means++ init
+    # k-means++ init.  d2 (distance to the NEAREST chosen center) is
+    # maintained incrementally -- one new-center distance pass per
+    # step, O(k n d) total.  The naive form recomputed every center's
+    # distances each step (O(k^2 n d)): at the r14 fine-codebook tier
+    # (k=256, 8 subspaces, 4096-sample) that was ~25 s of driver numpy
+    # per query.  np.minimum folds are the exact same min the stacked
+    # np.min took, so centroids are bit-identical to the old code
+    # (the generated DuckDB oracles depend on that).
+    xsqf = (X ** 2).sum(axis=1)
+
+    def _d2_to(c):
+        # GEMV form of ||x - c||^2, clamped: rounding can produce tiny
+        # negatives on (near-)duplicate points, and d2 feeds a
+        # probability vector that must be non-negative
+        return np.maximum(xsqf - 2.0 * (X @ c) + c @ c, 0.0)
+
     centers = [X[rng.integers(len(X))]]
+    d2 = _d2_to(centers[0])
     for _ in range(1, k):
-        d2 = np.min([((X - c) ** 2).sum(axis=1) for c in centers], axis=0)
         probs = d2 / d2.sum() if d2.sum() > 0 else None
         centers.append(X[rng.choice(len(X), p=probs)])
+        d2 = np.minimum(d2, _d2_to(centers[-1]))
     C = np.array(centers)
+    # Lloyd iterations.  The argmin runs in GEMM form (||x||^2 - 2xC'
+    # + ||c||^2) instead of materializing the (n, k, d) difference
+    # tensor -- at the fine-codebook tier (k=256 x 8 subspaces) the
+    # naive form spent ~2 s/query allocating 32 MB temps per
+    # iteration.  GEMM rounding can flip a near-tie assignment vs the
+    # naive form, which is fine: the ENGINE and the ORACLE GENERATORS
+    # share this one function, so both sides always embed the same
+    # centroids, and the search-time cell assignment (assign_cells /
+    # the generated SQL) stays in the naive form on both sides.
+    xsq = (X ** 2).sum(axis=1)[:, None]
     for _ in range(iters):
-        assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
-        for j in range(k):
-            if (assign == j).any():
-                C[j] = X[assign == j].mean(axis=0)
+        d2m = xsq - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        assign = np.argmin(d2m, axis=1)
+        # vectorized per-cluster means: the per-j boolean-mask loop was
+        # O(k n) python passes per iteration -- at the fine-codebook
+        # tier (k=256 x 8 subspaces) it dominated quantizer training.
+        # np.add.at accumulates in row order; empty clusters keep their
+        # center (the same rule the old masked-mean loop applied).
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return [list(map(float, c)) for c in C]
 
 
