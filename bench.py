@@ -435,6 +435,125 @@ def _soak_split(
     }
 
 
+def _soak_topk(
+    spark,
+    ticks: int = 40,
+    groups: int = 50,
+    k: int = 5,
+    inserts_per_tick: int = 120,
+    deletes_per_tick: int = 30,
+) -> dict:
+    """Steady-state cost of the r13 two-phase saturation commit
+    (VERDICT r13 item 7): ``topk_refresh`` now writes the sat table
+    TWICE per tick (raise-only pass before the buffer, exact pass
+    after) to close the crash-window refill skip.  This soak drives a
+    crash-free I/D mix and measures (a) tick latency with the raise
+    pass timed separately -- 'before the fix' = elapsed minus the
+    raise writes, since that write is the only addition -- and (b) the
+    spurious-refill rate: in a crash-free run the conservative raise
+    pass must never cause a refill on a tick whose delta had no
+    deletes (over-saturation is corrected by the exact pass in the
+    same tick, before the next tick reads it)."""
+    import random
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ siblings)
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.cdc_apply import (
+        apply_changes,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.dynamic_table import (
+        DynamicTableManager,
+    )
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
+        ParquetTableStore,
+    )
+
+    FACT = "id long, grp int, score long"
+    DELTA = "op string, lsn long, id long, grp int, score long"
+    rng = random.Random(14)
+    live: dict[int, tuple[int, int]] = {}
+    next_id = [0]
+
+    def _mk_rows(n):
+        out = []
+        for _ in range(n):
+            i = next_id[0]
+            next_id[0] += 1
+            row = (i, rng.randrange(groups), rng.randrange(1_000_000))
+            live[i] = row[1:]
+            out.append(row)
+        return out
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = ParquetTableStore(tmp)
+        store.overwrite("fact", spark.createDataFrame(_mk_rows(groups * k * 4), FACT))
+        mgr = DynamicTableManager(spark, store)
+        mgr.create_topk(
+            "best", fact_table="fact", group_col="grp", id_col="id",
+            order_col="score", k=k, buffer_factor=2,
+        )
+
+        # classify per-tick sat writes: first = raise-only, second = exact
+        sat_raise_times: list[float] = []
+        tick_sat_writes = [0]
+        real_overwrite = store.overwrite
+
+        def timed_overwrite(name, df, *a, **kw):
+            t0 = time.perf_counter()
+            out = real_overwrite(name, df, *a, **kw)
+            if name == "best__sat":
+                tick_sat_writes[0] += 1
+                if tick_sat_writes[0] == 1:
+                    sat_raise_times.append(time.perf_counter() - t0)
+            return out
+
+        store.overwrite = timed_overwrite
+
+        lags: list[float] = []
+        refills_total = 0
+        spurious_refill_ticks = 0
+        t_all = time.perf_counter()
+        for tick in range(ticks):
+            rows = [("I", tick * 10_000 + j, *r) for j, r in enumerate(_mk_rows(inserts_per_tick))]
+            has_deletes = tick % 4 != 3  # every 4th tick is insert-only
+            if has_deletes and live:
+                victims = rng.sample(sorted(live), min(deletes_per_tick, len(live)))
+                for j, vid in enumerate(victims):
+                    grp, score = live.pop(vid)
+                    rows.append(("D", tick * 10_000 + 5000 + j, vid, grp, score))
+            delta = spark.createDataFrame(rows, DELTA)
+            tick_sat_writes[0] = 0
+            tb = time.perf_counter()
+            store.overwrite("fact", apply_changes(store.read(spark, "fact"), delta, "id"))
+            n_refill = mgr.topk_refresh("best", {"fact": delta})
+            lags.append(time.perf_counter() - tb)
+            refills_total += n_refill
+            if n_refill and not has_deletes:
+                spurious_refill_ticks += 1
+        elapsed = time.perf_counter() - t_all
+        raise_total = sum(sat_raise_times)
+        lags_sorted = sorted(lags)
+        return {
+            "ticks": ticks,
+            "groups": groups,
+            "k": k,
+            "elapsed_sec": round(elapsed, 2),
+            "ticks_per_sec": round(ticks / elapsed, 3),
+            "tick_p50_sec": round(statistics.median(lags), 3),
+            "tick_p95_sec": round(lags_sorted[int(0.95 * (len(lags) - 1))], 3),
+            "sat_raise_write_p50_sec": round(statistics.median(sat_raise_times), 3),
+            "sat_raise_write_total_sec": round(raise_total, 2),
+            "ticks_per_sec_without_raise_pass": round(
+                ticks / max(elapsed - raise_total, 1e-9), 3
+            ),
+            "raise_pass_overhead_pct": round(100.0 * raise_total / elapsed, 1),
+            "refills_total": refills_total,
+            "spurious_refill_ticks": spurious_refill_ticks,
+            "sat_versions_per_tick": 2,
+        }
+
+
 def _soak_media(
     spark,
     ticks: int = 10,
@@ -847,6 +966,14 @@ def main() -> None:
         # curve (quarantine_frac per round) plus the epoch re-split
         # drain is recorded in SCALE.md "quarantine drain"
         print(json.dumps({"metric": "split_soak", **_soak_split(spark)}))
+        spark.stop()
+        return
+
+    if "--soak-topk" in sys.argv:
+        # top-k state-commit soak (VERDICT r13 item 7): steady-state
+        # cost of the two-phase saturation write + observed
+        # spurious-refill rate; recorded in SCALE.md
+        print(json.dumps({"metric": "topk_soak", **_soak_topk(spark)}))
         spark.stop()
         return
 

@@ -742,16 +742,18 @@ _GATE_WINDOW = 50
 #:
 #: r14 budget: 2 new entries (cdc_pipeline_state -- the CDC end-state
 #: hash gate, VERDICT r13 item 5 -- and pq_topk_rerank, item 2) + the
-#: 5 touched entries below = 7 of the 10 free slots.
+#: 7 touched entries below = 9 of the 10 free slots.
 _TOUCHED_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q2_min_cost_supplier",       # r14: part-filter semi-join pushed below
         #   both aggregates (VERDICT item 3)
-        "decontaminate",              # r14: train/test gram frames share one
-        #   cached tokenization scan (VERDICT item 4)
-        "pq_topk",                    # r14: finer-codebook tier + rerank
-        "pq_topk_ivf",                #   default for unclustered corpora
-        "similarity_topk_ivf",        #   (VERDICT item 2; similarity.py kernel)
+        "decontaminate",              # r14: degenerate-partition spread fix
+        #   (corpus.py _spread_small_input; VERDICT item 4)
+        "pq_topk",                    # r14: rerank tier + kmeans_on_sample
+        "pq_topk_ivf",                #   rewritten (O(k n d) init, GEMM
+        "similarity_topk_ivf",        #   Lloyd) -- every centroid-embedding
+        "semantic_dedup",             #   oracle re-derives from the new
+        "semantic_decontaminate",     #   kernel (VERDICT item 2)
     }
 )
 
