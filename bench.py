@@ -518,8 +518,19 @@ def _soak_topk(
             rows = [("I", tick * 10_000 + j, *r) for j, r in enumerate(_mk_rows(inserts_per_tick))]
             has_deletes = tick % 4 != 3  # every 4th tick is insert-only
             if has_deletes and live:
-                victims = rng.sample(sorted(live), min(deletes_per_tick, len(live)))
-                for j, vid in enumerate(victims):
+                victims = set(rng.sample(sorted(live), min(deletes_per_tick, len(live))))
+                if tick % 5 == 0:
+                    # targeted drain: delete the current best rows of a
+                    # few groups so the buffer drops below k and the
+                    # REFILL path actually exercises (uniform deletes
+                    # almost never hit 2k of one group's top rows)
+                    for gsel in range(tick // 5 % groups, tick // 5 % groups + 3):
+                        top = sorted(
+                            (i for i, (g, _s) in live.items() if g == gsel % groups),
+                            key=lambda i: -live[i][1],
+                        )[: 3 * k]
+                        victims.update(top)
+                for j, vid in enumerate(sorted(victims)):
                     grp, score = live.pop(vid)
                     rows.append(("D", tick * 10_000 + 5000 + j, vid, grp, score))
             delta = spark.createDataFrame(rows, DELTA)

@@ -85,6 +85,16 @@ def main(sf_dir: str) -> None:
     print(f"final top-{FINAL_K} after exact rerank:")
     final.show(truncate=False)
 
+    # The same shortlist->rerank split as ONE operator (since r14 the
+    # documented default for unclustered corpora): fine 8x256
+    # codebooks shortlist by ADC, exact cosine restores true ranking.
+    # The stored-index form is search_pq_index(rerank_with=clean).
+    one_call = similarity.topk_pq_rerank(
+        clean, query, k=FINAL_K, n_candidates=PQ_CANDIDATES
+    )
+    print(f"topk_pq_rerank (one-call tier), top-{FINAL_K}:")
+    one_call.show(truncate=False)
+
     spark.stop()
 
 

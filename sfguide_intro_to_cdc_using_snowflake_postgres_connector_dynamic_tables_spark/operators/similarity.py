@@ -431,6 +431,13 @@ def topk_pq_rerank(
     corpus size.  In a stored deployment the same shape is
     :func:`search_pq_index` with ``rerank_with=`` the vector table.
 
+    Tuning at scale (measured, SCALE.md r14 x100 matrix): on large
+    UNCLUSTERED corpora the shortlist is code-resolution-bound, so
+    raise ``m`` before raising ``n_candidates`` -- at 200k isotropic
+    vectors, 8x256 with a 10x larger shortlist only reached 0.77
+    recall@10 while 16x256 with the default 200 candidates read 0.87
+    (the ivf-flat ceiling at that n_probe).
+
     METRIC CONTRACT: the shortlist ranks by squared euclidean ADC --
     L2-normalize before indexing when the metric is cosine (see
     :func:`topk_pq`); the rerank itself is true cosine either way."""
