@@ -257,26 +257,62 @@ class ParquetTableStore:
                 "(stolen after ttl expiry) -- aborting without commit"
             )
 
+    @staticmethod
+    def _manifest_schema(m: dict | None):
+        """StructType recorded in a manifest (r14+ ``schema`` key);
+        None for pre-r14 manifests, which fall back to footer-inferred
+        / mergeSchema reads."""
+        if m and "schema" in m:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(m["schema"])
+        return None
+
+    @staticmethod
+    def _read_parquet(spark: SparkSession, paths: list[str], schema) -> DataFrame:
+        """Parquet read under the manifest-recorded schema when one is
+        available: the explicit schema skips the per-read footer
+        inference job (and mergeSchema's every-file footer sweep --
+        one Spark job per store read, ~19 of the CDC drive's 84 jobs
+        per tick before r14), while files predating an ADD COLUMN
+        still surface the missing columns as NULLs exactly as
+        mergeSchema did."""
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
     def _evolved_schema_dir(
         self, spark: SparkSession, tdir: str, m: dict, rows: DataFrame, stage: str
-    ) -> str:
+    ) -> tuple[str, dict]:
         """Schema evolution for incremental writes: if ``rows``
-        introduce columns the current zero-row schema marker lacks,
-        stamp a fresh union-schema marker under ``stage`` (so empty /
-        fully-pruned reads see the evolved column set) and return its
-        dir; otherwise carry the manifest's marker forward.  ONE
-        definition shared by append() and merge() -- the evolution rule
-        must never diverge between them (ADVICE r4)."""
+        introduce columns the current schema lacks, stamp a fresh
+        union-schema marker under ``stage`` (so empty / fully-pruned
+        reads see the evolved column set) and return its dir; otherwise
+        carry the manifest's marker forward.  ONE definition shared by
+        append() and merge() -- the evolution rule must never diverge
+        between them (ADVICE r4).  Returns ``(schema_dir, schema_json)``
+        with the (possibly evolved) union schema for the new manifest;
+        when the manifest already records its schema the old zero-row
+        marker is never read (no footer job)."""
         schema_dir = m["schema_dir"]
-        marker = spark.read.parquet(os.path.join(tdir, schema_dir))
-        if set(rows.columns) - set(marker.columns):
+        old_schema = self._manifest_schema(m)
+        if old_schema is not None:
+            old_cols = set(old_schema.names)
+            marker = None
+        else:
+            marker = spark.read.parquet(os.path.join(tdir, schema_dir))
+            old_schema = marker.schema
+            old_cols = set(marker.columns)
+        if set(rows.columns) - old_cols:
             schema_dir = f"{stage}-schema"
-            (
-                marker.limit(0)
-                .unionByName(rows.limit(0), allowMissingColumns=True)
-                .write.parquet(os.path.join(tdir, schema_dir))
+            if marker is None:
+                marker = spark.createDataFrame([], old_schema)
+            union = marker.limit(0).unionByName(
+                rows.limit(0), allowMissingColumns=True
             )
-        return schema_dir
+            union.write.parquet(os.path.join(tdir, schema_dir))
+            return schema_dir, union.schema.jsonValue()
+        return schema_dir, old_schema.jsonValue()
 
     @contextlib.contextmanager
     def _claimed(self, name: str, version: int):
@@ -317,6 +353,8 @@ class ParquetTableStore:
             m = self._read_manifest(name, v)
             if m is None:
                 continue
+            if "partitions" not in m:
+                continue  # schema-only manifest of a non-partitioned version
             kept_any_manifest = True
             for rel in list(m["partitions"].values()) + [m["schema_dir"]]:
                 referenced.add(rel.split("/", 1)[0])
@@ -359,8 +397,8 @@ class ParquetTableStore:
         if v is None:
             return None
         m = self._read_manifest(name, v)
-        if m is None:
-            return None
+        if m is None or "key" not in m:
+            return None  # no manifest, or a schema-only (non-partitioned) one
         return m["key"], m["n_buckets"]
 
     def _read_version(self, spark: SparkSession, name: str, v: int) -> DataFrame:
@@ -368,13 +406,17 @@ class ParquetTableStore:
         tdir = self._table_dir(name)
         if m is None:
             return spark.read.parquet(os.path.join(tdir, f"v{v}"))
+        schema = self._manifest_schema(m)
+        if "partitions" not in m:
+            # non-partitioned version with a schema-bearing manifest
+            return self._read_parquet(spark, [os.path.join(tdir, f"v{v}")], schema)
         paths = [os.path.join(tdir, rel) for rel in m["partitions"].values()]
         # the zero-row schema marker makes empty/partial tables readable
         paths.append(os.path.join(tdir, m["schema_dir"]))
-        # mergeSchema: after a schema-evolving merge, untouched buckets
-        # still hold the pre-evolution column set; the union schema is
-        # the table's schema (footer-merge cost is per-file, bounded)
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        # manifest schema (r14+) avoids the footer sweep; pre-r14
+        # manifests fall back to mergeSchema, which reconciles buckets
+        # straddling a schema evolution at per-file footer cost
+        return self._read_parquet(spark, paths, schema)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         v = self.current_version(name)
@@ -488,7 +530,7 @@ class ParquetTableStore:
         if v is None:
             raise FileNotFoundError(f"table {name!r} has no committed version under {self.root}")
         m = self._read_manifest(name, v)
-        if m is None:
+        if m is None or "key" not in m:
             raise ValueError(f"table {name!r} is not partitioned")
         tdir = self._table_dir(name)
         return [
@@ -599,7 +641,11 @@ class ParquetTableStore:
         lose file granularity until the next optimize (standard
         compaction model); they fall back to whole-directory reads."""
         paths, _stats = self._pruned_paths(name, col, lower, upper)
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        v = self.current_version(name)
+        schema = self._manifest_schema(
+            self._read_manifest(name, v) if v is not None else None
+        )
+        df = self._read_parquet(spark, paths, schema)
         if lower is not None:
             df = df.filter(F.col(col) >= F.lit(lower))
         if upper is not None:
@@ -611,7 +657,7 @@ class ParquetTableStore:
         shared by ``read_pruned`` and ``prune_plan``."""
         v = self.current_version(name)
         m = self._read_manifest(name, v) if v is not None else None
-        if m is None:
+        if m is None or "key" not in m:
             raise ValueError(f"table {name!r} is not partitioned")
         keep = self._zone_pruned_buckets(m, col, lower, upper)
         tdir = self._table_dir(name)
@@ -697,11 +743,11 @@ class ParquetTableStore:
         buckets, not to the table."""
         v = self.current_version(name)
         m = self._read_manifest(name, v) if v is not None else None
-        if m is None:
+        if m is None or "key" not in m:
             raise ValueError(f"table {name!r} is not partitioned")
         paths = self.bucket_paths(name, bucket_ids)
         paths.append(os.path.join(self._table_dir(name), m["schema_dir"]))
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_parquet(spark, paths, self._manifest_schema(m))
 
     def versions(self, name: str) -> list[int]:
         """Committed versions still readable on disk, oldest first.
@@ -874,6 +920,8 @@ class ParquetTableStore:
                 path = os.path.join(tdir, f"v{v}")
                 shutil.rmtree(path, ignore_errors=True)  # orphan from a crashed commit
                 df.write.mode("overwrite").parquet(path)
+                # schema-only manifest: readers skip footer inference
+                self._write_manifest(name, v, {"schema": df.schema.jsonValue()})
                 self._commit(name, v)
                 return v
             stage = f"w{v}-{uuid.uuid4().hex[:8]}"
@@ -895,6 +943,7 @@ class ParquetTableStore:
                 "n_buckets": n_buckets,
                 "partitions": partitions,
                 "schema_dir": schema_dir,
+                "schema": df.schema.jsonValue(),
             }
             if zone_cols:
                 manifest["zone_cols"] = list(zone_cols)
@@ -946,6 +995,7 @@ class ParquetTableStore:
             df = self.read_buckets(spark, name, buckets)
         else:
             df = self.read(spark, name)
+        base_schema = df.schema.jsonValue()  # a re-cluster never evolves it
         if zorder_cols:
             from ..operators.zorder import with_morton
 
@@ -991,6 +1041,13 @@ class ParquetTableStore:
                 "partitions": partitions,
                 "schema_dir": schema_dir,
             }
+            # carry the recorded schema; for pre-r14 manifests only the
+            # full rewrite knows the true union schema (an incremental
+            # pass read just the touched buckets)
+            if old_m.get("schema"):
+                manifest["schema"] = old_m["schema"]
+            elif buckets is None:
+                manifest["schema"] = base_schema
             zone_cols = (old_m or {}).get("zone_cols")
             if zone_cols:
                 manifest["zone_cols"] = zone_cols
@@ -1114,7 +1171,7 @@ class ParquetTableStore:
         if v is None:
             raise FileNotFoundError(f"append target {name!r} does not exist")
         m = self._read_manifest(name, v)
-        if m is None:
+        if m is None or "key" not in m:
             raise ValueError(f"table {name!r} is not partitioned; use overwrite()")
         key, B = m["key"], m["n_buckets"]
         tdir = self._table_dir(name)
@@ -1131,7 +1188,9 @@ class ParquetTableStore:
                 if str(b) in m["partitions"]
             ]
             if old_paths:
-                old_rows = spark.read.option("mergeSchema", "true").parquet(*old_paths)
+                old_rows = self._read_parquet(
+                    spark, old_paths, self._manifest_schema(m)
+                )
                 new_rows = old_rows.unionByName(rows, allowMissingColumns=True)
             else:
                 new_rows = rows
@@ -1151,12 +1210,15 @@ class ParquetTableStore:
                 }
                 partitions = dict(m["partitions"])
                 partitions.update(written)
-                schema_dir = self._evolved_schema_dir(spark, tdir, m, rows, stage)
+                schema_dir, schema_json = self._evolved_schema_dir(
+                    spark, tdir, m, rows, stage
+                )
                 manifest = {
                     "key": key,
                     "n_buckets": B,
                     "partitions": partitions,
                     "schema_dir": schema_dir,
+                    "schema": schema_json,
                 }
                 zone_cols = m.get("zone_cols")
                 if zone_cols:
@@ -1226,6 +1288,7 @@ class ParquetTableStore:
                 "n_buckets": n_buckets,
                 "partitions": partitions,
                 "schema_dir": schema_dir,
+                "schema": df.schema.jsonValue(),
             }
             old_m = self._read_manifest(name, v - 1)
             zone_cols = (old_m or {}).get("zone_cols")
@@ -1255,7 +1318,7 @@ class ParquetTableStore:
         if v is None:
             raise FileNotFoundError(f"merge target {name!r} does not exist")
         m = self._read_manifest(name, v)
-        if m is None:
+        if m is None or "key" not in m:
             raise ValueError(f"table {name!r} is not partitioned; use overwrite()")
         key, B = m["key"], m["n_buckets"]
         tdir = self._table_dir(name)
@@ -1276,10 +1339,13 @@ class ParquetTableStore:
                 if str(b) in m["partitions"]
             ]
             if old_paths:
-                # mergeSchema: touched buckets may straddle a schema
-                # evolution (some rewritten since the ADD COLUMN, some
-                # not); allowMissingColumns widens old rows with NULLs
-                old_rows = spark.read.option("mergeSchema", "true").parquet(*old_paths)
+                # manifest schema (r14+): buckets straddling an ADD
+                # COLUMN read under the union schema with NULLs for
+                # missing columns, no footer sweep; pre-r14 manifests
+                # fall back to mergeSchema
+                old_rows = self._read_parquet(
+                    spark, old_paths, self._manifest_schema(m)
+                )
                 kept = old_rows.join(F.broadcast(keys), on=key, how="left_anti")
                 new_rows = kept.unionByName(upserts, allowMissingColumns=True)
             else:
@@ -1303,7 +1369,7 @@ class ParquetTableStore:
                 for b in touched:
                     partitions.pop(str(b), None)  # bucket may have emptied
                 partitions.update(written)
-                schema_dir = self._evolved_schema_dir(
+                schema_dir, schema_json = self._evolved_schema_dir(
                     spark, tdir, m, new_rows, stage
                 )
                 manifest = {
@@ -1311,6 +1377,7 @@ class ParquetTableStore:
                     "n_buckets": B,
                     "partitions": partitions,
                     "schema_dir": schema_dir,
+                    "schema": schema_json,
                 }
                 zone_cols = m.get("zone_cols")
                 if zone_cols:
