@@ -295,20 +295,60 @@ def pq_distance_tables(
     return tables
 
 
-def _adc_dist(tables: list[list[float]], codes_col) -> "F.Column":
+#: m*k above which the ADC tables ride a one-row broadcast instead of
+#: inline literals: a PySpark list literal is a CreateArray with one
+#: child PER ELEMENT, so an 8x256 codebook costs a 2048-node expression
+#: tree of analyzer/codegen work PER QUERY (measured ~1 s of driver
+#: plan time on the rerank tier at sf0.1) while the scan math is
+#: identical either way.
+_ADC_LITERAL_MAX = 256
+
+
+def _adc_dist(tables: list[list[float]], codes_col, flat_col=None) -> "F.Column":
     """The ADC scoring expression: approximate distance as the SUM of
-    m ``element_at`` lookups into literal per-subspace tables -- pure
-    whole-stage-codegen, no Python in the scan.  The ONE place the
-    scoring convention lives (inline top-k and stored-index search
-    both compile through it, so a tweak cannot drift between them)."""
+    m ``element_at`` lookups -- pure whole-stage-codegen, no Python in
+    the scan.  The ONE place the scoring convention lives (inline
+    top-k and stored-index search both compile through it, so a tweak
+    cannot drift between them).  With ``flat_col`` the lookups index a
+    FLATTENED (m*k) table column (row-major: subspace s at offset
+    s*k) carried on a one-row broadcast; otherwise each subspace's
+    table is an inline literal array."""
+    k = len(tables[0])
     dist = None
     for s, t in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in t]),
-            codes_col[s] + 1,
-        )
+        if flat_col is not None:
+            term = F.element_at(flat_col, codes_col[s] + s * k + 1)
+        else:
+            term = F.element_at(
+                F.array(*[F.lit(float(x)) for x in t]),
+                codes_col[s] + 1,
+            )
         dist = term if dist is None else dist + term
     return dist
+
+
+def _with_adc_dist(
+    df: DataFrame, tables: list[list[float]], codes_col, out: str = "approx_dist"
+) -> DataFrame:
+    """Attach the ADC distance column, choosing the representation by
+    table size: inline literal arrays for small codebooks (cheapest
+    plan, zero joins), a single-row broadcast carrying the flattened
+    table for large ones (the 8x256 rerank tier) -- the same
+    bounded-driver-artifact pattern as the Bloom bitmap in
+    operators/corpus.py, for the same reason (a m*k-child literal
+    tree is analyzer-time-quadratic in practice, the broadcast row is
+    one expression node)."""
+    if sum(len(t) for t in tables) <= _ADC_LITERAL_MAX:
+        return df.withColumn(out, _adc_dist(tables, codes_col))
+    flat = [float(x) for t in tables for x in t]
+    row = df.sparkSession.createDataFrame(
+        [(flat,)], schema="__adc_tbl array<double>"
+    )
+    return (
+        df.crossJoin(F.broadcast(row))
+        .withColumn(out, _adc_dist(tables, codes_col, F.col("__adc_tbl")))
+        .drop("__adc_tbl")
+    )
 
 
 def topk_pq(
@@ -355,9 +395,8 @@ def topk_pq(
     tables = pq_distance_tables(codebooks, query_vec)
     encoded = pq_encode(emb, codebooks, vec_col)
     return (
-        encoded.select(
-            F.col(id_col), _adc_dist(tables, F.col("pq_codes")).alias("approx_dist")
-        )
+        _with_adc_dist(encoded, tables, F.col("pq_codes"))
+        .select(F.col(id_col), "approx_dist")
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
@@ -454,10 +493,8 @@ def topk_pq_rerank(
     pruned = assigned.filter(F.col("__cell").isin(probed)).drop("__cell")
     encoded = pq_encode(pruned, codebooks, vec_col)
     shortlist = (
-        encoded.select(
-            F.col(id_col),
-            _adc_dist(tables, F.col("pq_codes")).alias("approx_dist"),
-        )
+        _with_adc_dist(encoded, tables, F.col("pq_codes"))
+        .select(F.col(id_col), "approx_dist")
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(n_candidates)
     )
@@ -534,8 +571,8 @@ def search_pq_index(
     probed = probe_cells(centroids, qv, n_probe)
     tables = pq_distance_tables(codebooks, qv)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    scored = idx.select(
-        F.col(id_col), _adc_dist(tables, F.col("pq_codes")).alias("approx_dist")
+    scored = _with_adc_dist(idx, tables, F.col("pq_codes")).select(
+        F.col(id_col), "approx_dist"
     )
     if rerank_with is None:
         return scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)
