@@ -179,13 +179,23 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact form is operators/window_ops.py::exact_percentiles
     # (differential-tested equal) and the sketch bounds are
     # operators/sketches.py.
+    # both l_quantity percentiles from ONE aggregation buffer (array
+    # percentage form): the Percentile buffer is a per-group value->
+    # count map, so two scalar calls on the same column build and
+    # serialize that map twice -- the array form builds it once and
+    # evaluates both cut points from it, bit-identical results
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile("l_quantity", 0.5).alias("median_qty"),
-            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.percentile("l_quantity", [0.5, 0.9]).alias("__qty_pcts"),
             F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("__qty_pcts")[0].alias("median_qty"),
+            F.col("__qty_pcts")[1].alias("p90_qty"),
+            "median_price",
         )
     )
 
@@ -1353,11 +1363,25 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("tk", 2, n - 1),
         lambda a, b: F.concat_ws("\x1f", a, b),
     )
-    dbg = toks.filter(n >= 2).select("doc_id", F.explode(bigrams).alias("bg"))
+    # tokens() is an interpreted HOF (filter over split -- no codegen),
+    # and this plan re-evaluated it once per consumer: the dbg join
+    # side, cbg, uni->cw, and uni->v each re-tokenized the corpus (~5
+    # passes).  Materialize the exploded bigrams and the word counts
+    # ONCE (the same localCheckpoint-shared-scan pattern as
+    # basket_rules), and derive the vocabulary size from cw's row
+    # count instead of a third tokenize+distinct pass -- 5 tokenize
+    # passes -> 2.
+    dbg = toks.filter(n >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).localCheckpoint()
     cbg = dbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    uni = toks.select(F.explode("tk").alias("w"))
-    cw = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    v = uni.select(F.count_distinct("w").alias("v"))
+    cw = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint()
+    )
+    v = cw.select(F.count(F.lit(1)).alias("v"))
     return (
         dbg.join(cbg, "bg")
         .withColumn("w1", F.split("bg", "\x1f").getItem(0))
@@ -1548,9 +1572,18 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
+    # item_n is bounded by the part-key domain (|parts| rows, ~20k at
+    # sf0.1) -- broadcast both join instances so the 10x-larger pair
+    # frame never shuffles for them (post-agg size estimates are too
+    # coarse for the planner to pick this on its own): 2 Exchange -> 0
+    # on the rule-assembly joins
     return (
-        pair_n.join(item_n.withColumnsRenamed({"item": "a", "n_item": "n_a"}), "a")
-        .join(item_n.withColumnsRenamed({"item": "b", "n_item": "n_b"}), "b")
+        pair_n.join(
+            F.broadcast(item_n.withColumnsRenamed({"item": "a", "n_item": "n_a"})), "a"
+        )
+        .join(
+            F.broadcast(item_n.withColumnsRenamed({"item": "b", "n_item": "n_b"})), "b"
+        )
         .crossJoin(F.broadcast(n_orders))
         .select(
             "a",
