@@ -400,18 +400,27 @@ def bm25_topk(
     deterministic.
     """
     toks = tokens(F.col(text_col))
-    lens = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("doc_len"))
-    stats = lens.agg(
+    # ONE tokenize pass over the corpus (r14): tokens() is an
+    # interpreted HOF (no codegen), and the previous shape evaluated
+    # it once for the stats subtree and once for the postings subtree
+    # (2 full passes; an earlier no-op-distinct trick kept it from
+    # being 3).  Here a single projection computes the doc length AND
+    # the tokens matching the query bag (a tiny per-doc array -- the
+    # filter is the inverted-index probe, applied before anything
+    # shuffles or materializes), localCheckpointed so corpus stats and
+    # postings both read the materialized ~3-column frame instead of
+    # re-tokenizing text.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("doc_len"),
+        F.filter(toks, lambda t: t.isin(*query_terms)).alias("__qtk"),
+    ).localCheckpoint()
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("doc_len").alias("avgdl"),
     )
-    postings = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(toks).alias("doc_len"),
-            F.explode(toks).alias("token"),
-        )
-        .filter(F.col("token").isin(*query_terms))
+    postings = base.select(
+        "doc_id", "doc_len", F.explode("__qtk").alias("token")
     )
     # doc_len is functionally dependent on doc_id; keeping it in the
     # grouping key carries it through without a join back to the full
@@ -420,23 +429,9 @@ def bm25_topk(
         F.count(F.lit(1)).alias("tf")
     )
     # tf has exactly one row per (doc, term) -- ``id_col`` is a
-    # document id and expected unique (duplicated ids would count once
-    # per distinct (id, doc_len) group) -- so document frequency is a
-    # re-aggregation of tf.  The no-op-looking distinct() matters: it
-    # keeps the ``tf`` VALUE in this branch's required columns, so the
-    # branch's postings subtree stays canonically identical to the
-    # join branch's and the EXECUTED plan computes it once
-    # (ReusedExchange, single corpus scan for the postings -- pinned
-    # in tests/test_plans.py).  Without it, column pruning rewrites
-    # this branch's tf aggregate to keys-only (count(tf) simplifies
-    # away too, the optimizer knows tf is never null), the subtrees
-    # diverge, and the corpus is scanned twice.
-    df_tbl = (
-        tf.select("doc_id", "token", "tf")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # document id and expected unique -- so document frequency is a
+    # row count per token over tf.
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

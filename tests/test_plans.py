@@ -352,17 +352,18 @@ def test_global_sort_uses_range_partitioning(spark):
 
 
 def test_bm25_single_corpus_scan_for_postings(spark):
-    """BM25's document-frequency branch re-aggregates tf; counting the
-    tf COLUMN keeps both branches' subtrees canonically equal, so the
-    executed plan computes the postings subtree once (ReusedExchange).
-    Guard the scan count too: postings once + the corpus-stats pass =
-    2 FileScans, never 3."""
+    """BM25 (r14): ONE tokenize pass total.  The doc-length +
+    query-token projection is localCheckpointed, so the executed query
+    plan reads the materialized frame (Scan ExistingRDD) and touches
+    the corpus parquet ZERO times -- corpus stats and postings both
+    derive from the checkpoint instead of re-running the interpreted
+    tokens() HOF over the text column."""
     df = CATALOG["bm25_topk"][0](spark, SF)
     df.collect()
     executed = plan_of(df, mode="simple")
     final = executed.split("+- == Initial Plan ==")[0]
-    assert "ReusedExchange" in final
-    assert final.count("FileScan parquet") == 2
+    assert final.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in final
 
 
 def test_pq_topk_codegen_scoring_takeordered(spark):
