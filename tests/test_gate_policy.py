@@ -134,10 +134,17 @@ def test_rotation_self_heals_when_next_record_lands(monkeypatch):
                 # touched entries seat only after every must-rotate
                 # entry has; a trimmed touched entry defers to the next
                 # round (still oracle-covered) instead of spilling a
-                # stale-at-limit entry
+                # stale-at-limit entry; and once THIS round's record is
+                # on disk, a touched entry green in it is already
+                # driver-verified and no longer needs a seat (r14)
+                verified = (
+                    new_round >= cat._TOUCHED_ROUND
+                    and last_green.get(n) == new_round
+                )
                 if (
                     n in cat._TOUCHED_THIS_ROUND
                     and n not in cat._GATE_TOUCHED_TRIMMED
+                    and not verified
                 ):
                     assert n in window, (step, n)
         # one full rotation cycle later, NO entry anywhere (window or
@@ -241,6 +248,48 @@ def test_rotation_trims_touched_before_spilling_stale(monkeypatch):
         assert set(cat._GATE_TOUCHED_TRIMMED) == set(touched)
         assert cat._GATE_FORCED_OVERFLOW == ()
         assert not (set(touched) & window)
+    finally:
+        monkeypatch.undo()
+        cat._reorder_for_gate()
+        assert cat._GATE_TOUCHED_TRIMMED == ()
+
+
+def test_touched_stops_forcing_once_this_rounds_record_lands(monkeypatch):
+    """r14 policy: once the driver record FOR the touched set's own
+    round (``_TOUCHED_ROUND``) is on disk, a touched entry green in it
+    has had its modified code driver-verified and stops forcing a
+    seat.  Without this, the freshly-landed record shrinks the free
+    capacity (the just-seated stale entries went fresh, the NEXT
+    stale cohort seats) while every touched entry still forces -- and
+    the no-trim invariant goes red the moment the record lands, which
+    is exactly the r11/r12 round-close failure class VERDICT r13
+    item 6 flags."""
+    from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.plans import (
+        catalog as cat,
+    )
+
+    names = sorted(cat.CATALOG)
+    w = cat._GATE_WINDOW
+    tr = cat._TOUCHED_ROUND
+    stale_names = names[: w - 2]  # stale-at-limit: last green tr-2
+    touched = frozenset(names[w : w + 5])  # green in THIS round's record
+    records = [
+        (tr - 2, {n: {"hash_match": True} for n in names}),
+        (tr - 1, {n: {"hash_match": True} for n in names if n not in stale_names}),
+        (tr, {n: {"hash_match": True} for n in touched}),
+    ]
+    monkeypatch.setattr(cat, "_recorded_rounds", lambda: records)
+    monkeypatch.setattr(cat, "_TOUCHED_THIS_ROUND", touched)
+    try:
+        cat._reorder_for_gate()
+        window = set(list(cat.CATALOG)[:w])
+        # free capacity (2) < |touched| (5), but none of the touched
+        # entries force -- their re-verification already happened in
+        # this round's record -- so nothing is trimmed and every
+        # stale-at-limit entry still seats
+        assert set(stale_names) <= window
+        assert cat._GATE_TOUCHED_TRIMMED == ()
+        assert cat._GATE_FORCED_OVERFLOW == ()
     finally:
         monkeypatch.undo()
         cat._reorder_for_gate()
