@@ -418,10 +418,15 @@ def decontaminate(
     is broadcast and the check is a map-side semi join -- one shuffle
     total (the per-doc count), no matter how large the train side is.
     """
-    from .text import tokens
+    from .text import word_grams_arrow
 
     split = assign_split(_spread_small_input(docs), id_col=id_col, salt=salt)
-    grams = _word_grams(tokens(F.col(text_col)), n)
+    # Arrow-batched gram builder (r14): byte-identical to
+    # _word_grams(tokens(...), n) but ~4x faster -- the interpreted
+    # HOF formulation ran once per consumer branch (bench + train).
+    # The split filters still push below the Python eval (split is not
+    # a UDF output), so each branch only pays Arrow for its own rows.
+    grams = word_grams_arrow(F.col(text_col), n)
     exploded = split.select(
         F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
     )
