@@ -1559,10 +1559,16 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_orders = sets.select(F.count(F.lit(1)).alias("n_orders"))
+    # materialized once (r14): the a-side and b-side joins alias the
+    # counts differently, so their subtrees are not canonically equal
+    # and ReuseExchange cannot kick in -- without the checkpoint the
+    # explode+aggregate ran twice (plan showed two independent
+    # Exchange->BroadcastExchange item_n subtrees)
     item_n = (
         sets.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
+        .localCheckpoint()
     )
     pair_n = (
         sets.select(F.explode("items").alias("a"), "items")
