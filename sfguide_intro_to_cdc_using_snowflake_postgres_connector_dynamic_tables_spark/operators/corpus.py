@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..session import one_partition_df
+
 # hex-decode of the first two md5 nibbles -> uniform bucket in [0, 256);
 # Spark uses conv(hex, 16, 10), the DuckDB oracle strpos nibble
 # arithmetic (same trick as the simhash oracle, plans/catalog_ext.py) --
@@ -536,7 +538,12 @@ def bloom_decontaminate(
     """
     from .text import word_grams_arrow
 
-    split = assign_split(docs, id_col=id_col, salt=salt)
+    # same degenerate-partitioning guard as decontaminate(): the sf0.1
+    # documents table is ONE parquet file = one scan partition, so the
+    # probe pass (train-split grams + 3 md5 probes per gram, the
+    # entry's only heavy map stage) ran on a single core.  No-op when
+    # the scan already yields >= cores partitions.
+    split = assign_split(_spread_small_input(docs), id_col=id_col, salt=salt)
     # Arrow-batched gram builder: byte-identical output to
     # _word_grams(tokens(...), n) but ~4x faster (HOFs are interpreted,
     # not codegen'd -- see text.word_grams_arrow)
@@ -559,8 +566,8 @@ def bloom_decontaminate(
     # costs ~20 s of analyzer time per query) and is consumed inside
     # the same codegen stage as the filter, so it is never copied into
     # per-gram rows.
-    bloom_row = docs.sparkSession.createDataFrame(
-        [(words,)], schema="bloom array<bigint>"
+    bloom_row = one_partition_df(
+        docs.sparkSession, [(words,)], "bloom array<bigint>"
     )
     pow2 = F.lit([1 << j for j in range(32)])
     hits = train.crossJoin(F.broadcast(bloom_row))

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..session import one_partition_df
 from .quality_model import threshold_for_keep_rate
 
 __all__ = [
@@ -300,8 +301,8 @@ def precision_recall_at_k(
         F.col(label_col).cast("long").alias("__lbl"),
         F.row_number().over(w).alias("__rank"),
     )
-    ks_df = ranked.sparkSession.createDataFrame(
-        [(int(k),) for k in sorted(set(ks))], ["k"]
+    ks_df = one_partition_df(
+        ranked.sparkSession, [(int(k),) for k in sorted(set(ks))], "k long"
     )
     return (
         ranked.join(ks_df, F.col("__rank") <= F.col("k"))

@@ -23,6 +23,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import one_partition_df
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -341,8 +343,8 @@ def _with_adc_dist(
     if sum(len(t) for t in tables) <= _ADC_LITERAL_MAX:
         return df.withColumn(out, _adc_dist(tables, codes_col))
     flat = [float(x) for t in tables for x in t]
-    row = df.sparkSession.createDataFrame(
-        [(flat,)], schema="__adc_tbl array<double>"
+    row = one_partition_df(
+        df.sparkSession, [(flat,)], "__adc_tbl array<double>"
     )
     return (
         df.crossJoin(F.broadcast(row))

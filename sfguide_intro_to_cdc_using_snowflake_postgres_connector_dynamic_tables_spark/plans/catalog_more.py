@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text
+from ..operators.corpus import _spread_small_input
 from ..operators.window_ops import analytic_window, asof_join, sessionize
 from ..sources.testdata import load_table
 
@@ -1558,6 +1559,14 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set(F.col("l_partkey")).alias("items"))
         .localCheckpoint()
     )
+    # AQE right-sizes the grouped output by bytes (~5 MB at sf0.1 ->
+    # ONE partition), so the double explode below -- the entry's only
+    # heavy map stage, ~basket-size^2 row amplification -- ran on a
+    # single core (profiled: 1.8 s of a 4 s warm pass in one task).
+    # Spread the checkpointed frame to core count for the explode
+    # consumers; fires only when partitions < cores, so at scale,
+    # where the agg output is already wide, it is a no-op.
+    spread = _spread_small_input(sets)
     n_orders = sets.select(F.count(F.lit(1)).alias("n_orders"))
     # materialized once (r14): the a-side and b-side joins alias the
     # counts differently, so their subtrees are not canonically equal
@@ -1565,18 +1574,28 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+aggregate ran twice (plan showed two independent
     # Exchange->BroadcastExchange item_n subtrees)
     item_n = (
-        sets.select(F.explode("items").alias("item"))
+        spread.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
         .localCheckpoint()
     )
-    pair_n = (
-        sets.select(F.explode("items").alias("a"), "items")
+    # co-occurrence counts are symmetric (n_ab == n_ba: both count the
+    # baskets holding {a,b}), so aggregate ordered a<b pairs only --
+    # HALF the exploded rows, half the pair-shuffle bytes, half the
+    # aggregate groups -- and emit the mirrored direction afterwards.
+    # The union's second branch is a projection over the same aggregate
+    # subtree, so the executed plan reuses the pair exchange instead of
+    # re-running the explode.
+    half = (
+        spread.select(F.explode("items").alias("a"), "items")
         .select("a", F.explode("items").alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
+    )
+    pair_n = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_ab")
     )
     # item_n is bounded by the part-key domain (|parts| rows, ~20k at
     # sf0.1) -- broadcast both join instances so the 10x-larger pair

@@ -121,3 +121,21 @@ def get_spark(
     for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def one_partition_df(spark: SparkSession, rows: list, schema: str):
+    """Tiny driver-side rows as a SINGLE-partition DataFrame.
+
+    ``createDataFrame(list, ...)`` parallelizes the list over
+    ``defaultParallelism`` slices -- a one-row broadcast side (the
+    Bloom bitmap, the flattened ADC table, a handful of cut-off ks)
+    becomes 32 mostly-empty Python-RDD partitions, and every action
+    that builds the broadcast pays 32 Python task round-trips
+    (measured ~2.3 s vs ~0.25 s for the 1-slice form on local[32]).
+    Pin ``numSlices=1``: the payload is bounded driver-side data by
+    contract at every call site, so one partition is the right shape
+    at any scale.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )

@@ -434,6 +434,21 @@ def test_basket_rules_broadcasts_order_count(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_basket_rules_mirrored_pairs_reuse_the_exchange(spark):
+    """r14 row 12: co-occurrence is counted over ordered a<b pairs only
+    and mirrored via a projection union; the initial plan prints the
+    union branch as a duplicate explode+aggregate subtree, but the
+    EXECUTED plan must dedup it (ReusedExchange on the pair exchange)
+    so the basket explode and partial aggregate run exactly once."""
+    df = CATALOG["basket_rules"][0](spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "Union" in plan
+    df.collect()  # AQE exchange reuse only shows in the executed plan
+    executed = plan_of(df, mode="simple")
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+
+
 def test_corpus_filter_single_scan_single_shuffle(spark):
     # r9 fusion: quality+language+md5 in ONE projection of ONE scan,
     # gates filtered BEFORE the keeper window -- a second documents
