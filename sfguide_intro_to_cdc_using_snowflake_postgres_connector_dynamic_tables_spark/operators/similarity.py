@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..blas import single_thread_blas
 from ..session import one_partition_df
 
 
@@ -72,9 +73,24 @@ def kmeans_on_sample(
     """Seeded Lloyd's k-means (the IVF coarse quantizer), kmeans++-style
     spread init.  Pure numpy on an in-memory sample so the engine and
     the oracle generator (plans/catalog_ext.py) derive bit-identical
-    centroids from the same rows."""
+    centroids from the same rows.
+
+    Runs under ``single_thread_blas``: the k-means++ loop issues one
+    tiny GEMV per chosen center, and OpenBLAS's default all-cores pool
+    costs ~3.7 ms/call in wake-up overhead (vs ~10 us of math) while
+    its spinning threads fight the local-mode task threads -- the r14
+    driver record's pq_topk_rerank 25.5 s-warm collapse.  Centroids are
+    bit-identical across pool sizes (pinned by tests/test_blas.py), and
+    the oracle generators share this function either way."""
     if len(X) == 0:
         raise ValueError("k-means needs at least one sample vector")
+    with single_thread_blas():
+        return _kmeans_on_sample_pinned(X, n_cells, seed, iters)
+
+
+def _kmeans_on_sample_pinned(
+    X: "np.ndarray", n_cells: int, seed: int, iters: int
+) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(X))
     # k-means++ init.  d2 (distance to the NEAREST chosen center) is

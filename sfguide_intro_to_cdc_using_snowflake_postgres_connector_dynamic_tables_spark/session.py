@@ -114,6 +114,16 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # Python workers inherit the driver environment (driver -> JVM ->
+    # worker daemon), and numpy's bundled OpenBLAS otherwise sizes its
+    # pool to every visible core PER WORKER: 32 concurrent tasks x a
+    # 32-thread BLAS pool is pure oversubscription at full parallelism
+    # (the driver-side twin of this fix -- and the measurements -- live
+    # in blas.py).  setdefault so an operator that genuinely wants a
+    # threaded worker BLAS can export its own value first.  Must happen
+    # before the JVM launches; too late for the driver's own numpy,
+    # which blas.single_thread_blas handles via ctypes.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     builder = SparkSession.builder.appName(app_name).master(master)
     merged = dict(DEFAULT_CONF)
     if conf:
