@@ -424,11 +424,15 @@ def decontaminate(
 
     split = assign_split(_spread_small_input(docs), id_col=id_col, salt=salt)
     # Arrow-batched gram builder (r14): byte-identical to
-    # _word_grams(tokens(...), n) but ~4x faster -- the interpreted
-    # HOF formulation ran once per consumer branch (bench + train).
-    # The split filters still push below the Python eval (split is not
-    # a UDF output), so each branch only pays Arrow for its own rows.
-    grams = word_grams_arrow(F.col(text_col), n)
+    # _word_grams(tokens(...), n) (distinct=True matches its
+    # array_distinct) and ~4x faster -- the interpreted HOF formulation
+    # ran once per consumer branch (bench + train).  Per-doc dedup also
+    # shrinks the exploded row count on repetitive docs; results are
+    # unchanged either way (bench side is .distinct(), train side
+    # count_distinct).  The split filters still push below the Python
+    # eval (split is not a UDF output), so each branch only pays Arrow
+    # for its own rows.
+    grams = word_grams_arrow(F.col(text_col), n, distinct=True)
     exploded = split.select(
         F.col(id_col).alias("doc_id"), "split", F.explode(grams).alias("gram")
     )
@@ -441,9 +445,11 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_shared"))
     )
-    train_ids = split.filter(F.col("split") == "train").select(
-        F.col(id_col).alias("doc_id")
-    )
+    # unspread split for the id-only branch -- see bloom_decontaminate:
+    # the spread exchange only pays for the gram branches
+    train_ids = assign_split(docs, id_col=id_col, salt=salt).filter(
+        F.col("split") == "train"
+    ).select(F.col(id_col).alias("doc_id"))
     return train_ids.join(shared, "doc_id", "left").select(
         "doc_id", F.coalesce("n_shared", F.lit(0)).alias("n_shared")
     )
@@ -585,9 +591,15 @@ def bloom_decontaminate(
     # doc), so a plain count IS the distinct flagged-gram count -- no
     # dedup pass needed
     hits = hits.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
-    train_ids = split.filter(F.col("split") == "train").select(
-        F.col(id_col).alias("doc_id")
-    )
+    # train_ids derives from an UNSPREAD split: the round-robin spread
+    # only helps the gram/probe branch, and on this id-only branch it
+    # was a wasted exchange immediately re-partitioned by the join
+    # (plan showed RoundRobinPartitioning -> hashpartitioning back to
+    # back).  assign_split is a deterministic function of the id, so
+    # both derivations agree row-for-row regardless of partitioning.
+    train_ids = assign_split(docs, id_col=id_col, salt=salt).filter(
+        F.col("split") == "train"
+    ).select(F.col(id_col).alias("doc_id"))
     return train_ids.join(hits, "doc_id", "left").select(
         "doc_id", F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged")
     )

@@ -398,6 +398,13 @@ def bm25_topk(
     inverted-index probe); the final top-k is TakeOrdered -- no global
     sort.  Ties break on ``doc_id`` so the cut at ``k`` is
     deterministic.
+
+    CONSTRUCTION IS EAGER (ADVICE r14): the single-tokenize-pass plan
+    below rides an eager ``localCheckpoint``, so *building* this
+    DataFrame runs the corpus tokenize job and pins its result to the
+    current executors (no lost-executor recompute -- fine in local
+    mode, a deliberate trade on a cluster).  Callers that only want to
+    inspect a plan shape should not construct this operator.
     """
     toks = tokens(F.col(text_col))
     # ONE tokenize pass over the corpus (r14): tokens() is an

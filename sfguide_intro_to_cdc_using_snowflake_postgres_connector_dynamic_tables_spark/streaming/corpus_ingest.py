@@ -399,13 +399,18 @@ def _doc_grams(docs: DataFrame, n: int, salt: str = "") -> DataFrame:
 
     split = assign_split(docs, salt=salt)
     # Arrow-batched gram builder (r14): byte-identical to the
-    # interpreted _word_grams(tokens(...)) chain and ~4x faster --
-    # keeps the incremental index grams bit-equal to the batch
-    # decontaminate path, which moved to the same builder this round.
+    # interpreted _word_grams(tokens(...)) chain (distinct=True is its
+    # array_distinct) and ~4x faster -- keeps the incremental index
+    # grams bit-equal to the batch decontaminate path.  Per-doc dedup
+    # here is load-bearing for the INDEX paths: without it a doc with
+    # repeated n-grams appends duplicate (doc_id, gram) postings (the
+    # anti-joins only dedup against STORED rows, not within-batch),
+    # breaking the total==distinct index invariant and inflating probe
+    # I/O with history (ADVICE r14).
     return split.select(
         "doc_id",
         "split",
-        F.explode(word_grams_arrow(F.col("text"), n)).alias("gram"),
+        F.explode(word_grams_arrow(F.col("text"), n, distinct=True)).alias("gram"),
     )
 
 

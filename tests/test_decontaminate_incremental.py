@@ -254,6 +254,36 @@ def test_train_postings_index_survives_increment_replay(spark, tmp_path):
     assert rg.filter(rg.doc_id == trains[0]).count() > 0
 
 
+def test_repetitive_text_postings_distinct_within_one_batch(spark, tmp_path):
+    """A doc whose text REPEATS an n-gram used to append duplicate
+    (doc_id, gram) postings from a SINGLE increment: the replay
+    anti-joins only dedup against STORED rows, not within-batch, so
+    the total==distinct index invariant held only for repeat-free
+    texts (ADVICE r14).  The gram builder now dedups per doc
+    (distinct=True, matching _word_grams' array_distinct); one
+    increment carrying a repetitive train doc must land exactly one
+    posting row per distinct gram."""
+    sm = _split_map(spark)
+    trains = [i for i in range(400) if sm[i] == "train"]
+    tests = [i for i in range(400) if sm[i] == "test"]
+    store = ParquetTableStore(str(tmp_path / "store"))
+    boot = spark.createDataFrame([_doc(tests[0])], ["doc_id", "text"])
+    store.overwrite("corpus", boot, partition_key="doc_id", n_buckets=4)
+    # 'zz yy xx' three times: every 3-gram of the repeated span occurs
+    # more than once in the doc
+    rep = (trains[0], "zz yy xx zz yy xx zz yy xx")
+    decontaminate_incremental(
+        store, spark, "corpus",
+        spark.createDataFrame([rep], ["doc_id", "text"]),
+        n=N, n_buckets=4,
+    ).collect()
+    rg = store.read(spark, train_grams_table_name("corpus", N))
+    mine = rg.filter(rg.doc_id == trains[0])
+    total = mine.count()
+    distinct = mine.select("gram").distinct().count()
+    assert total == distinct > 0, f"{total - distinct} duplicate posting rows"
+
+
 def test_randomized_increments_match_full_recompute(spark, tmp_path):
     sm = _split_map(spark)
     rng = random.Random(17)
