@@ -289,19 +289,33 @@ class DynamicTableManager:
                     how="left_semi",
                 ).select(F.col(anchor))
                 affected = affected.unionByName(old_keys)
-        for dim_table, (fact_fk, dim_pk) in dt.dims.items():
-            dim_delta = relevant.get(dim_table)
-            if dim_delta is None:
-                continue
-            changed_keys = dim_delta.select(F.col(dim_pk)).distinct()
-            hit = (
-                fact.join(
-                    F.broadcast(changed_keys),
-                    fact[fact_fk] == changed_keys[dim_pk],
-                    "left_semi",
+        # dim-changed fact rows in ONE fact scan (r15): the previous
+        # shape unioned one fact⋈dim-keys semi-join PER changed dim --
+        # three full fact scans per tick on the reference star.  One
+        # scan with a broadcast existence-probe per changed dim (left
+        # join against the DISTINCT key set -- unique keys, so no row
+        # multiplication -- then keep rows where any probe hit) yields
+        # the same affected set; the union's cross-dim duplicates only
+        # ever fed semi/anti joins, so dropping them changes nothing.
+        dim_probes = [
+            (i, fact_fk, dim_pk, relevant[dim_table])
+            for i, (dim_table, (fact_fk, dim_pk)) in enumerate(dt.dims.items())
+            if dim_table in relevant
+        ]
+        if dim_probes:
+            probe = fact
+            hit_any = F.lit(False)
+            for i, fact_fk, dim_pk, dim_delta in dim_probes:
+                ck = (
+                    dim_delta.select(F.col(dim_pk).alias(f"__dk{i}"))
+                    .distinct()
+                    .withColumn(f"__hit{i}", F.lit(True))
                 )
-                .select(F.col(anchor))
-            )
+                probe = probe.join(
+                    F.broadcast(ck), probe[fact_fk] == F.col(f"__dk{i}"), "left"
+                )
+                hit_any = hit_any | F.coalesce(F.col(f"__hit{i}"), F.lit(False))
+            hit = probe.filter(hit_any).select(F.col(anchor))
             affected = hit if affected is None else affected.unionByName(hit)
         if affected is None:
             self._log_refresh(name, "NO_DATA", t0)
@@ -337,7 +351,24 @@ class DynamicTableManager:
             view_affected = view.join(
                 F.broadcast(affected_view_keys), on=dt.view_key, how="left_semi"
             )
-            if self._same_rows(recomputed, view_affected):
+            # For a PARTITIONED view the same one-action stats pass
+            # also collects each side's touched-bucket set (r15), so
+            # the merge below skips its own bucket-id collect: buckets
+            # of (recomputed ∪ view∩affected) cover every bucket whose
+            # content can change -- an affected key in NEITHER frame
+            # has no stored row to delete and no new row to add, so
+            # its bucket carries over byte-identically (the old merge
+            # read + rewrote it for nothing).
+            spec = self.store.partition_spec(name)
+            bucket_of = (
+                ParquetTableStore.bucket_expr(dt.view_key, spec[1])
+                if spec
+                else None
+            )
+            same, touched_buckets = self._same_rows(
+                recomputed, view_affected, bucket_of
+            )
+            if same:
                 # NO_CHANGE also skips the version bump, so a LATER
                 # tick's downstream old-group resolution via
                 # ``read_previous`` of this view sees a snapshot from
@@ -362,12 +393,17 @@ class DynamicTableManager:
                 # branch must bump the version too.
                 self._log_refresh(name, "NO_CHANGE", t0)
             else:
-                if self.store.partition_spec(name):
+                if spec:
                     # partition-pruned: only buckets holding affected
                     # keys are read + rewritten; untouched buckets
-                    # carry over
+                    # carry over.  The bucket set rode the stats pass
+                    # above -- no extra collect action here.
                     self.store.merge(
-                        self.spark, name, recomputed, affected_view_keys
+                        self.spark,
+                        name,
+                        recomputed,
+                        affected_view_keys,
+                        touched_buckets=touched_buckets,
                     )
                 else:
                     kept = view.join(
@@ -415,7 +451,9 @@ class DynamicTableManager:
             recomputed.unpersist()
 
     @staticmethod
-    def _same_rows(a: DataFrame, b: DataFrame) -> bool:
+    def _same_rows(
+        a: DataFrame, b: DataFrame, bucket_of=None
+    ) -> tuple[bool, list[int]]:
         """Order-independent multiset equality of two delta-sized
         frames, cheap-path first: (count, commutative row-hash sum)
         on each side in one aggregate apiece; only a match runs the
@@ -424,37 +462,60 @@ class DynamicTableManager:
         two tiny aggregates, never a compare shuffle.  Columns are
         aligned by name (recompute and store may order them
         differently); hashing is over exact bit patterns, and the
-        recompute is deterministic, so a crash-retry always matches."""
+        recompute is deterministic, so a crash-retry always matches.
+
+        ``bucket_of`` (a Column expression over the frames' own
+        columns, e.g. ``ParquetTableStore.bucket_expr``): ALSO return
+        the union of both sides' bucket ids from the SAME action, so a
+        partitioned-view caller feeds ``store.merge(touched_buckets=)``
+        without a second per-tick collect over the delta lineage
+        (r15).  Returns ``(equal, sorted bucket ids | None)``; the
+        bucket list is None when ``bucket_of`` is None or when no
+        stats pass ran (column mismatch) -- None tells the merge to
+        compute its own bucket set."""
         cols = sorted(a.columns)
         if cols != sorted(b.columns):
-            return False
+            return False, None
 
-        # BOTH sides' (count, hash-sum) in ONE action: tag-and-union
-        # instead of two per-side aggregates -- at toy scale each
-        # aggregate action fans into 2-3 AQE stage-jobs, and this
-        # check runs once per refresh tick, so halving its actions
-        # measurably cuts the drive's per-tick job floor (r14: 6 -> 3
-        # first/collect actions across the 3-batch CDC drive)
+        # BOTH sides' (count, hash-sum, bucket set) in ONE action:
+        # tag-and-union instead of two per-side aggregates -- at toy
+        # scale each aggregate action fans into 2-3 AQE stage-jobs,
+        # and this check runs once per refresh tick, so halving its
+        # actions measurably cuts the drive's per-tick job floor
+        # (r14: 6 -> 3 first/collect actions across the 3-batch drive)
         def tagged(df: DataFrame, side: int) -> DataFrame:
             return df.select(
                 F.lit(side).alias("__sr_side"),
                 F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007)).alias("__sr_h"),
+                (bucket_of if bucket_of is not None else F.lit(0)).alias(
+                    "__sr_b"
+                ),
             )
 
         rows = (
             tagged(a, 0)
             .unionByName(tagged(b, 1))
             .groupBy("__sr_side")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("__sr_h").alias("s"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__sr_h").alias("s"),
+                F.collect_set("__sr_b").alias("bs"),
+            )
             .collect()
+        )
+        buckets = (
+            sorted({int(x) for r in rows for x in r["bs"]})
+            if bucket_of is not None
+            else None
         )
         # an empty side produces no group row == (0, None), the same
         # stats the old per-side global aggregate returned for it
         by_side = {r["__sr_side"]: (r["n"], r["s"]) for r in rows}
         if by_side.get(0, (0, None)) != by_side.get(1, (0, None)):
-            return False
+            return False, buckets
         aa, bb = a.select(*cols), b.select(*cols)
-        return aa.exceptAll(bb).isEmpty() and bb.exceptAll(aa).isEmpty()
+        equal = aa.exceptAll(bb).isEmpty() and bb.exceptAll(aa).isEmpty()
+        return equal, buckets
 
     # -- chained views (DT-on-DT DAG) ----------------------------------------
 

@@ -640,12 +640,15 @@ class ParquetTableStore:
         pruning.  Buckets rewritten by a later ``merge``/``append``
         lose file granularity until the next optimize (standard
         compaction model); they fall back to whole-directory reads."""
-        paths, _stats = self._pruned_paths(name, col, lower, upper)
-        v = self.current_version(name)
-        schema = self._manifest_schema(
-            self._read_manifest(name, v) if v is not None else None
-        )
-        df = self._read_parquet(spark, paths, schema)
+        # paths and schema must come from ONE version read: a writer
+        # committing between two current_version() calls could pair
+        # version v's file paths with version v+1's schema (a
+        # just-added column read all-NULL from old files, or a pruned
+        # path set inconsistent with the schema) -- so _pruned_paths
+        # hands back the manifest it resolved the paths from
+        # (ADVICE r14).
+        paths, _stats, m = self._pruned_paths(name, col, lower, upper)
+        df = self._read_parquet(spark, paths, self._manifest_schema(m))
         if lower is not None:
             df = df.filter(F.col(col) >= F.lit(lower))
         if upper is not None:
@@ -653,8 +656,11 @@ class ParquetTableStore:
         return df
 
     def _pruned_paths(self, name: str, col: str, lower, upper):
-        """(paths to scan, pruning stats) for a zone-pruned read --
-        shared by ``read_pruned`` and ``prune_plan``."""
+        """(paths to scan, pruning stats, manifest) for a zone-pruned
+        read -- shared by ``read_pruned`` and ``prune_plan``.  The
+        manifest is returned so callers derive everything else (the
+        read schema, above all) from the SAME version read that
+        resolved the paths."""
         v = self.current_version(name)
         m = self._read_manifest(name, v) if v is not None else None
         if m is None or "key" not in m:
@@ -692,7 +698,7 @@ class ParquetTableStore:
             "files_total": files_total,
             "files_kept": files_kept,
         }
-        return paths, stats
+        return paths, stats, m
 
     def prune_plan(self, name: str, col: str, lower=None, upper=None) -> dict:
         """What a ``read_pruned`` with these bounds would scan:
@@ -700,7 +706,7 @@ class ParquetTableStore:
         bucket without file-level stats counts as one file).  The
         auditable metric behind the zone-map + clustered-layout claims
         -- no data is read."""
-        _paths, stats = self._pruned_paths(name, col, lower, upper)
+        _paths, stats, _m = self._pruned_paths(name, col, lower, upper)
         return stats
 
     @staticmethod
@@ -1305,6 +1311,7 @@ class ParquetTableStore:
         name: str,
         upserts: DataFrame,
         touched_keys: DataFrame,
+        touched_buckets: list[int] | None = None,
     ) -> int:
         """Partition-pruned MERGE into a partitioned table.
 
@@ -1313,7 +1320,18 @@ class ParquetTableStore:
         (keys absent from ``upserts`` stay deleted).  Only the hash
         buckets containing touched keys are read, rewritten, and
         repointed in the new manifest; every other bucket's directory
-        carries over untouched, so write I/O is O(delta buckets)."""
+        carries over untouched, so write I/O is O(delta buckets).
+
+        ``touched_buckets``: bucket ids a caller already computed in
+        an action it ran anyway (the dynamic-table refresh's no-op
+        stats pass), skipping this method's own bucket-id collect.
+        CONTRACT: the list must contain every bucket of an upsert
+        row's key AND every bucket where a ``touched_keys`` key is
+        currently STORED -- buckets outside it are carried over
+        verbatim, so a missing bucket would silently skip deletes in
+        it.  (A touched key that is neither stored nor re-upserted may
+        legitimately be absent: its bucket has nothing to delete or
+        add, and skipping its read+rewrite is the point.)"""
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"merge target {name!r} does not exist")
@@ -1325,11 +1343,22 @@ class ParquetTableStore:
 
         # no .distinct() on the key set: duplicates don't change the
         # anti-join, and dropping it removes a shuffle -- only the
-        # bucket-id projection (<= B rows out) dedupes
-        keys = touched_keys.select(key).unionByName(upserts.select(key)).cache()
+        # bucket-id projection (<= B rows out) dedupes.  When the
+        # caller supplied the bucket set, the union stays LAZY (it
+        # only feeds the anti-join broadcast below).
+        keys = touched_keys.select(key).unionByName(upserts.select(key))
+        if touched_buckets is None:
+            keys = keys.cache()
         try:
-            touched = sorted(
-                r[0] for r in keys.select(self.bucket_expr(key, B).alias("b")).distinct().collect()
+            touched = (
+                sorted({int(x) for x in touched_buckets})
+                if touched_buckets is not None
+                else sorted(
+                    r[0]
+                    for r in keys.select(
+                        self.bucket_expr(key, B).alias("b")
+                    ).distinct().collect()
+                )
             )
             if not touched:
                 return v
@@ -1404,4 +1433,5 @@ class ParquetTableStore:
                 self._commit(name, nv)
                 return nv
         finally:
-            keys.unpersist()
+            if touched_buckets is None:
+                keys.unpersist()
