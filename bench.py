@@ -125,7 +125,20 @@ def _setup_cdc(
         for table, changes in batch.items():
             for op, lsn, row in changes:
                 rows.append((op, lsn, None, table, _json.dumps(row, default=str)))
-        envelopes.append(spark.createDataFrame(rows, FEED_SCHEMA))
+        # Slice the driver-built envelope to ~200 rows/partition (the
+        # one_partition_df lesson, r14): the default fans a 400-row
+        # batch over defaultParallelism=32 near-empty Python slices,
+        # and since apply_envelope_batch caches the envelope, EVERY
+        # downstream job in the drive inherits that 32-partition
+        # layout -- dozens of empty Python task round-trips per tick
+        # that a real stream micro-batch (a file-source scan) would
+        # never produce.
+        n_slices = max(1, len(rows) // 200)
+        envelopes.append(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, n_slices), FEED_SCHEMA
+            )
+        )
     return p, envelopes, root
 
 
