@@ -96,6 +96,7 @@ def _envelope_df(spark, batch):
     return spark.createDataFrame(rows, FEED_SCHEMA)
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_incremental_equals_full_per_batch(spark, pipeline):
     """The headline invariant: after every change batch, incremental
     maintenance == full recompute of the defining query."""
@@ -230,6 +231,7 @@ def test_streaming_feed_applies(spark, pipeline, tmp_path):
     assert _sorted_rows(mgr.read("customer_purchase_summary")) == full
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_topk_view_maintained_through_live_pipeline(spark, pipeline):
     """A registered top-k view (top 3 transactions per customer by
     total_price) must track full recompute through the live CDC drive —

@@ -8,6 +8,8 @@ implementation must match the model after every batch.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -16,6 +18,13 @@ from pyspark.sql import types as T
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.cdc_apply import (
     apply_changes,
 )
+
+# Fast-tier policy (r15): this whole module is a crash-injection /
+# randomized-differential / end-to-end marathon -- the coverage the
+# FULL suite owns.  The driver's budgeted run uses the default
+# `-m "not slow"` tier (pytest.ini); run everything with `-m ""`.
+pytestmark = pytest.mark.slow
+
 
 SCHEMA = T.StructType(
     [

@@ -561,6 +561,7 @@ _batches = st.lists(
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_batches)
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_chain_matches_full_on_random_streams(spark, tmp_path_factory, batches):
     customers = fixtures.make_customers(6, seed=3)
     merchants = fixtures.make_merchants(seed=3)

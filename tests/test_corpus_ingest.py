@@ -4,6 +4,8 @@ file-source stream across two availableNow runs."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -130,6 +132,7 @@ def test_corpus_ingest_legacy_unpartitioned_fallback(spark, tmp_path):
     assert store.partition_spec(fp_table_name("corpus")) is not None
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_corpus_ingest_near_dup_stream(spark, tmp_path):
     """near_dup=True drops documents whose token-set Jaccard vs stored
     content clears the threshold — driven through two live stream runs

@@ -14,6 +14,8 @@ pairs would be the wrong oracle: it couldn't predict LSH misses).
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from hypothesis import HealthCheck, given, settings
@@ -25,6 +27,13 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.streaming.store import (
     ParquetTableStore,
 )
+
+# Fast-tier policy (r15): this whole module is a crash-injection /
+# randomized-differential / end-to-end marathon -- the coverage the
+# FULL suite owns.  The driver's budgeted run uses the default
+# `-m "not slow"` tier (pytest.ini); run everything with `-m ""`.
+pytestmark = pytest.mark.slow
+
 
 NUM_HASHES, BAND_SIZE, THRESHOLD = 6, 2, 0.6
 VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]

@@ -5,6 +5,8 @@ inputs (the same hypothesis-vs-model strategy as test_cdc_properties)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -39,6 +41,7 @@ def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
         max_size=60,
     )
 )
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_connected_components_matches_union_find(spark, edges):
     from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.dedup import (
         connected_components,

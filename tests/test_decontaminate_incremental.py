@@ -11,6 +11,8 @@ increment sequence must equal the full-recompute
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.corpus import (
@@ -284,6 +286,7 @@ def test_repetitive_text_postings_distinct_within_one_batch(spark, tmp_path):
     assert total == distinct > 0, f"{total - distinct} duplicate posting rows"
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_randomized_increments_match_full_recompute(spark, tmp_path):
     sm = _split_map(spark)
     rng = random.Random(17)

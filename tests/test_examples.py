@@ -17,6 +17,13 @@ import tempfile
 
 import pytest
 
+# Fast-tier policy (r15): this whole module is a crash-injection /
+# randomized-differential / end-to-end marathon -- the coverage the
+# FULL suite owns.  The driver's budgeted run uses the default
+# `-m "not slow"` tier (pytest.ini); run everything with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.001"
 

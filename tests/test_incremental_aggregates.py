@@ -130,6 +130,7 @@ def _tx_row(tx_row, **overrides):
     return d
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_incremental_aggregates_under_iud(spark, setup):
     p, store, mgr, (customers, merchants, products, tx) = setup
 

@@ -103,6 +103,7 @@ def _drive(spark, seed: int, n_batches: int = 4):
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_invariants_under_randomized_increments(spark, seed):
     prev: dict[int, tuple[int, str]] = {}
     for got, ingested, delivered in _drive(spark, seed):
@@ -247,6 +248,7 @@ def test_split_health_audit(spark):
         assert split_health(bad, pairs)["straddling_pairs"] > 0
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_quarantine_drains_on_epoch_resplit(spark):
     """The r13 drain policy end-to-end: a randomized increment soak
     accumulates sticky quarantine, ``split_health`` flips its
@@ -294,6 +296,7 @@ def test_quarantine_drains_on_epoch_resplit(spark):
         resplit_epoch(docs, pairs, salt="")
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_increments_continue_under_new_epoch_after_drain(spark):
     """The full epoch lifecycle: soak -> drain (resplit_epoch) ->
     KEEP INCREMENTING under the new salt.  Post-drain increments must

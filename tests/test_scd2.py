@@ -346,6 +346,7 @@ def test_tracker_history_writes_are_o_delta_buckets(spark, tmp_path):
     del live_bytes
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_scd2_apply_idempotent_under_replay(spark):
     """ADVICE r7: refolding an already-applied delta must not mint
     zero-width junk versions (foreachBatch is at-least-once)."""

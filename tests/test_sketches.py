@@ -8,6 +8,8 @@ only sketches cross the shuffle).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spark.operators.sketches import (
@@ -161,6 +163,7 @@ def test_heavy_hitters_sweep_cannot_empty_summary(spark):
         assert 1 <= r["est_count"] + bound
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_heavy_hitters_invariants_on_random_streams(spark):
     """Property test: on ANY stream and partitioning, the MG
     certificate holds -- no overcount, undercount within the bound,

@@ -182,6 +182,7 @@ def _envelope_df(spark, batch):
     return spark.createDataFrame(rows, FEED_SCHEMA)
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_cdc_pipeline_partitioned_matches_unpartitioned(spark, tmp_path):
     customers = fixtures.make_customers(40, seed=42)
     merchants = fixtures.make_merchants(seed=42)

@@ -9,6 +9,8 @@ below k.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -60,6 +62,7 @@ def _spark_view(spark, state) -> set[tuple[str, int, int]]:
         max_size=3,
     )
 )
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_incremental_topk_equals_recompute(spark, batches):
     model: dict[int, tuple[str, int]] = {i: ("a" if i % 2 else "b", i * 3 % 47) for i in range(12)}
     fact = spark.createDataFrame([(i, g, s) for i, (g, s) in model.items()], SCHEMA)

@@ -37,6 +37,13 @@ from sfguide_intro_to_cdc_using_snowflake_postgres_connector_dynamic_tables_spar
     ParquetTableStore,
 )
 
+# Fast-tier policy (r15): this whole module is a crash-injection /
+# randomized-differential / end-to-end marathon -- the coverage the
+# FULL suite owns.  The driver's budgeted run uses the default
+# `-m "not slow"` tier (pytest.ini); run everything with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 
 def _txn_envelope_df(spark, committed, open_txs=()):
     """In-memory equivalent of write_feed_transactions' file shape."""

@@ -6,6 +6,8 @@ unpruned filtered read."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -324,6 +326,7 @@ def test_file_zone_pruning_exact_under_random_merges(spark, tmp_path):
         assert got == exact, f"step {step}: pruned read diverged"
 
 
+@pytest.mark.slow  # fast-tier policy (r15): randomized/soak marathon
 def test_maintain_clustering_soak_no_manual_step(spark, tmp_path):
     """Auto-compaction closes the r10 loop: a merge load with
     maintain_clustering() hooked after each cycle keeps 1-day probe
