@@ -326,7 +326,26 @@ def lsh_pairs_from_tokens(
     # cache now, register this one, and expose release_caches() for the
     # end of a session.
     release_caches()
-    sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
+    # Pin the fused aggregate's reducer count (r15): AQE coalesces
+    # post-shuffle partitions by BYTES, and the signature aggregate is
+    # compute-dense per byte (md5-min folds + collect_set map merges
+    # over compressed token partials) -- at the x10 scaling probe AQE
+    # folded it to ONE reducer (3.4 MB) that burned ~5 s of serial CPU,
+    # ~40 % of the entry's wall.  An explicit repartition by the
+    # grouping key at the session's configured reducer count opts this
+    # one exchange out of byte-coalescing (AQE leaves explicit-N
+    # repartitions alone) and the groupBy reuses the partitioning, so
+    # no second exchange.  The count is the spark.sql.shuffle.partitions
+    # the deployment already tunes to its cluster -- not a local
+    # constant; results are aggregate-identical (min/collect_set are
+    # partition-order-free).
+    n_red = int(tok.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sig = (
+        tok.repartition(n_red, "doc_id")
+        .groupBy("doc_id")
+        .agg(*per_doc_aggs)
+        .cache()
+    )
     _SIG_CACHES.append(sig)
     if not wide and narrow_max_tokens is not None:
         # plan-level guard, zero extra pass/action: h1 feeds every
@@ -362,8 +381,20 @@ def lsh_pairs_from_tokens(
         if block_col is not None:
             cols = [F.col("__block"), F.lit("|"), *cols]
         band_exprs.append(F.md5(F.encode(F.concat(*cols), "UTF-8")))
-    # one pass over sig (explode of the k band keys), not a k-way union
-    bands = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    # one pass over sig (explode of the k band keys), not a k-way union.
+    # The explicit repartition pins the self-join's parallelism (r15):
+    # the bands table is BYTES-small (k rows/doc of 32-char keys) but
+    # the join it feeds amplifies output by the bucket-size factor --
+    # at the x10 scaling probe AQE byte-coalesced the probe side to ONE
+    # partition (3.4 MB) whose single task then streamed 8M candidate
+    # rows + their partial-distinct aggregation, ~40 % of the entry's
+    # wall serialized on one core.  Coalescing sizes by INPUT bytes and
+    # cannot see join fan-out; partitioning both aliases by the join
+    # key at the configured reducer count keeps the candidate explosion
+    # parallel at any scale (and the two aliases reuse ONE exchange).
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).repartition(n_red, "band")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
