@@ -326,27 +326,16 @@ def lsh_pairs_from_tokens(
     # cache now, register this one, and expose release_caches() for the
     # end of a session.
     release_caches()
-    # Pin the fused aggregate's reducer count (r15): AQE coalesces
-    # post-shuffle partitions by BYTES, and the signature aggregate is
-    # compute-dense per byte (md5-min folds + collect_set map merges
-    # over compressed token partials) -- at the x10 scaling probe AQE
-    # folded it to ONE reducer (3.4 MB) that burned ~5 s of serial CPU,
-    # ~40 % of the entry's wall.  An explicit repartition by the
-    # grouping key at the session's configured reducer count opts this
-    # one exchange out of byte-coalescing (AQE leaves explicit-N
-    # repartitions alone) and the groupBy reuses the partitioning, so
-    # no second exchange.  The count is the spark.sql.shuffle.partitions
-    # the deployment already tunes to its cluster -- not a local
-    # constant; results are aggregate-identical (min/collect_set are
-    # partition-order-free).
-    n_red = int(tok.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sig = (
-        tok.repartition(n_red, "doc_id")
-        .groupBy("doc_id")
-        .agg(*per_doc_aggs)
-        .cache()
-    )
+    # NOTE (r15, measured): do NOT repartition ``tok`` by doc_id to
+    # widen the final aggregate -- that replaces the partial-aggregate
+    # shuffle (a few MB of compressed per-partition partials) with a
+    # full shuffle of the RAW token/shingle rows, and on the shingle
+    # corpus it cost 4x at the x10 probe (guide §2.3: shuffle fewer
+    # bytes beats wider reducers here).  The exchange that DOES need
+    # pinning is the bands self-join below.
+    sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
     _SIG_CACHES.append(sig)
+    n_red = int(tok.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if not wide and narrow_max_tokens is not None:
         # plan-level guard, zero extra pass/action: h1 feeds every
         # doc's band keys, so any doc past the bound fails the job at
@@ -397,9 +386,19 @@ def lsh_pairs_from_tokens(
     ).repartition(n_red, "band")
 
     a, b = bands.alias("a"), bands.alias("b")
+    # The candidate dedup's exchange is pinned for the same reason as
+    # the bands one: candidate PAIRS compress to a few MB, but the
+    # stage that reads them also runs the exact-Jaccard verify --
+    # array_intersect over per-doc token sets arriving via broadcast/
+    # cache, i.e. heavy compute carrying ZERO shuffle bytes for the
+    # coalescer to see.  Measured at the x10 probe: byte-coalescing
+    # folded it to ONE task burning 11.3 s of serial CPU on 4.3 MB.
+    # repartition by exactly the distinct's grouping columns, so the
+    # aggregate reuses the single pinned exchange.
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .repartition(n_red, "doc_a", "doc_b")
         .distinct()
     )
 
