@@ -331,11 +331,19 @@ def lsh_pairs_from_tokens(
     # shuffle (a few MB of compressed per-partition partials) with a
     # full shuffle of the RAW token/shingle rows, and on the shingle
     # corpus it cost 4x at the x10 probe (guide §2.3: shuffle fewer
-    # bytes beats wider reducers here).  The exchange that DOES need
-    # pinning is the bands self-join below.
+    # bytes beats wider reducers here).  The exchanges that DO need
+    # pinning are the bands self-join and the candidate distinct
+    # below -- and only on corpora big enough for serialization to
+    # hurt: on a 1-2 split toy input the two extra exchanges cost
+    # ~1 s of pure overhead while the stage they widen finishes in
+    # well under that (measured A/B at sf0.1), so the pins gate on
+    # the input already being at least reducer-count wide (the same
+    # partition-count proxy _spread_small_input uses, inverted; one
+    # driver-side getNumPartitions per call, no job).
     sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
     _SIG_CACHES.append(sig)
     n_red = int(tok.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pin = tok.rdd.getNumPartitions() >= n_red
     if not wide and narrow_max_tokens is not None:
         # plan-level guard, zero extra pass/action: h1 feeds every
         # doc's band keys, so any doc past the bound fails the job at
@@ -381,9 +389,9 @@ def lsh_pairs_from_tokens(
     # cannot see join fan-out; partitioning both aliases by the join
     # key at the configured reducer count keeps the candidate explosion
     # parallel at any scale (and the two aliases reuse ONE exchange).
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    ).repartition(n_red, "band")
+    bands = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    if pin:
+        bands = bands.repartition(n_red, "band")
 
     a, b = bands.alias("a"), bands.alias("b")
     # The candidate dedup's exchange is pinned for the same reason as
@@ -398,9 +406,10 @@ def lsh_pairs_from_tokens(
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .repartition(n_red, "doc_a", "doc_b")
-        .distinct()
     )
+    if pin:
+        cand = cand.repartition(n_red, "doc_a", "doc_b")
+    cand = cand.distinct()
 
     # Exact-verify via per-doc token-set arrays: one array_intersect per
     # candidate pair beats re-exploding tokens through two joins (the
