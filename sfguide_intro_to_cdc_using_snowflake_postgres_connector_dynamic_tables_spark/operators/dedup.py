@@ -188,6 +188,7 @@ def minhash_lsh_pairs(
     block_col: str | None = None,
     wide: bool | str = False,
     narrow_max_tokens: int | None = NARROW_MAX_TOKENS,
+    pin: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact Jaccard verify.
 
@@ -213,7 +214,8 @@ def minhash_lsh_pairs(
         else None
     )
     return lsh_pairs_from_tokens(
-        tok, num_hashes, band_size, threshold, blocks, wide, narrow_max_tokens
+        tok, num_hashes, band_size, threshold, blocks, wide,
+        narrow_max_tokens, pin,
     )
 
 
@@ -291,6 +293,7 @@ def lsh_pairs_from_tokens(
     blocks: DataFrame | None = None,
     wide: bool | str = False,
     narrow_max_tokens: int | None = NARROW_MAX_TOKENS,
+    pin: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over a prepared (doc_id, token) set
     table -- the shared engine behind word-set and shingle-set dedup.
@@ -343,7 +346,13 @@ def lsh_pairs_from_tokens(
     sig = tok.groupBy("doc_id").agg(*per_doc_aggs).cache()
     _SIG_CACHES.append(sig)
     n_red = int(tok.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    pin = tok.rdd.getNumPartitions() >= n_red
+    # ``pin=None`` auto-detects via one driver-side getNumPartitions
+    # (analyzer work, no job).  Per-tick STREAMING callers pass
+    # pin=False explicitly: their inputs are delta-sized by contract,
+    # and even the analyzer cost does not belong on a tick path
+    # (VERDICT r14 item 4's _spread_small_input note, same class).
+    if pin is None:
+        pin = tok.rdd.getNumPartitions() >= n_red
     if not wide and narrow_max_tokens is not None:
         # plan-level guard, zero extra pass/action: h1 feeds every
         # doc's band keys, so any doc past the bound fails the job at

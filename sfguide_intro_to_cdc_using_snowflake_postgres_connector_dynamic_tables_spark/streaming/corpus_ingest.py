@@ -277,6 +277,7 @@ def near_dup_incremental(
         band_size=band_size,
         threshold=threshold,
         wide=wide,
+        pin=False,  # per-tick delta input: skip the width autodetect
     )
     new_bands = band_keys_for_docs(
         new_docs, num_hashes=num_hashes, band_size=band_size, wide=wide
@@ -327,6 +328,7 @@ def _near_dup_filter(
         band_size=band_size,
         threshold=threshold,
         wide=wide,
+        pin=False,  # per-tick delta input: skip the width autodetect
     )
     survivors = new_rows.join(
         intra.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
@@ -870,6 +872,7 @@ def ingest_batch(
                     num_hashes=num_hashes,
                     band_size=band_size,
                     threshold=near_threshold,
+                    pin=False,  # bootstrap batch: delta-sized
                     wide=wide,
                 )
                 keep = keep.join(
